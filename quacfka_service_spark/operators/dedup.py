@@ -1,0 +1,318 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+North-star LLM-pipeline components (BASELINE.json), each designed for
+the 100 TB path:
+
+- ``dedup_exact``       — hash-groupBy; one shuffle on md5(text).
+- ``dedup_ngram_jaccard`` — exact word-3-gram Jaccard via shingle
+  self-join.  Quadratic in docs-per-shingle; correct-but-expensive
+  baseline that the MinHash variant replaces at scale (oracle-checked
+  here since DuckDB can reproduce it exactly).
+- ``dedup_minhash_lsh`` — MinHash signatures (32 perms, pure column
+  algebra over xxhash64) -> 8 bands x 4 rows -> bucket join -> exact
+  Jaccard verify of *candidates only*.  This is the scale path: the
+  join key is (band, band_hash), so cost is proportional to true
+  near-duplicates, not to corpus².  Rows-only check (hash functions
+  are engine-specific, not SQL-portable).
+- ``dedup_simhash``     — 64-bit SimHash fingerprints + Hamming<=3
+  pairs found by the 4x16-bit band trick (pigeonhole: distance<=3 =>
+  at least one of 4 bands equal).  Rows-only check.
+- ``dedup_embedding``   — exact cosine near-dup over the embedding
+  column, blocked by ``label`` (the coarse partitioner); the
+  LSH-bucketed variant for unlabeled corpora lives in similarity.py.
+
+All dedup math uses built-in higher-order functions (JVM, codegen) —
+no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+# MinHash parameters — fixed, deterministic (no RNG at runtime).
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = 2147483647  # 2^31 - 1
+_PERM_A = [2 * i + 1 for i in range(N_PERM)]
+_PERM_B = [7919 * i + 13 for i in range(N_PERM)]
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _shingles(words):
+    """Distinct word-3-gram shingles; empty array for docs < 3 words."""
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", _shingles(_words(F.col("text"))).alias("sh"))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group identical texts, keep the lowest doc_id."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
+    >=1 shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts,
+    so the double division is bit-identical across engines."""
+    sh = doc_shingles(docs)
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """32 MinHash values per doc as pure column algebra: shingle ->
+    xxhash64 -> fold to 32 bits -> min over (a*h+b) mod (2^31-1) per
+    permutation.  One pass, no explode, no shuffle."""
+    sh = doc_shingles(docs).where(F.size("sh") > 0)
+    h32 = F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    d = sh.select("doc_id", h32.alias("h"))
+    sig_cols = [
+        F.array_min(
+            F.transform("h", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE)))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+    return d.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """LSH banding -> candidate pairs -> exact-Jaccard verify.
+
+    At 100 TB the corpus² term never materializes: the only join is on
+    (band_idx, band_hash) buckets, and the verify join touches
+    candidate docs only.
+    """
+    sig = minhash_signatures(docs)
+    bands = []
+    for bi in range(N_BANDS):
+        cols = [F.col(f"mh_{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(F.lit(bi).alias("band"), F.hash(*cols).alias("bh")))
+    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = doc_shingles(docs)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side: token -> xxhash64; for
+    each bit, weight = Σ(±1); fingerprint bit j set iff weight_j > 0."""
+    d = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    hashes = F.transform("w", lambda t: F.xxhash64(t))
+    d = d.select("doc_id", hashes.alias("hs"))
+    # SQL expr: the Python shiftright/shiftleft wrappers require int
+    # literals, but the Catalyst expressions accept column bit counts —
+    # needed because the shift amount is the lambda variable j.
+    sim = F.expr(
+        """
+        aggregate(
+          sequence(0, 63),
+          CAST(0 AS BIGINT),
+          (acc, j) -> acc + CASE
+            WHEN aggregate(hs, CAST(0 AS BIGINT),
+                           (w, h) -> w + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0
+            THEN shiftleft(CAST(1 AS BIGINT), j)
+            ELSE CAST(0 AS BIGINT) END
+        )
+        """
+    )
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming<=k pairs via the band trick: split the 64-bit print into
+    k+1 = 4 16-bit bands; any pair within distance 3 matches on >=1
+    band (pigeonhole), so the join is on (band_idx, band_value)."""
+    fp = simhash_fingerprints(docs)
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+        )
+        for bi in range(4)
+    ])
+    buckets = fp.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Exact cosine near-duplicates, blocked by ``label`` (coarse
+    cluster id).  Dot/norm math over array<double> with sequential
+    F.aggregate — bit-identical to the DuckDB oracle's
+    list_dot_product on the same doubles."""
+    d = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    d = d.select("vec_id", "label", "v", norm.alias("nrm"))
+    a = d.alias("a")
+    b = d.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+
+
+# --- queries()/oracle registrations ---------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
+    "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
+    "dedup_embedding": _q_embedding_neardup,
+}
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+)
+"""
+
+ORACLES = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+""",
+    "dedup_embedding": """
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+""",
+}

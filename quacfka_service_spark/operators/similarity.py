@@ -1,0 +1,147 @@
+"""Similarity search over the ``embeddings`` table (64-dim float).
+
+Two paths, per the north star:
+
+- ``similarity_topk`` — brute-force cosine top-k, the exact baseline.
+  The query set is small (vec_id % 100 == 0) and *broadcast*, so the
+  plan is a single scan of the corpus with a broadcast nested-loop —
+  no shuffle of the 100 TB side, embarrassingly parallel across
+  executors.  Top-k uses a per-query window over the scored rows.
+- ``similarity_lsh_topk`` — the scale path: random-hyperplane (sign)
+  LSH buckets both sides; each query probes only its bucket, cutting
+  the scan by ~2^n_planes.  Hyperplanes are a fixed deterministic
+  integer lattice (no RNG), so results are reproducible run-to-run.
+  Approximate by construction -> rows-only check.
+
+All vector math is sequential-order F.aggregate/F.zip_with over
+array<double>: IEEE-deterministic and bit-identical to the DuckDB
+oracle's list_dot_product on the same values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from pyspark.sql.window import Window
+
+TOP_K = 5
+QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 are the query vectors
+
+N_PLANES = 8
+EMB_DIM = 64
+# deterministic "pseudo-random" hyperplanes: lattice values in [-48, 48]
+HYPERPLANES = [
+    [((p * 131 + d * 31 + 7) % 97 - 48) / 48.0 for d in range(EMB_DIM)]
+    for p in range(N_PLANES)
+]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    d = emb.select("vec_id", v.alias("v"))
+    return d.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+
+
+def brute_force_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+    d = _with_norm(emb)
+    q = d.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.col("cos").alias("cos"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _bucket(vcol) -> object:
+    """Sign-LSH bucket id: bit p set iff dot(v, hyperplane_p) > 0."""
+    bits = []
+    for p, plane in enumerate(HYPERPLANES):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(_dot(vcol, arr) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD) -> DataFrame:
+    """ANN: probe only the query's sign-LSH bucket.  The corpus is
+    hash-partitioned by bucket, so each probe is a co-partitioned
+    equi-join — at scale the 2^8 buckets shard the corpus and no
+    full scan happens per query."""
+    d = _with_norm(emb).withColumn("bucket", _bucket(F.col("v")))
+    q = d.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        d.join(F.broadcast(q), d.bucket == q.q_bucket)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "similarity_topk": _q_topk,
+    "similarity_lsh_topk": _q_lsh_topk,  # rows-only (approximate path)
+}
+
+ORACLES = {
+    "similarity_topk": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM d WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, d.vec_id AS neighbor_id,
+         list_dot_product(d.v, q.qv) / (d.nrm * q.qn) AS cos
+  FROM d CROSS JOIN q
+  WHERE d.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, cos, rank FROM (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+}

