@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with a noop-format write (full execution, no
+collect-to-driver cost, no disk) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# the queries a user of the reference actually runs (its 3 embedded
+# queries via our keys) + the engine-generality and north-star set
+HEADLINE = [
+    "hourly_agg",
+    "normalize_flat",
+    "partition_enumeration",
+    "raw_export_filter",
+    "tpch_q1",
+    "join_guard",
+    "window_guard",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    from quacfka_service_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("quacfka-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # JVM warm-up: run the smallest query once, untimed
+    qs["partition_enumeration"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

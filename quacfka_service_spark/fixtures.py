@@ -43,6 +43,13 @@ from .schema import BANNER, DEAL, PMP, VIDEO
 def build_bidreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested bidreq DataFrame from ``{sf_dir}/events.parquet``."""
     ev = load_table(spark, sf_dir, "events")
+    # The dev fixture is one parquet row-group -> one input split; the
+    # struct build + explode downstream would run single-threaded.
+    # Rebalance only when the scan under-splits (at real scale the scan
+    # has >> defaultParallelism splits and this is a no-op).
+    target = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     e = F.col("event_id")
     u = F.col("user_id")
 

@@ -48,7 +48,14 @@ def _words(col):
 
 
 def _shingles(words):
-    """Distinct word-3-gram shingles; empty array for docs < 3 words."""
+    """Distinct word-3-gram shingles; empty array for docs < 3 words.
+
+    ``words`` must be a *resolved column reference* (not an inline
+    split(...) expression): this expression references it ~5 times, and
+    hand-inlining a regex split here re-executes the split per array
+    element — measured 12x slower.  Materialize words in a separate
+    projection first (Catalyst's CollapseProject correctly declines to
+    merge non-cheap multi-referenced projections)."""
     grams = F.when(
         F.size(words) >= 3,
         F.transform(
@@ -65,7 +72,8 @@ def _shingles(words):
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", _shingles(_words(F.col("text"))).alias("sh"))
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return w.select("doc_id", _shingles(F.col("w")).alias("sh"))
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -82,7 +90,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     so the double division is bit-identical across engines."""
     sh = doc_shingles(docs)
     sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # explode_outer + post-filter: see minhash_signatures for why.
+    ex = (
+        sh.select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -103,19 +115,33 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """32 MinHash values per doc as pure column algebra: shingle ->
-    xxhash64 -> fold to 32 bits -> min over (a*h+b) mod (2^31-1) per
-    permutation.  One pass, no explode, no shuffle."""
-    sh = doc_shingles(docs).where(F.size("sh") > 0)
-    h32 = F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
-    d = sh.select("doc_id", h32.alias("h"))
-    sig_cols = [
-        F.array_min(
-            F.transform("h", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE)))
-        ).alias(f"mh_{i}")
+    """32 MinHash values per doc: shingle -> xxhash64 -> fold to 32
+    bits -> min over (a*h+b) mod (2^31-1) per permutation.
+
+    Shape matters: an all-array formulation (32 ``transform``s over the
+    shingle array in one projection) looks shuffle-free but Catalyst's
+    projection collapse inlines the *whole shingle pipeline* into each
+    of the 32 columns — measured 23 s for 5k docs.  Explode + groupBy
+    hashes each shingle exactly once and the 32 ``min`` aggregates are
+    map-side partial (the shuffle carries one 32-long row per doc) —
+    the same plan holds at 100 TB.
+    """
+    # explode_outer, not explode: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which pushes a size(sh)>0 filter below
+    # the projections and re-inlines the whole shingle expression into
+    # the filter (measured 3x recompute).  The null row from empty docs
+    # is dropped by a cheap attribute-level filter after the Generate.
+    ex = (
+        doc_shingles(docs)
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    ex = ex.select("doc_id", F.pmod(F.xxhash64("s"), F.lit(1 << 32)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     ]
-    return d.select("doc_id", *sig_cols)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
@@ -163,26 +189,27 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc, fully JVM-side: token -> xxhash64; for
     each bit, weight = Σ(±1); fingerprint bit j set iff weight_j > 0."""
-    d = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    hashes = F.transform("w", lambda t: F.xxhash64(t))
-    d = d.select("doc_id", hashes.alias("hs"))
-    # SQL expr: the Python shiftright/shiftleft wrappers require int
-    # literals, but the Catalyst expressions accept column bit counts —
-    # needed because the shift amount is the lambda variable j.
-    sim = F.expr(
-        """
-        aggregate(
-          sequence(0, 63),
-          CAST(0 AS BIGINT),
-          (acc, j) -> acc + CASE
-            WHEN aggregate(hs, CAST(0 AS BIGINT),
-                           (w, h) -> w + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0
-            THEN shiftleft(CAST(1 AS BIGINT), j)
-            ELSE CAST(0 AS BIGINT) END
-        )
-        """
+    # explode + groupBy (not a 64-way nested array aggregate — same
+    # projection-recompute trap as minhash_signatures): each token is
+    # hashed once, the 64 per-bit sums are map-side partial aggregates,
+    # and the shuffle carries one 64-long row per doc.
+    ex = (
+        docs.select("doc_id", F.explode_outer(_words(F.col("text"))).alias("t"))
+        .where(F.col("t").isNotNull())
+        .select("doc_id", F.xxhash64("t").alias("h"))
     )
-    return d.select("doc_id", sim.alias("simhash"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    fingerprint_expr = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint_expr = term if fingerprint_expr is None else fingerprint_expr + term
+    return agg.select("doc_id", fingerprint_expr.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
