@@ -1,0 +1,223 @@
+"""The Pipeline builder — Spark-native analog of the reference's
+orchestrator API (/root/reference/main.go:203-276, SURVEY.md §3.3):
+
+    q.NewOrchestrator[*rr.Bidrequest](opts...)   Pipeline(spark)
+    o.NewKafkaConfig()                           .source_kafka(conf)
+    o.ConfigureProcessor(...unmarshal...)        .decode(...)
+    (normalizer declaration, main.go:198-199)    (normalize + agg in sink)
+    o.ConfigureDuck(...) + runner RPC export     .sink_lake(root, checkpoint)
+    o.Run(ctx, &wg)                              .run() -> PipelineHandle
+    o.DuckPaths() consumption loop               foreachBatch (implicit)
+    signal -> cancel + o.Report/ReportJSONL      handle.stop()/metrics_jsonl
+
+The whole export machinery (file rotation S7, runner RPC S9, orphan
+recovery S10, backpressure S11) collapses into one ``foreachBatch``
+body plus checkpointing:
+
+- each micro-batch is the bounded unit a rotated 4200 MB DuckDB file
+  was (epoch id replaces the file path);
+- U2 dual_output_append: the decoded batch is persisted once and
+  written three ways (raw nested, flat norm, hourly agg) — the same
+  single-pass dual-build as main.go:342-385;
+- checkpointing gives exactly-once recovery, strictly stronger than
+  the reference's at-least-once + orphan-.db rescan (T4);
+- pacing comes from maxOffsetsPerTrigger / maxFilesPerTrigger (T6).
+
+Metrics (T8): a StreamingQueryListener appends one JSON line per
+progress event, the analog of ``o.ReportJSONL()`` appending to
+metrics.json (main.go:62-75,418).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+from ..operators.aggregates import hourly_agg
+from ..operators.normalize import normalize_bidreq
+from ..proto.decode import decode_bidrequests
+from ..sinks.lake import write_hourly_agg, write_norm_export, write_raw_export
+from ..sources.files import kafka_shaped_file_stream
+from ..sources.kafka import KafkaConfig, kafka_stream
+
+
+class JsonlMetricsListener(StreamingQueryListener):
+    """T8 metrics: one JSONL line per micro-batch progress, mirroring
+    the reference's metrics.json append (main.go:62-75)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def onQueryStarted(self, event):
+        self._append({"event": "started", "id": str(event.id), "ts": time.time()})
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        self._append({
+            "event": "progress",
+            "id": str(p.id),
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "inputRowsPerSecond": p.inputRowsPerSecond,
+            "processedRowsPerSecond": p.processedRowsPerSecond,
+            "durationMs": dict(p.durationMs) if p.durationMs else {},
+            "ts": time.time(),
+        })
+
+    def onQueryTerminated(self, event):
+        self._append({"event": "terminated", "id": str(event.id), "ts": time.time()})
+
+    def onQueryIdle(self, event):
+        pass
+
+    def _append(self, rec: dict[str, Any]) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+@dataclass
+class Pipeline:
+    """Builder; see module docstring for the orchestrator mapping."""
+
+    spark: SparkSession
+    _source: DataFrame | None = None
+    _decode_opts: dict[str, Any] = field(default_factory=dict)
+    _lake_root: str | None = None
+    _checkpoint: str | None = None
+    _metrics_path: str | None = None
+    _available_now: bool = False
+    _trigger_secs: float | None = None
+    _write_raw: bool = True
+    _write_norm: bool = True
+    _write_agg: bool = True
+    _transform: Callable[[DataFrame], DataFrame] | None = None
+
+    # --- sources ---
+    def source_kafka(self, conf: KafkaConfig) -> "Pipeline":
+        self._source = kafka_stream(self.spark, conf)
+        if conf.confluent_prefix:
+            self._decode_opts.setdefault("confluent_prefix", True)
+        return self
+
+    def source_files(self, path: str, max_files_per_trigger: int | None = None) -> "Pipeline":
+        self._source = kafka_shaped_file_stream(self.spark, path, max_files_per_trigger)
+        return self
+
+    def source_dataframe(self, df: DataFrame) -> "Pipeline":
+        """Any Kafka-shaped (value, timestamp) stream or batch frame."""
+        self._source = df
+        return self
+
+    # --- decode (S4 + S2/S3 framing) ---
+    def decode(self, **opts: Any) -> "Pipeline":
+        """Options forwarded to proto.decode.decode_bidrequests:
+        confluent_prefix, ts_suffix, use_jvm, desc_path, message_name."""
+        self._decode_opts.update(opts)
+        return self
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "Pipeline":
+        """X2-style custom hook applied to the decoded frame."""
+        self._transform = fn
+        return self
+
+    # --- sink ---
+    def sink_lake(
+        self,
+        root: str,
+        checkpoint: str,
+        *,
+        raw: bool = True,
+        norm: bool = True,
+        agg: bool = True,
+        metrics_jsonl: str | None = None,
+    ) -> "Pipeline":
+        self._lake_root = root
+        self._checkpoint = checkpoint
+        self._write_raw, self._write_norm, self._write_agg = raw, norm, agg
+        self._metrics_path = metrics_jsonl
+        return self
+
+    def trigger(self, *, available_now: bool = False, processing_time_secs: float | None = None) -> "Pipeline":
+        self._available_now = available_now
+        self._trigger_secs = processing_time_secs
+        return self
+
+    # --- run ---
+    def _export_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body = the reference's whole export path
+        (§3.2): one rotated file's worth of rows -> raw + norm + agg."""
+        bidreq = decode_bidrequests(batch_df, **self._decode_opts)
+        if self._transform is not None:
+            bidreq = self._transform(bidreq)
+        bidreq.persist()
+        try:
+            if self._write_raw:
+                write_raw_export(bidreq, f"{self._lake_root}/bidreq", mode="append")
+            norm = None
+            if self._write_norm or self._write_agg:
+                norm = normalize_bidreq(bidreq)
+            if self._write_norm and self._write_agg:
+                # norm feeds two sinks in this batch: materialize it once
+                norm.persist()
+            if self._write_norm:
+                write_norm_export(norm, f"{self._lake_root}/bidreq_norm", mode="append")
+            if self._write_agg:
+                write_hourly_agg(hourly_agg(norm), f"{self._lake_root}/bidreq_hourly", mode="append")
+            if norm is not None and self._write_norm and self._write_agg:
+                norm.unpersist()
+        finally:
+            bidreq.unpersist()
+
+    def run(self) -> "PipelineHandle":
+        if self._source is None or self._lake_root is None:
+            raise ValueError("pipeline needs a source and sink_lake(...)")
+        listener = None
+        if self._metrics_path:
+            listener = JsonlMetricsListener(self._metrics_path)
+            self.spark.streams.addListener(listener)
+        writer = (
+            self._source.writeStream.foreachBatch(self._export_batch)
+            .option("checkpointLocation", self._checkpoint)
+            .queryName("quacfka-pipeline")
+        )
+        if self._available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self._trigger_secs:
+            writer = writer.trigger(processingTime=f"{self._trigger_secs} seconds")
+        return PipelineHandle(writer.start(), self.spark, listener)
+
+    def run_batch(self) -> None:
+        """One-shot batch mode over a non-streaming source frame — the
+        dev/backfill path (reference parity: re-exporting one DB file)."""
+        if self._source is None or self._lake_root is None:
+            raise ValueError("pipeline needs a source and sink_lake(...)")
+        self._export_batch(self._source, 0)
+
+
+@dataclass
+class PipelineHandle:
+    """o.Run's handle: stop/progress/metrics (main.go:267,320,409-429)."""
+
+    query: Any
+    spark: SparkSession
+    listener: JsonlMetricsListener | None = None
+
+    def stop(self) -> None:  # T7 graceful shutdown
+        self.query.stop()
+        if self.listener is not None:
+            self.spark.streams.removeListener(self.listener)
+
+    def await_termination(self, timeout: float | None = None):
+        return self.query.awaitTermination(timeout)
+
+    def progress(self) -> dict | None:
+        p = self.query.lastProgress
+        return dict(p) if p else None
+
+    def error(self) -> Any:  # o.Error() (main.go:320)
+        return self.query.exception()
