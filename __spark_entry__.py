@@ -186,6 +186,18 @@ def _q_window_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3+S4+X1+X2: fixture -> wire-format protobuf bytes (Confluent
+    prefix + LE ts suffix, main.go:228-233) -> decode -> normalize ->
+    hourly agg.  Oracle = the plain hourly-agg SQL, so a hash match
+    proves the codec round-trip is lossless on real data."""
+    from quacfka_service_spark.proto.decode import decode_bidrequests, encode_bidrequests
+
+    framed = encode_bidrequests(build_bidreq(spark, sf_dir))
+    decoded = decode_bidrequests(framed, confluent_prefix=True, ts_suffix=True)
+    return hourly_agg(normalize_bidreq(decoded))
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -216,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "banner_video_fallback": _q_banner_video_fallback,
         "concat_resolution": _q_concat_resolution,
         "epoch_scalar_suite": _q_epoch_scalar_suite,
+        "proto_roundtrip": _q_proto_roundtrip,
         "order_by_ordinal": _q_order_by_ordinal,
         "events_hourly": _q_events_hourly,
         # generality guards (additive, SURVEY.md §7.3.4)
@@ -299,6 +312,7 @@ FROM bidreq_base
 WITH {BIDREQ_NORM_CTE}
 SELECT bidreq_id, deal FROM bidreq_norm
 """,
+        "proto_roundtrip": _HOURLY_AGG_SQL,
         "banner_video_fallback": f"""
 WITH {BIDREQ_BASE_CTE}
 SELECT bidreq_id, width, height FROM bidreq_base

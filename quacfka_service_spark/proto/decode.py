@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schema import BIDREQUEST_SCHEMA
-from .wire import CONFLUENT_PREFIX_LEN, decode_bidrequest, split_ts_suffix
+from .wire import (
+    CONFLUENT_PREFIX_LEN,
+    append_ts_suffix,
+    decode_bidrequest,
+    encode_bidrequest,
+    split_ts_suffix,
+)
 
 # decoded payload schema = BIDREQUEST_SCHEMA minus the injected custom
 # field event_tm (X3, main.go:201), which is attached post-decode.
@@ -115,3 +121,38 @@ def decode_bidrequests(
     return dec.select(
         F.from_json(F.col("json"), PAYLOAD_SCHEMA).alias("r"), F.col("event_tm")
     ).select("r.*", "event_tm")
+
+
+_CONFLUENT_STUB = b"\x00\x00\x00\x00\x00\x01"
+
+
+def encode_bidrequests(
+    bidreq: DataFrame,
+    *,
+    confluent_prefix: bool = True,
+    ts_suffix: bool = True,
+) -> DataFrame:
+    """Inverse of decode_bidrequests: BIDREQUEST_SCHEMA rows -> framed
+    Kafka-record shape (value binary, timestamp).  Exists for replay /
+    test harnesses (the reference is a consumer, not a producer); with
+    decode it forms the oracle-checked round-trip proving the wire
+    codec is lossless over real fixture data."""
+
+    def _encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals, ts_ms = [], []
+            for rec in pdf.to_dict("records"):
+                event_tm = int(rec.pop("event_tm", 0) or 0)
+                payload = encode_bidrequest(rec)
+                if ts_suffix:
+                    payload = append_ts_suffix(payload, event_tm)
+                if confluent_prefix:
+                    payload = _CONFLUENT_STUB + payload
+                vals.append(payload)
+                ts_ms.append(event_tm)
+            yield pd.DataFrame({"value": vals, "ts_ms": ts_ms})
+
+    out = bidreq.mapInPandas(_encode_batches, schema="value binary, ts_ms long")
+    return out.select("value", F.timestamp_millis(F.col("ts_ms")).alias("timestamp"))

@@ -146,9 +146,12 @@ def encode_message(msg: dict[str, Any] | None, spec: dict) -> bytes:
                 raw = encode_message(value, sub)
                 out += encode_varint(tag_len) + encode_varint(len(raw)) + raw
         elif kind == "messages":
-            for item in value or []:
-                raw = encode_message(item, sub)
-                out += encode_varint(tag_len) + encode_varint(len(raw)) + raw
+            # explicit None check: value may be a numpy array (pandas
+            # batches), whose truthiness is ambiguous
+            if value is not None:
+                for item in value:
+                    raw = encode_message(item, sub)
+                    out += encode_varint(tag_len) + encode_varint(len(raw)) + raw
     return bytes(out)
 
 
