@@ -83,13 +83,13 @@ def _q_explode_deals_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidreq = build_bidreq(spark, sf_dir)
     return bidreq.select(
         F.col("id").alias("bidreq_id"),
-        F.explode_outer(F.col("imp")[0]["pmp"]["deals"]["id"]).alias("deal"),
+        F.explode_outer(F.get(F.col("imp"), 0)["pmp"]["deals"]["id"]).alias("deal"),
     )
 
 
 def _q_banner_video_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     bidreq = build_bidreq(spark, sf_dir)
-    imp0 = F.col("imp")[0]
+    imp0 = F.get(F.col("imp"), 0)
     return bidreq.select(
         F.col("id").alias("bidreq_id"),
         F.when(imp0["banner"].isNotNull(), imp0["banner"]["w"]).otherwise(imp0["video"]["w"]).cast("int").alias("width"),

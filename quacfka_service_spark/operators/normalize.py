@@ -34,7 +34,10 @@ from ..functions.scalars import coalesce_empty, event_time_seconds
 
 def normalize_bidreq(bidreq: DataFrame) -> DataFrame:
     """bidreq (nested) -> bidreq_norm (flat, per-deal grain)."""
-    imp0 = F.col("imp")[0]
+    # F.get, not [0]: ANSI mode (Spark 4 default) throws on indexing an
+    # empty array; a zero-imp request must flow through as NULLs (the
+    # proto3 absent-message contract), not kill the stream.
+    imp0 = F.get(F.col("imp"), 0)
     width = F.when(imp0["banner"].isNotNull(), imp0["banner"]["w"]).otherwise(imp0["video"]["w"])
     height = F.when(imp0["banner"].isNotNull(), imp0["banner"]["h"]).otherwise(imp0["video"]["h"])
 

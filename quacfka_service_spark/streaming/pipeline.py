@@ -191,6 +191,41 @@ class Pipeline:
             writer = writer.trigger(processingTime=f"{self._trigger_secs} seconds")
         return PipelineHandle(writer.start(), self.spark, listener)
 
+    def run_incremental_agg(
+        self, out_path: str, lateness: str | None = None
+    ) -> "PipelineHandle":
+        """The idiomatic-streaming variant of the agg sink: decode ->
+        normalize -> watermarked tumbling-window hourly aggregate,
+        emitted append-mode to parquet as each hour closes
+        (streaming/windowed.py; contrast with the reference's
+        batch-per-file re-export, SURVEY.md T2/T3)."""
+        from .windowed import DEFAULT_LATENESS, incremental_hourly_agg
+
+        if self._source is None:
+            raise ValueError("pipeline needs a source")
+        bidreq = decode_bidrequests(self._source, **self._decode_opts)
+        if self._transform is not None:
+            bidreq = self._transform(bidreq)
+        agg = incremental_hourly_agg(
+            normalize_bidreq(bidreq), lateness or DEFAULT_LATENESS
+        )
+        listener = None
+        if self._metrics_path:
+            listener = JsonlMetricsListener(self._metrics_path)
+            self.spark.streams.addListener(listener)
+        writer = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", self._checkpoint)
+            .queryName("quacfka-incremental-agg")
+        )
+        if self._available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self._trigger_secs:
+            writer = writer.trigger(processingTime=f"{self._trigger_secs} seconds")
+        return PipelineHandle(writer.start(), self.spark, listener)
+
     def run_batch(self) -> None:
         """One-shot batch mode over a non-streaming source frame — the
         dev/backfill path (reference parity: re-exporting one DB file)."""
