@@ -39,6 +39,7 @@ from quacfka_service_spark.operators.aggregates import (
 )
 from quacfka_service_spark.operators.normalize import normalize_bidreq
 from quacfka_service_spark.operators import dedup as _dedup
+from quacfka_service_spark.operators import sessionize as _sessionize
 from quacfka_service_spark.operators import similarity as _similarity
 from quacfka_service_spark.operators import text as _text
 from quacfka_service_spark.operators import multimodal as _multimodal
@@ -236,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_guard": _q_window_guard,
         "tpch_q1": _q_tpch_q1,
     }
+    q.update(_sessionize.QUERIES)
     q.update(_dedup.QUERIES)
     q.update(_similarity.QUERIES)
     q.update(_text.QUERIES)
@@ -379,6 +381,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
     }
+    o.update(_sessionize.ORACLES)
     o.update(_dedup.ORACLES)
     o.update(_similarity.ORACLES)
     o.update(_text.ORACLES)

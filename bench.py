@@ -33,6 +33,7 @@ HEADLINE = [
     "join_guard",
     "window_guard",
     "events_hourly",
+    "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",

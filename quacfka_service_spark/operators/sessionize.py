@@ -1,0 +1,84 @@
+"""Sessionization over the ``events`` stream table.
+
+Beyond the reference surface (it has no stateful ops, SURVEY.md T5):
+the canonical gap-based session operator a training-data pipeline needs,
+in two forms sharing one definition of "session":
+
+- **batch** (here): lag + running-sum window functions — fully
+  SQL-expressible, oracle-checked.  One shuffle on user_id; the two
+  windows and the final groupBy share that partitioning, so Catalyst
+  plans a single Exchange.
+- **streaming** (streaming/sessionize.py): the same semantics as a
+  custom stateful operator over ``applyInPandasWithState``.
+
+A session = consecutive events of one user where each gap is
+<= GAP_SECS (strictly greater starts a new session).  Ordering ties
+broken by event_id so both engines sort identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load_table
+
+GAP_SECS = 1800
+
+
+def sessionize(events: DataFrame, gap_secs: int = GAP_SECS) -> DataFrame:
+    """(user_id, session_idx, session_start, session_end, n_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    prev_sec = F.lag(sec).over(w)
+    is_new = F.when(prev_sec.isNull() | (sec - prev_sec > gap_secs), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_idx = events.select(
+        "user_id", "ts", "event_id", F.sum(is_new).over(run).alias("session_idx")
+    )
+    return (
+        with_idx.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").cast("string").alias("session_start"),
+            F.max("ts").cast("string").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {"events_sessionize": _q_sessionize}
+
+ORACLES = {
+    "events_sessionize": f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts)::BIGINT AS sec,
+         lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > {GAP_SECS} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+idx AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(ts)::VARCHAR AS session_start,
+       max(ts)::VARCHAR AS session_end,
+       count(*) AS n_events
+FROM idx
+GROUP BY user_id, session_idx
+""",
+}
