@@ -30,6 +30,8 @@ HEADLINE = [
     "partition_enumeration",
     "raw_export_filter",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "join_guard",
     "window_guard",
     "events_hourly",
