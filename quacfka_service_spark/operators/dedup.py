@@ -84,6 +84,18 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """The deduplicated corpus itself (what a training pipeline feeds
+    downstream): the surviving doc per identical-text group.  Same
+    single hash-shuffle as dedup_exact; the min-doc_id survivor rule is
+    deterministic across engines and cluster runs."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
     >=1 shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts,
@@ -285,6 +297,10 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keep_first(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -303,6 +319,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": _q_dedup_exact,
+    "dedup_keep_first": _q_dedup_keep_first,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
     "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
@@ -325,6 +342,9 @@ ORACLES = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
 FROM documents GROUP BY 1
+""",
+    "dedup_keep_first": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """,
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

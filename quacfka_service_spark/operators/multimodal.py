@@ -85,13 +85,102 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),      # "resized" bytes
+    T.StructField("out_w", T.IntegerType()),
+    T.StructField("out_h", T.IntegerType()),
+])
+
+
+def resize(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """STUB resize: real deployments decode + PIL-resize + re-encode
+    here (raise NotImplementedError for codec paths).  The stub keeps
+    the contract real — binary in, binary out, typed dims — by
+    deterministic byte down-sampling to out_w*out_h bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = out_w * out_h
+        for pdf in it:
+            outs = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if len(b) == 0:
+                    outs.append(b"")
+                else:
+                    step = max(1, len(b) // n_out)
+                    outs.append(b[::step][:n_out])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload": outs,
+                "out_w": out_w,
+                "out_h": out_h,
+            })
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """STUB frame sampler (1 -> N rows, the UDTF shape): real
+    deployments seek keyframes via ffmpeg here.  The stub emits
+    ``n_frames`` evenly-spaced byte windows per video payload —
+    the row-explosion contract and partition behavior are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mtype, p in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mtype != "video/mp4":
+                    continue
+                b = bytes(p)
+                for i in range(n_frames):
+                    off = (len(b) * i) // n_frames
+                    rows.append({
+                        "media_id": mid,
+                        "frame_idx": i,
+                        "frame": b[off:off + frame_bytes],
+                    })
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(as_media(docs))
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize(as_media(docs))
+    # project byte lengths so the result is hashable/printable
+    return out.select(
+        "media_id", "media_type", "out_w", "out_h",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = frame_sample(as_media(docs))
+    return out.select(
+        "media_id", "frame_idx", F.octet_length("frame").cast("long").alias("frame_bytes")
+    )
+
+
 QUERIES = {
-    "multimodal_features": _q_multimodal,  # rows-only (mapInPandas stub)
+    "multimodal_features": _q_multimodal,        # rows-only (mapInPandas stub)
+    "multimodal_resize": _q_multimodal_resize,   # rows-only
+    "multimodal_frames": _q_multimodal_frames,   # rows-only
 }
 
 ORACLES: dict[str, str] = {}
