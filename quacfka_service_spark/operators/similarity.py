@@ -111,6 +111,90 @@ def lsh_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD) -> Data
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    kmeans: bool = False,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into cells, probe only
+    the ``n_probe`` cells nearest each query.
+
+    Default centroids are deterministic seed vectors (every
+    corpus_size/n_cells-th vector) so results are reproducible
+    run-to-run with no training job; ``kmeans=True`` swaps in
+    KMeans-trained centroids (pyspark.ml, fixed seed) — the production
+    path when recall matters more than strict determinism.
+
+    Scale shape: the corpus is partitioned by cell (one shuffle at
+    index-build), each query probes n_probe/n_cells of the data, and
+    the per-cell scan is an equi-join on cell id — no corpus x query
+    cross product.
+    """
+    d = _with_norm(emb)
+
+    if kmeans:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = d.select("vec_id", array_to_vector(F.col("v")).alias("features"))
+        model = KMeans(k=n_cells, seed=42, maxIter=5).fit(feat)
+        cents = [list(c) for c in model.clusterCenters()]
+    else:
+        # deterministic spread: vec_id ≡ 1 (mod query_mod) are never
+        # query vectors (those are ≡ 0) and are uniform over the corpus
+        seeds = (
+            d.where(F.col("vec_id") % query_mod == 1)
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
+        cents = [list(r["v"]) for r in seeds]
+
+    cent_arrs = [F.array(*[F.lit(x) for x in c]) for c in cents]
+
+    def nearest_cells(vcol, n: int):
+        """array of the n cell-ids with highest dot(v, centroid)
+        (cosine order for unit-ish centroids)."""
+        scored = F.array(*[
+            F.struct(_dot(vcol, arr).alias("s"), F.lit(i).alias("c"))
+            for i, arr in enumerate(cent_arrs)
+        ])
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)["c"]
+
+    corpus = d.withColumn("cell", nearest_cells(F.col("v"), 1)[0])
+    q = (
+        d.where(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(nearest_cells(F.col("v"), n_probe)).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -119,9 +203,14 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "similarity_topk": _q_topk,
     "similarity_lsh_topk": _q_lsh_topk,  # rows-only (approximate path)
+    "similarity_ivf_topk": _q_ivf_topk,  # rows-only (approximate path)
 }
 
 ORACLES = {

@@ -1,0 +1,64 @@
+"""Skew-salted join correctness + IVF ANN recall sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.similarity import brute_force_topk, ivf_topk
+from quacfka_service_spark.operators.skew import salted_agg_count, salted_join
+from quacfka_service_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    small = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(small, "l_orderkey")
+    salted = salted_join(li, small, "l_orderkey")
+    assert salted.count() == plain.count()
+    assert salted.select(*plain.columns).exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_outer(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    # dim that misses some keys -> left rows must survive with NULLs
+    some = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    plain = li.join(some, "l_orderkey", "left")
+    salted = salted_join(li, some, "l_orderkey", how="left")
+    assert salted.count() == plain.count()
+    assert salted.select(*plain.columns).exceptAll(plain).count() == 0
+
+
+def test_salted_agg_count_equals_groupby(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    salted = salted_agg_count(ev, ["event_type"])
+    assert salted.exceptAll(plain).count() == 0
+    assert salted.count() == plain.count()
+
+
+def test_ivf_topk_shape_and_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = brute_force_topk(emb)
+    approx = ivf_topk(emb)
+    n_q = exact.select("q_id").distinct().count()
+    # every query returns exactly k ranked neighbors
+    per_q = approx.groupBy("q_id").count()
+    assert per_q.where(F.col("count") != 5).count() == 0
+    assert approx.select("q_id").distinct().count() == n_q
+    # recall@5 of the probed search vs exact must be non-trivial
+    hits = approx.join(exact, ["q_id", "neighbor_id"]).count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"recall@5 too low: {recall}"
+
+
+def test_ivf_kmeans_variant_runs(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = ivf_topk(emb, kmeans=True)
+    assert out.groupBy("q_id").count().where(F.col("count") != 5).count() == 0
