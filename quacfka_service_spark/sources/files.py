@@ -30,5 +30,8 @@ def kafka_shaped_file_stream(
 
 
 def read_lake(spark: SparkSession, lake_root: str, table: str) -> DataFrame:
-    """Read back a hive-partitioned lake table written by sinks.lake."""
-    return spark.read.parquet(f"{lake_root}/{table}")
+    """Read back a hive-partitioned lake table written by sinks.lake.
+    The ``ingest_batch`` level is the sink's exactly-once idempotency
+    key (streaming/pipeline.py), not a user-facing column."""
+    df = spark.read.parquet(f"{lake_root}/{table}")
+    return df.drop("ingest_batch") if "ingest_batch" in df.columns else df

@@ -150,14 +150,25 @@ class Pipeline:
     # --- run ---
     def _export_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch body = the reference's whole export path
-        (§3.2): one rotated file's worth of rows -> raw + norm + agg."""
+        (§3.2): one rotated file's worth of rows -> raw + norm + agg.
+
+        Exactly-once: each table's output lands under an
+        ``ingest_batch=<epoch id>`` hive dir written with full
+        overwrite, so a replayed epoch (failure between sink write and
+        offset commit) replaces exactly its own files instead of
+        appending duplicates.  The checkpoint's epoch id is the
+        idempotency key — the role the rotated-file path played in the
+        reference's at-least-once orphan rescan (main.go:140-195),
+        upgraded to exactly-once.  Readers see ingest_batch as a
+        partition column and drop it (sources/files.read_lake)."""
         bidreq = decode_bidrequests(batch_df, **self._decode_opts)
         if self._transform is not None:
             bidreq = self._transform(bidreq)
         bidreq.persist()
+        sub = f"ingest_batch={batch_id}"
         try:
             if self._write_raw:
-                write_raw_export(bidreq, f"{self._lake_root}/bidreq", mode="append")
+                write_raw_export(bidreq, f"{self._lake_root}/bidreq/{sub}", mode="overwrite")
             norm = None
             if self._write_norm or self._write_agg:
                 norm = normalize_bidreq(bidreq)
@@ -165,9 +176,9 @@ class Pipeline:
                 # norm feeds two sinks in this batch: materialize it once
                 norm.persist()
             if self._write_norm:
-                write_norm_export(norm, f"{self._lake_root}/bidreq_norm", mode="append")
+                write_norm_export(norm, f"{self._lake_root}/bidreq_norm/{sub}", mode="overwrite")
             if self._write_agg:
-                write_hourly_agg(hourly_agg(norm), f"{self._lake_root}/bidreq_hourly", mode="append")
+                write_hourly_agg(hourly_agg(norm), f"{self._lake_root}/bidreq_hourly/{sub}", mode="overwrite")
             if norm is not None and self._write_norm and self._write_agg:
                 norm.unpersist()
         finally:

@@ -98,7 +98,7 @@ def test_streaming_pipeline_end_to_end(spark, input_dir, tmp_path_factory):
     raw = read_lake(spark, lake, "bidreq")
     assert raw.count() == bidreq.count()
     assert raw.select("id").exceptAll(bidreq.select("id")).count() == 0
-    assert glob.glob(f"{lake}/bidreq/year=*/month=*/day=*/hour=*/*.parquet")
+    assert glob.glob(f"{lake}/bidreq/ingest_batch=*/year=*/month=*/day=*/hour=*/*.parquet")
 
     # norm export == batch normalize (full multiset)
     norm_s = read_lake(spark, lake, "bidreq_norm").select(*norm_b.columns)
@@ -141,6 +141,27 @@ def test_pipeline_batch_mode(spark, input_dir, tmp_path_factory):
     agg = read_lake(spark, lake, "bidreq_hourly")
     want = hourly_agg(normalize_bidreq(build_bidreq(spark, SF_DIR)))
     assert agg.select(*want.columns).exceptAll(want).count() == 0
+
+
+def test_exactly_once_epoch_replay(spark, input_dir, tmp_path_factory):
+    """A replayed epoch (failure after sink write, before offset
+    commit) must replace its own output, not duplicate it — the
+    ingest_batch=N overwrite contract (T4 exactly-once; the reference
+    is only at-least-once, main.go:140-195)."""
+    lake = str(tmp_path_factory.mktemp("lake_replay"))
+    pipe = (
+        Pipeline(spark)
+        .source_dataframe(spark.read.parquet(input_dir))
+        .decode(confluent_prefix=True, ts_suffix=True)
+        .sink_lake(lake, checkpoint="unused", norm=False, agg=False)
+    )
+    batch = spark.read.parquet(input_dir)
+    pipe._export_batch(batch, 7)
+    c1 = read_lake(spark, lake, "bidreq").count()
+    pipe._export_batch(batch, 7)  # replay of the same epoch
+    assert read_lake(spark, lake, "bidreq").count() == c1
+    pipe._export_batch(batch, 8)  # a genuinely new epoch accumulates
+    assert read_lake(spark, lake, "bidreq").count() == 2 * c1
 
 
 def test_kafka_config_options():

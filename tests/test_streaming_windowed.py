@@ -91,3 +91,30 @@ def test_incremental_agg_matches_batch(spark, dicts, tmp_path_factory):
     assert got.count() > emitted_1  # run 2 flushed the open hours
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+    # phase 3 (T3): an event hours behind the watermark must be
+    # DISCARDED, not double-counted into an already-emitted hour
+    late = {
+        "id": "req-late",
+        "imp": dicts[0]["imp"],
+        "site": dicts[0]["site"],
+        "device": dicts[0]["device"],
+        "user": dicts[0]["user"],
+        "timestamp": dict(dicts[0]["timestamp"]),  # an old, closed hour
+        "event_tm": dicts[0]["event_tm"],
+    }
+    ldf = spark.createDataFrame([_frame(late)], "key binary, value binary, ts_ms long").select(
+        "key", "value", F.timestamp_millis("ts_ms").alias("timestamp")
+    )
+    ldf.coalesce(1).write.mode("append").parquet(input_dir)
+    h3 = pipe.run_incremental_agg(out, lateness="2 hours")
+    h3.await_termination(300)
+    assert h3.error() is None
+    h3.stop()
+    after = (
+        spark.read.parquet(out)
+        .where(F.col("pub_id").isNotNull())
+        .select("date", "hour", "pub_id", "device_id", "resolution", "deal", "requests")
+    )
+    assert after.count() == want.count()
+    assert after.exceptAll(want).count() == 0
