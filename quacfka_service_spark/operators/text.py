@@ -87,6 +87,33 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+_FP_MOD = 2147483647  # 2^31 - 1
+_FP_MUL = 1000003
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Polynomial rolling hash over the token stream:
+    h = (h * 1000003 + code(token)) mod (2^31-1), with a cheap portable
+    token code (length, first and last char) — engine-agnostic integer
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit.  All
+    JVM-side higher-order functions; order-sensitive by construction
+    (unlike the md5-of-normalized-text fingerprint, a reordered
+    document hashes differently)."""
+    w = _words(F.col("text"))
+    code = lambda t: (  # noqa: E731
+        F.length(t).cast("long") * 131
+        + F.ascii(F.substring(t, 1, 1)).cast("long") * 31
+        + F.ascii(t.substr(F.length(t), F.lit(1))).cast("long")
+    )
+    codes = F.transform(w, code)
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * _FP_MUL + c, F.lit(_FP_MOD)),
+    )
+    return docs.select("doc_id", h.alias("rolling_fp"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the normalized token stream
     (lowercase, strip non-alphanumerics, collapse whitespace)."""
@@ -117,11 +144,16 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "text_lang_id": _q_lang_id,
     "text_token_count": _q_token_count,
     "text_fingerprint": _q_fingerprint,
+    "text_rolling_fp": _q_rolling_fp,
 }
 
 
@@ -171,6 +203,18 @@ FROM documents
     "text_fingerprint": """
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "text_rolling_fp": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          t -> CAST(length(t) AS BIGINT) * 131
+                               + CAST(ascii(substring(t, 1, 1)) AS BIGINT) * 31
+                               + CAST(ascii(right(t, 1)) AS BIGINT))),
+         (acc, c) -> (acc * {_FP_MUL} + c) % {_FP_MOD}
+       ) AS rolling_fp
 FROM documents
 """,
 }
