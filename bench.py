@@ -99,6 +99,24 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # ingest throughput: framed protobuf bytes -> decode -> normalize ->
+    # hourly agg (the reference's whole hot path, main.go:329-391 +
+    # :109-125) over the pure-Python wire-codec fallback.  Setup
+    # (encoding the framed records) is untimed, like Kafka production.
+    from quacfka_service_spark.proto.decode import decode_bidrequests, encode_bidrequests
+
+    framed_dir = tempfile.mkdtemp(prefix="bench_framed_") + "/records"
+    encode_bidrequests(build_bidreq(spark, SF_DIR)).write.mode("overwrite").parquet(framed_dir)
+    src = spark.read.parquet(framed_dir)
+    n_msgs = src.count()
+    ingest_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hourly_agg(
+            normalize_bidreq(decode_bidrequests(src, confluent_prefix=True, ts_suffix=True))
+        ).write.format("noop").mode("overwrite").save()
+        ingest_best = min(ingest_best, time.perf_counter() - t0)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
@@ -106,6 +124,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_sec": round(sum(cold.values()), 3),
+        "ingest_rows_per_sec": int(n_msgs / ingest_best),
+        "ingest_note": "python wire-codec fallback; from_protobuf JVM path in prod",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
