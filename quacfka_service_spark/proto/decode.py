@@ -67,8 +67,16 @@ def decode_bidrequests(
     use_jvm: bool | None = None,
     desc_path: str | None = None,
     message_name: str = "Bidrequest",
+    permissive: bool = False,
 ) -> DataFrame:
-    """Kafka-shaped (value, timestamp) -> BIDREQUEST_SCHEMA rows."""
+    """Kafka-shaped (value, timestamp) -> BIDREQUEST_SCHEMA rows.
+
+    ``permissive=True``: a malformed payload is dropped instead of
+    failing the batch/stream — the production posture for a Kafka topic
+    that may carry stray records (the reference's pooled unmarshal
+    simply surfaces the error per message, main.go:329-341).  Python
+    path only; the JVM path inherits from_protobuf's own mode.
+    """
     if confluent_prefix:
         df = strip_confluent_prefix_col(df)
 
@@ -107,13 +115,19 @@ def decode_bidrequests(
             ts_ms = pdf["_ts_ms"] if "_ts_ms" in pdf.columns else None
             for i, raw in enumerate(pdf["value"]):
                 b = bytes(raw)
-                if ts_suffix:
-                    b, ms = split_ts_suffix(b)
-                elif ts_ms is not None:
-                    ms = int(ts_ms.iloc[i])
-                else:
-                    ms = 0
-                docs.append(json.dumps(decode_bidrequest(b)))
+                try:
+                    if ts_suffix:
+                        b, ms = split_ts_suffix(b)
+                    elif ts_ms is not None:
+                        ms = int(ts_ms.iloc[i])
+                    else:
+                        ms = 0
+                    doc = json.dumps(decode_bidrequest(b))
+                except Exception:
+                    if permissive:
+                        continue  # drop the malformed record
+                    raise
+                docs.append(doc)
                 evtm.append(ms)
             yield pd.DataFrame({"json": docs, "event_tm": evtm})
 
