@@ -270,6 +270,48 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_set_ops_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (generality guard: the reference
+    has no set operations, SURVEY.md §2.7)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big_spenders = (
+        o.where(F.col("o_totalprice") > 150_000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = building.intersect(big_spenders).select("c_custkey", F.lit("both").alias("tag"))
+    only = building.exceptAll(building.intersect(big_spenders)).distinct().select(
+        "c_custkey", F.lit("building_only").alias("tag")
+    )
+    return both.unionAll(only)
+
+
+def _q_semi_anti_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (EXISTS / NOT EXISTS): per-segment
+    counts of customers with and without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    with_o = (
+        c.join(o, cond, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    without_o = (
+        c.join(o, cond, "left_anti")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_without"))
+    )
+    return (
+        with_o.join(without_o, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # reference surface (SURVEY.md §2)
@@ -291,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "set_ops_guard": _q_set_ops_guard,
+        "semi_anti_guard": _q_semi_anti_guard,
     }
     q.update(_sessionize.QUERIES)
     q.update(_dedup.QUERIES)
@@ -464,6 +508,24 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "set_ops_guard": """
+WITH building AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+big AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+)
+SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT c_custkey, 'building_only' AS tag FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+""",
+        "semi_anti_guard": """
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))     AS n_with,
+       count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
+FROM customer
+GROUP BY c_mktsegment
 """,
     }
     o.update(_sessionize.ORACLES)
