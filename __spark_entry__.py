@@ -39,7 +39,10 @@ from quacfka_service_spark.operators.aggregates import (
 )
 from quacfka_service_spark.operators.normalize import normalize_bidreq
 from quacfka_service_spark.operators import dedup as _dedup
+from quacfka_service_spark.operators import joins as _joins
+from quacfka_service_spark.operators import olap as _olap
 from quacfka_service_spark.operators import sessionize as _sessionize
+from quacfka_service_spark.operators import split as _split
 from quacfka_service_spark.operators import similarity as _similarity
 from quacfka_service_spark.operators import text as _text
 from quacfka_service_spark.operators import multimodal as _multimodal
@@ -341,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_similarity.QUERIES)
     q.update(_text.QUERIES)
     q.update(_multimodal.QUERIES)
+    q.update(_joins.QUERIES)
+    q.update(_olap.QUERIES)
+    q.update(_split.QUERIES)
     return q
 
 
@@ -533,4 +539,7 @@ GROUP BY c_mktsegment
     o.update(_similarity.ORACLES)
     o.update(_text.ORACLES)
     o.update(_multimodal.ORACLES)
+    o.update(_joins.ORACLES)
+    o.update(_olap.ORACLES)
+    o.update(_split.ORACLES)
     return o

@@ -1,0 +1,208 @@
+"""OLAP surface beyond the reference's three queries: multi-level
+aggregation (ROLLUP / CUBE / GROUPING SETS), pivot / unpivot, exact
+quantiles, and JSON field extraction over ``events.props``.
+
+The reference's only aggregation shapes are flat GROUP BY ALL
+(SURVEY.md §2.4); these are additive generality operators.  All of
+them are single-shuffle hash aggregates — rollup/cube expand each
+input row to its grouping-set combinations BEFORE the exchange
+(Catalyst's Expand node), so partial aggregation still applies and
+the shuffle carries pre-combined partial rows, which is the plan you
+want at 100 TB.  Pivot compiles to conditional aggregates (one
+``count(CASE WHEN ...)`` per pivot value) — one shuffle, no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import extract_hour, to_day_date
+from ..session import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_with_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        to_day_date(F.col("ts")).cast("string").alias("day"),
+        extract_hour(F.col("ts")).alias("hr"),
+        "event_type",
+        "user_id",
+        "value",
+        "props",
+        "event_id",
+    )
+
+
+def rollup_counts(ev: DataFrame) -> DataFrame:
+    """(day, event_type) hierarchy: per-pair, per-day, grand total.
+    gid bits: day is the MSB (Spark grouping_id convention)."""
+    return ev.rollup("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+def cube_counts(ev: DataFrame) -> DataFrame:
+    """All 2^2 grouping combinations of (event_type, hr)."""
+    return ev.cube("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+def pivot_counts(ev: DataFrame) -> DataFrame:
+    """Day x event_type count matrix, compiled to conditional
+    aggregates (``count(CASE WHEN type = t)`` per pinned value).  The
+    native ``groupBy().pivot(col, values)`` API plans TWO exchanges
+    (pre-aggregate by (day, type), then pivot); this form is one
+    shuffle with map-side partials — the plan you want on 100 TB.
+    Values are pinned (EVENT_TYPES): never let pivot run its
+    distinct-scan job on the full input.  test_joins_olap_split.py
+    proves equivalence with the native pivot API."""
+    return ev.groupBy("day").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+def unpivot_counts(ev: DataFrame) -> DataFrame:
+    """Melt the pivot matrix back to (day, event_type, n) — zero-count
+    combinations survive as n=0 rows (pivot/unpivot round trip)."""
+    return pivot_counts(ev).unpivot(["day"], EVENT_TYPES, "event_type", "n")
+
+
+def exact_quantiles(ev: DataFrame) -> DataFrame:
+    """Exact linear-interpolation percentiles of value per type.
+    DECIMAL(18,6) after a 6-dp round pins one cross-engine string
+    representation (FIXTURES.md §5: never compare raw doubles)."""
+    def q(p: float, name: str):
+        return (
+            F.round(F.percentile("value", F.lit(p)), 6)
+            .cast("decimal(18,6)")
+            .cast("string")
+            .alias(name)
+        )
+
+    return ev.groupBy("event_type").agg(
+        q(0.5, "p50"), q(0.9, "p90"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def json_extract_agg(ev: DataFrame) -> DataFrame:
+    """Extract ``props.k`` (a JSON document column) JVM-side with
+    get_json_object and aggregate — no Python in the loop."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup_counts(_events_with_day(spark, sf_dir))
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cube_counts(_events_with_day(spark, sf_dir))
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the Spark SQL surface (the DataFrame API has
+    only rollup/cube; this pins the SQL path too)."""
+    _events_with_day(spark, sf_dir).createOrReplaceTempView("events_day")
+    return spark.sql(
+        """
+        SELECT day, event_type, count(1) AS n, grouping_id() AS gid
+        FROM events_day
+        GROUP BY GROUPING SETS ((day), (event_type))
+        """
+    )
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pivot_counts(_events_with_day(spark, sf_dir))
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unpivot_counts(_events_with_day(spark, sf_dir))
+
+
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_quantiles(_events_with_day(spark, sf_dir))
+
+
+def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_extract_agg(_events_with_day(spark, sf_dir))
+
+
+QUERIES = {
+    "events_rollup": _q_rollup,
+    "events_cube": _q_cube,
+    "events_grouping_sets": _q_grouping_sets,
+    "events_pivot": _q_pivot,
+    "events_unpivot": _q_unpivot,
+    "events_quantiles": _q_quantiles,
+    "events_json_extract": _q_json,
+}
+
+_DAY = "datetrunc('day', ts)::DATE::VARCHAR"
+_PIVOT_COLS = ",\n  ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+)
+
+ORACLES = {
+    "events_rollup": f"""
+WITH d AS (SELECT {_DAY} AS day, event_type FROM events)
+SELECT day, event_type, count(*) AS n,
+       (grouping(day) * 2 + grouping(event_type))::BIGINT AS gid
+FROM d GROUP BY ROLLUP(day, event_type)
+""",
+    "events_cube": f"""
+WITH d AS (SELECT event_type, extract('hour' FROM ts) AS hr FROM events)
+SELECT event_type, hr, count(*) AS n,
+       (grouping(event_type) * 2 + grouping(hr))::BIGINT AS gid
+FROM d GROUP BY CUBE(event_type, hr)
+""",
+    "events_grouping_sets": f"""
+WITH d AS (SELECT {_DAY} AS day, event_type FROM events)
+SELECT day, event_type, count(*) AS n,
+       (grouping(day) * 2 + grouping(event_type))::BIGINT AS gid
+FROM d GROUP BY GROUPING SETS ((day), (event_type))
+""",
+    "events_pivot": f"""
+SELECT {_DAY} AS day,
+  {_PIVOT_COLS}
+FROM events GROUP BY 1
+""",
+    "events_unpivot": f"""
+WITH wide AS (
+  SELECT {_DAY} AS day,
+    {_PIVOT_COLS}
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, n
+FROM wide UNPIVOT INCLUDE NULLS (n FOR event_type IN ({', '.join(EVENT_TYPES)}))
+""",
+    "events_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)::DECIMAL(18,6)::VARCHAR AS p50,
+       round(quantile_cont(value, 0.9), 6)::DECIMAL(18,6)::VARCHAR AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+    "events_json_extract": """
+SELECT event_type,
+       sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
+       min((props->>'k')::BIGINT) AS min_k,
+       max((props->>'k')::BIGINT) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+}

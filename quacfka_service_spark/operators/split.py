@@ -1,0 +1,114 @@
+"""Deterministic dataset splitting and sampling for training-data
+pipelines (BASELINE.json north star; the reference has no sampling
+surface at all).
+
+Everything is keyed on ``md5(id)`` rather than ``rand()``:
+
+- reproducible across runs, engines, partitionings, and cluster sizes
+  (``df.randomSplit``/``sampleBy`` are seed- and partitioning-
+  dependent — re-running after a repartition reassigns rows, which
+  silently leaks eval data into training sets);
+- a row's split follows the ROW, not the run: appending new data never
+  reassigns old rows;
+- pure column algebra (md5 + hex-parse + pmod), JVM-side, no shuffle —
+  a 100 TB scan assigns splits at read speed, and the same expression
+  is SQL-expressible so the DuckDB oracle checks it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+BUCKETS = 100
+TRAIN_PCT = 80
+VAL_PCT = 10  # test gets the remainder
+
+
+def hash_bucket(col: Column, buckets: int = BUCKETS) -> Column:
+    """Stable bucket in [0, buckets): first 8 hex chars of md5 of the
+    id's decimal string, parsed base-16 (fits a long), mod buckets.
+    DuckDB computes the identical value via
+    ``('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = TRAIN_PCT,
+    val_pct: int = VAL_PCT,
+) -> DataFrame:
+    """Adds ``bucket`` and ``split`` ('train' | 'val' | 'test')."""
+    b = hash_bucket(F.col(id_col))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, rates_pct: dict[str, int],
+                      id_col: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below the stratum's percentage.  Unlisted strata are
+    dropped.  Unlike ``df.sampleBy`` this is exact-by-construction on
+    the id population and reproducible row-for-row."""
+    b = hash_bucket(F.col(id_col))
+    rate = F.lit(None).cast("int")
+    expr = None
+    for value, pct in rates_pct.items():
+        cond = F.col(stratum_col) == value
+        expr = F.when(cond, pct) if expr is None else expr.when(cond, pct)
+    rate = expr.otherwise(F.lit(0))
+    return df.where(b < rate)
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+SAMPLE_RATES = {"click": 10, "error": 50, "purchase": 100, "signup": 100, "view": 5}
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(ev, "event_type", SAMPLE_RATES, id_col="event_id")
+
+
+QUERIES = {
+    "split_assign": _q_split_assign,
+    "stratified_sample": _q_stratified_sample,
+}
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{t}' THEN {p}" for t, p in SAMPLE_RATES.items()
+) + " ELSE 0 END"
+
+ORACLES = {
+    "split_assign": f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    "stratified_sample": f"""
+SELECT event_id, event_type
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS}
+      < {_RATE_CASE}
+""",
+}
