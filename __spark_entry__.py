@@ -273,6 +273,32 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue share (TPC-H Q14 shape): one month of the fact
+    table joined to the broadcast `part` dimension.  Sums are exact
+    DECIMAL; only the final ratio is a double (identical IEEE division
+    on both engines)."""
+    lo, hi = F.lit("1995-09-01").cast("timestamp"), F.lit("1995-10-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("decimal(38,10)").alias("promo"),
+            F.sum(rev).cast("decimal(38,10)").alias("total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"), 6).alias("promo_share"),
+            F.col("promo").cast("string").alias("promo_revenue"),
+            F.col("total").cast("string").alias("total_revenue"),
+        )
+    )
+
+
 def _q_set_ops_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION ALL (generality guard: the reference
     has no set operations, SURVEY.md §2.7)."""
@@ -336,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q14": _q_tpch_q14,
         "set_ops_guard": _q_set_ops_guard,
         "semi_anti_guard": _q_semi_anti_guard,
     }
@@ -514,6 +541,21 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "tpch_q14": """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,10)) AS promo,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT round(100.0 * promo::DOUBLE / total::DOUBLE, 6) AS promo_share,
+       promo::VARCHAR AS promo_revenue,
+       total::VARCHAR AS total_revenue
+FROM agg
 """,
         "set_ops_guard": """
 WITH building AS (

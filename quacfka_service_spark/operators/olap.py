@@ -91,6 +91,33 @@ def exact_quantiles(ev: DataFrame) -> DataFrame:
     )
 
 
+def topk_per_group(ev: DataFrame) -> DataFrame:
+    """Per event_type, the user with the highest total value —
+    ``max_by`` over a (total, user_id) struct, so ties are broken
+    deterministically and the plan is a two-level hash aggregate (no
+    window sort).  Value is summed as DECIMAL so the total is exact
+    and order-independent — ranking on raw double sums can flip on
+    partial-aggregation order (FIXTURES.md §5)."""
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.max_by("user_id", F.struct("total", "user_id")).alias("top_user"),
+        F.max(F.struct("total", "user_id")).getField("total").cast("string").alias("top_total"),
+    )
+
+
+def approx_distinct(ev: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct users per type — the sketch path for
+    100 TB cardinalities where exact countDistinct's expand/shuffle is
+    the bottleneck.  Deterministic (register merges are commutative)
+    but engine-specific, so rows-only; the pytest bounds its error
+    against the exact count."""
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 def json_extract_agg(ev: DataFrame) -> DataFrame:
     """Extract ``props.k`` (a JSON document column) JVM-side with
     get_json_object and aggregate — no Python in the loop."""
@@ -142,6 +169,14 @@ def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_extract_agg(_events_with_day(spark, sf_dir))
 
 
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_per_group(_events_with_day(spark, sf_dir))
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_distinct(_events_with_day(spark, sf_dir))
+
+
 QUERIES = {
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
@@ -150,6 +185,8 @@ QUERIES = {
     "events_unpivot": _q_unpivot,
     "events_quantiles": _q_quantiles,
     "events_json_extract": _q_json,
+    "events_topk_per_group": _q_topk,
+    "events_approx_distinct": _q_approx_distinct,  # rows-only (HLL sketch)
 }
 
 _DAY = "datetrunc('day', ts)::DATE::VARCHAR"
@@ -204,5 +241,17 @@ SELECT event_type,
        max((props->>'k')::BIGINT) AS max_k,
        count(*) AS n
 FROM events GROUP BY event_type
+""",
+    # semantics oracle (window formulation), not a mechanism mirror of
+    # Spark's max_by — both pick max (total, user_id) lexicographically
+    "events_topk_per_group": """
+SELECT event_type, user_id AS top_user, total::VARCHAR AS top_total
+FROM (
+  SELECT event_type, user_id,
+         sum(value::DECIMAL(18,6)) AS total,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sum(value::DECIMAL(18,6)) DESC, user_id DESC) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn = 1
 """,
 }

@@ -164,6 +164,20 @@ def test_hash_bucket_range(spark):
     assert 0 <= mn and mx <= 99
 
 
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within 5% of the exact count."""
+    from quacfka_service_spark.operators.olap import _events_with_day, approx_distinct
+
+    ev = _events_with_day(spark, SF_DIR)
+    approx = {r["event_type"]: r["approx_users"] for r in approx_distinct(ev).collect()}
+    exact = {
+        r["event_type"]: r["u"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    for t, e in exact.items():
+        assert abs(approx[t] - e) <= max(1, 0.05 * e), (t, approx[t], e)
+
+
 def test_asof_join_on_events(spark):
     """Every purchase_ts is <= its click ts (semantics sanity at sf0.001)."""
     import __spark_entry__ as entry
