@@ -41,6 +41,12 @@ HEADLINE = [
     "similarity_topk",
     "text_quality",
     "text_token_count",
+    "asof_join",
+    "range_join_binned",
+    "events_rollup",
+    "events_pivot",
+    "split_assign",
+    "tpch_q14",
 ]
 
 
@@ -110,7 +116,7 @@ def main() -> None:
     src = spark.read.parquet(framed_dir)
     n_msgs = src.count()
     ingest_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         hourly_agg(
             normalize_bidreq(decode_bidrequests(src, confluent_prefix=True, ts_suffix=True))
