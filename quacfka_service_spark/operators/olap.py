@@ -118,6 +118,58 @@ def approx_distinct(ev: DataFrame) -> DataFrame:
     )
 
 
+def hourly_gap_fill(ev: DataFrame) -> DataFrame:
+    """Hypertable-style rollup: per-hour event counts over a COMPLETE
+    hour spine (min..max hour), empty hours as n=0.  The spine comes
+    from a 1-row min/max aggregate exploded through ``sequence`` —
+    spine size is (time range / bucket), independent of fact-table
+    size, and the fill join broadcasts it; the fact table is touched
+    once for the count aggregate."""
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(counts, "hour_ts", "left")
+        .select(
+            F.col("hour_ts").cast("string").alias("hour_ts"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+def window_analytics(ev: DataFrame) -> DataFrame:
+    """The full analytic-window surface in one query: lead/lag,
+    running sum (rows frame), ntile over a UNIQUE ordering
+    (ts, event_id) — ties under ntile are engine-arbitrary — and
+    rank/dense_rank/percent_rank over a tied ordering (hr), where
+    ranks are deterministic by definition.  Running sum is DECIMAL so
+    partial-agg order cannot perturb it."""
+    from pyspark.sql.window import Window
+
+    w_unique = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_unique.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tied = Window.partitionBy("user_id").orderBy("hr")
+    val = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w_unique).alias("prev_event"),
+        F.lead("event_id").over(w_unique).alias("next_event"),
+        F.sum(val).over(w_run).cast("string").alias("running_value"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.rank().over(w_tied).alias("rk"),
+        F.dense_rank().over(w_tied).alias("drk"),
+        F.round(F.percent_rank().over(w_tied), 6).alias("prk"),
+    )
+
+
 def json_extract_agg(ev: DataFrame) -> DataFrame:
     """Extract ``props.k`` (a JSON document column) JVM-side with
     get_json_object and aggregate — no Python in the loop."""
@@ -177,6 +229,17 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct(_events_with_day(spark, sf_dir))
 
 
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_gap_fill(load_table(spark, sf_dir, "events"))
+
+
+def _q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", extract_hour(F.col("ts")).alias("hr")
+    )
+    return window_analytics(ev)
+
+
 QUERIES = {
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
@@ -187,6 +250,8 @@ QUERIES = {
     "events_json_extract": _q_json,
     "events_topk_per_group": _q_topk,
     "events_approx_distinct": _q_approx_distinct,  # rows-only (HLL sketch)
+    "events_gap_fill": _q_gap_fill,
+    "events_window_analytics": _q_window_analytics,
 }
 
 _DAY = "datetrunc('day', ts)::DATE::VARCHAR"
@@ -253,5 +318,35 @@ FROM (
                             ORDER BY sum(value::DECIMAL(18,6)) DESC, user_id DESC) AS rn
   FROM events GROUP BY 1, 2
 ) WHERE rn = 1
+""",
+    "events_gap_fill": """
+WITH bounds AS (
+  SELECT datetrunc('hour', min(ts)) AS lo, datetrunc('hour', max(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+),
+counts AS (
+  SELECT datetrunc('hour', ts) AS hour_ts, count(*) AS n FROM events GROUP BY 1
+)
+SELECT spine.hour_ts::VARCHAR AS hour_ts, coalesce(counts.n, 0)::BIGINT AS n
+FROM spine LEFT JOIN counts USING (hour_ts)
+""",
+    "events_window_analytics": """
+SELECT
+  event_id,
+  user_id,
+  lag(event_id)  OVER w_unique AS prev_event,
+  lead(event_id) OVER w_unique AS next_event,
+  CAST(sum(value::DECIMAL(18,6)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS running_value,
+  ntile(4) OVER w_unique AS quartile,
+  rank()       OVER w_tied AS rk,
+  dense_rank() OVER w_tied AS drk,
+  round(percent_rank() OVER w_tied, 6) AS prk
+FROM (SELECT event_id, user_id, ts, value, extract('hour' FROM ts) AS hr FROM events)
+WINDOW
+  w_unique AS (PARTITION BY user_id ORDER BY ts, event_id),
+  w_tied   AS (PARTITION BY user_id ORDER BY hr)
 """,
 }
