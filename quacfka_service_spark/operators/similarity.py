@@ -195,8 +195,32 @@ def ivf_topk(
     )
 
 
+def norm_stats(emb: DataFrame) -> DataFrame:
+    """Per-label embedding L2-norm extrema — the sanity profile run
+    before any cosine math (catches unnormalized or degenerate
+    vectors).  min/max pick one of the per-row norms, which are
+    bit-identical to DuckDB's list_dot_product, so the doubles match
+    exactly; a mean would be partial-agg order-dependent and is
+    deliberately absent."""
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(_dot(v, v))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return norm_stats(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +235,7 @@ QUERIES = {
     "similarity_topk": _q_topk,
     "similarity_lsh_topk": _q_lsh_topk,  # rows-only (approximate path)
     "similarity_ivf_topk": _q_ivf_topk,  # rows-only (approximate path)
+    "embedding_norm_stats": _q_norm_stats,
 }
 
 ORACLES = {
@@ -232,5 +257,12 @@ SELECT q_id, neighbor_id, cos, rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}
+""",
+    "embedding_norm_stats": """
+SELECT label,
+       min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS min_norm,
+       max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS max_norm,
+       count(*) AS n
+FROM embeddings GROUP BY label
 """,
 }

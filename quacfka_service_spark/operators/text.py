@@ -114,6 +114,35 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", h.alias("rolling_fp"))
 
 
+TOP_BIGRAMS_K = 20
+
+
+def top_bigrams(docs: DataFrame, k: int = TOP_BIGRAMS_K) -> DataFrame:
+    """Corpus-level top-k word bigrams.  The bigram array references
+    the materialized words column (not an inline split — the
+    projection-collapse trap, see _shingles in dedup.py); the top-k is
+    a total order (n DESC, bigram ASC) so ties at the cut are
+    deterministic.  Physically: explode -> partial-agg count -> one
+    shuffle -> TakeOrdered, no sort of the full corpus."""
+    d = docs.select(_words(F.col("text")).alias("w"))
+    bi = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select(F.explode_outer(bi).alias("bigram")).where(F.col("bigram").isNotNull())
+    return (
+        ex.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the normalized token stream
     (lowercase, strip non-alphanumerics, collapse whitespace)."""
@@ -148,12 +177,17 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_bigrams(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "text_lang_id": _q_lang_id,
     "text_token_count": _q_token_count,
     "text_fingerprint": _q_fingerprint,
     "text_rolling_fp": _q_rolling_fp,
+    "text_top_bigrams": _q_top_bigrams,
 }
 
 
@@ -216,5 +250,21 @@ SELECT doc_id,
          (acc, c) -> (acc * {_FP_MUL} + c) % {_FP_MOD}
        ) AS rolling_fp
 FROM documents
+""",
+    "text_top_bigrams": f"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+),
+ex AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1])
+                     ELSE [] END) AS bigram
+  FROM d
+)
+SELECT bigram, count(*) AS n
+FROM ex GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {TOP_BIGRAMS_K}
 """,
 }
