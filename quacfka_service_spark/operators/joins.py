@@ -39,35 +39,48 @@ def asof_join(
     right_cols: list[str],
     prefix: str = "r_",
     tolerance_secs: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` for the same key (NULLs when none).
+    """For each left row, attach the closest right row for the same key
+    (NULLs when none): ``direction="backward"`` takes the latest right
+    row with ``right.ts <= left.ts``; ``"forward"`` the earliest with
+    ``right.ts >= left.ts`` (pandas ``merge_asof`` directions; both
+    inclusive).
 
     ``right`` must be unique per (key, ts) — pre-aggregate with
     ``max_by`` if it is not — otherwise the carried row among ties is
-    nondeterministic.  With ``tolerance_secs``, matches older than the
-    tolerance are nulled out (pandas ``merge_asof(tolerance=...)``
-    semantics).
+    nondeterministic.  With ``tolerance_secs``, matches farther than
+    the tolerance are nulled out.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction {direction!r}")
+    backward = direction == "backward"
     payload = F.struct(
         *[F.col(c).alias(c) for c in right_cols], F.col(ts).alias("_asof_ts")
     )
-    r = right.select(F.col(key), F.col(ts), payload.alias("_r"), F.lit(0).alias("_side"))
-    l = left.withColumn("_side", F.lit(1))
+    # sort the right side toward the left row at equal ts so the match
+    # is inclusive: right before left (backward), after left (forward)
+    r_side, l_side = (0, 1) if backward else (1, 0)
+    r = right.select(
+        F.col(key), F.col(ts), payload.alias("_r"), F.lit(r_side).alias("_side")
+    )
+    l = left.withColumn("_side", F.lit(l_side))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # right (_side=0) sorts before left at equal ts => inclusive >=
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("_r", ignorenulls=True).over(w)
+    w = Window.partitionBy(key).orderBy(ts, "_side")
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = F.last("_r", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = F.first("_r", ignorenulls=True).over(w)
     if tolerance_secs is not None:
-        age = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(carried["_asof_ts"])
+        lsec = F.unix_timestamp(F.col(ts))
+        rsec = F.unix_timestamp(carried["_asof_ts"])
+        age = (lsec - rsec) if backward else (rsec - lsec)
         carried = F.when(age <= tolerance_secs, carried)
 
-    out = unioned.withColumn("_carried", carried).where(F.col("_side") == 1)
+    out = unioned.withColumn("_carried", carried).where(F.col("_side") == l_side)
     keep = [c for c in left.columns]
     proj = [F.col(c) for c in keep]
     proj += [F.col("_carried")[c].alias(f"{prefix}{c}") for c in right_cols]
@@ -162,6 +175,26 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest purchase at-or-after each click, per user."""
+    j = asof_join(
+        _clicks(spark, sf_dir),
+        _purchases_unique(spark, sf_dir),
+        key="user_id",
+        ts="ts",
+        right_cols=["event_id"],
+        prefix="purchase_",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("purchase_event_id").cast("long").alias("purchase_event_id"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+
+
 def _q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every (click, purchase) pair of one user within +-30 min."""
     l = _clicks(spark, sf_dir).select(
@@ -193,6 +226,7 @@ def _q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "asof_join": _q_asof_join,
+    "asof_join_forward": _q_asof_join_forward,
     "band_join": _q_band_join,
     "range_join_binned": _q_range_join_binned,
 }
@@ -211,6 +245,20 @@ SELECT l.event_id, l.user_id, l.ts::VARCHAR AS ts,
        r0.purchase_event_id, r0.ts::VARCHAR AS purchase_ts
 FROM l ASOF LEFT JOIN r0
   ON l.user_id = r0.user_id AND l.ts >= r0.ts
+""",
+    "asof_join_forward": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts::VARCHAR AS ts,
+       r0.purchase_event_id, r0.ts::VARCHAR AS purchase_ts
+FROM l ASOF LEFT JOIN r0
+  ON l.user_id = r0.user_id AND l.ts <= r0.ts
 """,
     # NB: epoch(ts) in DuckDB is a DOUBLE (rounds at microsecond
     # precision -> off-by-one vs Spark's exact unix_timestamp floor);

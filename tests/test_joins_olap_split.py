@@ -51,6 +51,28 @@ def test_asof_join_hand_case(spark):
     assert got == {1: 10, 2: 11, 3: None, 4: None}
 
 
+def test_asof_join_forward_hand_case(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # before r11 -> r11
+            (2, "u1", _ts("2024-01-01 10:05:00")),  # equal ts -> inclusive r11
+            (3, "u1", _ts("2024-01-01 11:00:00")),  # after all right -> NULL
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", _ts("2024-01-01 09:30:00")),
+            (11, "u1", _ts("2024-01-01 10:05:00")),
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = asof_join(left, right, key="user_id", ts="ts", right_cols=["event_id"],
+                    direction="forward")
+    got = {r["event_id"]: r["r_event_id"] for r in out.collect()}
+    assert got == {1: 11, 2: 11, 3: None}
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [(1, "u1", _ts("2024-01-01 10:00:00"))],
