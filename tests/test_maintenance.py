@@ -68,3 +68,43 @@ def test_compact_partition(spark, tmp_path):
         if f"/year={target_day['year']}/month={target_day['month']}/day={target_day['day']}/" not in f
     }
     assert len(_files(lake)) < before_files
+
+
+def test_repeated_compaction_does_not_resurrect_stale_staging(spark, tmp_path):
+    """Regression: the staging dir is deterministic (path + '__compact_tmp');
+    a second compact run over a DIFFERENT partition must not re-commit the
+    first run's staged copy of an already-compacted partition, which would
+    silently drop rows appended in between."""
+    lake = str(tmp_path / "lake")
+
+    def _write_rows(n: int, month: str, start_id: int = 0) -> None:
+        rows = [
+            (start_id + i, f"2024-{month}-03 0{i % 4}:00:00") for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "event_id BIGINT, ts_s STRING")
+        (
+            df.select("event_id", F.to_timestamp("ts_s").alias("ts"))
+            .withColumn("year", F.date_format("ts", "yyyy"))
+            .withColumn("month", F.date_format("ts", "M"))
+            .withColumn("day", F.date_format("ts", "d"))
+            .withColumn("hour", F.date_format("ts", "H"))
+            .drop("ts")
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("year", "month", "day", "hour")
+            .parquet(lake)
+        )
+
+    _write_rows(10, "01")
+    _write_rows(10, "02")
+    compact_partitions(spark, lake, where="year='2024' AND month='1'")
+    # new data lands in month=1 AFTER its compaction
+    _write_rows(5, "01", start_id=100)
+    assert spark.read.parquet(lake).where("month='1'").count() == 15
+
+    # compacting ONLY month=2 must leave month=1 untouched
+    compact_partitions(spark, lake, where="year='2024' AND month='2'")
+    assert spark.read.parquet(lake).where("month='1'").count() == 15
+    assert spark.read.parquet(lake).where("month='2'").count() == 10
+    # staging dir is cleaned up after commit
+    assert not glob.glob(lake + "__compact_tmp/**/*.parquet", recursive=True)

@@ -46,6 +46,11 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None
                 assert str(x) == str(y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
 
 
+# Oracled keys where an empty result would make the hash-match vacuous
+# (a broken dot product / join would still "pass" on 0 == 0 rows).
+_MUST_BE_NONEMPTY = {"dedup_embedding", "dedup_ngram_jaccard", "similarity_topk"}
+
+
 def _keys():
     import __spark_entry__ as entry
 
@@ -65,6 +70,8 @@ def test_query_matches_oracle(key, spark, duck):
         duck_pdf = duck.execute(oracles[key]).fetchdf()
         # normalize duckdb NaN for nullable numeric -> None-compatible
         _compare(key, spark_pdf, duck_pdf)
+        if key in _MUST_BE_NONEMPTY:
+            assert len(spark_pdf) > 0, f"{key}: vacuously-passing empty oracle"
     else:
         # rows-only keys: deterministic across runs
         again = q(spark, SF_DIR).toPandas()
