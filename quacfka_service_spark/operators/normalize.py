@@ -31,6 +31,23 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import coalesce_empty, event_time_seconds
 
+# Every field normalize_bidreq touches — pass to
+# decode_bidrequests(project=NORMALIZE_FIELDS) for decoder-level
+# projection pushdown on the ingest hot path (mapInArrow output is
+# opaque to Catalyst pruning, so the pushdown must happen in the
+# decoder; the parquet path needs nothing — nested-schema pruning
+# handles it there).
+NORMALIZE_FIELDS = [
+    "id",
+    "imp.banner.w", "imp.banner.h",
+    "imp.video.w", "imp.video.h",
+    "imp.pmp.deals.id",
+    "site.id", "site.publisher.id",
+    "device.ifa",
+    "user.id",
+    "timestamp",
+]
+
 
 def normalize_bidreq(bidreq: DataFrame) -> DataFrame:
     """bidreq (nested) -> bidreq_norm (flat, per-deal grain)."""

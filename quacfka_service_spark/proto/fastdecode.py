@@ -1,0 +1,272 @@
+"""Code-generated pure-Python protobuf decoders.
+
+The reference's ingest hot path is *generated* zero-copy decode
+(gen/bidrequest_vtproto.pb.go:12212 — protoc-plugin output, one
+specialized Unmarshal per message).  This module is the same idea one
+level up: at import time it compiles, per message spec in wire.py, a
+specialized Python function with
+
+- the tag dispatch unrolled into a BINARY tree of comparisons over the
+  known keys (``field_number << 3 | wire_type`` precomputed constants) —
+  O(log n_fields) per tag instead of a linear elif scan (device has 30
+  fields; linear averaged ~15 comparisons per tag),
+- varint reads inlined with a 1-byte fast path (field numbers <= 15 and
+  small values are 1 byte on the wire — the overwhelmingly common case),
+- message fields parsed in place via (buf, pos, end) windows — no
+  per-submessage bytes slicing,
+- field values accumulated in locals and returned as a single dict
+  literal (locals are the fastest variable access CPython has; the dict
+  literal is one C-level allocation instead of per-field stores).
+
+Semantics are IDENTICAL to wire.decode_message (proto3 defaults,
+presence, packed+unpacked repeated ints, unknown-field skipping);
+tests/test_wire_property.py pins fast == reference on random
+full-width messages.  Measured ~4x wire.decode_message single-thread.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from . import wire
+
+# inlined varint fast path, shared by all generated branches (emitted at
+# base indent 0; emitters add their own).  Reads the varint at `pos`
+# into `{v}`; multi-byte values fall back to a loop identical to
+# wire.decode_varint.
+_VARINT = """\
+b = buf[pos]; pos += 1
+if b < 128:
+    {v} = b
+else:
+    {v} = b & 127; shift = 7
+    while True:
+        b = buf[pos]; pos += 1
+        if b < 128:
+            {v} |= b << shift; break
+        {v} |= (b & 127) << shift; shift += 7
+        if shift >= 70:
+            raise ValueError("varint too long")"""
+
+# sign reinterpretation, mirroring wire.decode_message exactly:
+# int32: _zig(v & 0xFFFFFFFF, 32) if v < 1<<32 else _zig(v, 64)
+_SIGN32 = """\
+if v < 4294967296:
+    if v >= 2147483648: v -= 4294967296
+elif v >= 9223372036854775808: v -= 18446744073709551616"""
+_SIGN64 = """\
+if v >= 9223372036854775808: v -= 18446744073709551616"""
+
+
+def _indent(block: str, by: str) -> str:
+    return "\n".join(by + ln if ln.strip() else ln for ln in block.splitlines())
+
+
+def _handler(name: str, kind: str, subname: str | None, packed: bool) -> list[str]:
+    """Statements (at indent 0) executing one matched field."""
+    out: list[str] = []
+    if kind == "string":
+        out.append(_VARINT.format(v="ln"))
+        out.append(f"v_{name} = buf[pos:pos+ln].decode('utf-8'); pos += ln")
+    elif kind in ("int32", "int64"):
+        out.append(_VARINT.format(v="v"))
+        out.append(_SIGN32 if kind == "int32" else _SIGN64)
+        out.append(f"v_{name} = v")
+    elif kind == "float":
+        out.append(f"v_{name} = _uf(buf, pos)[0]; pos += 4")
+    elif kind == "message":
+        out.append(_VARINT.format(v="ln"))
+        out.append(f"e = pos + ln; v_{name} = {subname}(buf, pos, e); pos = e")
+    elif kind == "messages":
+        out.append(_VARINT.format(v="ln"))
+        out.append(f"e = pos + ln; m = {subname}(buf, pos, e); pos = e")
+        out.append(f"if v_{name} is None: v_{name} = [m]")
+        out.append(f"else: v_{name}.append(m)")
+    elif kind == "strings":
+        out.append(_VARINT.format(v="ln"))
+        out.append("s = buf[pos:pos+ln].decode('utf-8'); pos += ln")
+        out.append(f"if v_{name} is None: v_{name} = [s]")
+        out.append(f"else: v_{name}.append(s)")
+    elif kind == "int32s" and packed:
+        out.append(_VARINT.format(v="ln"))
+        out.append("e = pos + ln")
+        out.append(f"if v_{name} is None: v_{name} = []")
+        out.append("while pos < e:")
+        out.append(_indent(_VARINT.format(v="v"), "    "))
+        out.append(_indent(_SIGN32, "    "))
+        out.append(f"    v_{name}.append(v)")
+    elif kind == "int32s":
+        out.append(_VARINT.format(v="v"))
+        out.append(_SIGN32)
+        out.append(f"if v_{name} is None: v_{name} = [v]")
+        out.append(f"else: v_{name}.append(v)")
+    return out
+
+
+def _emit_tree(
+    handlers: list[tuple[int, list[str]]], lines: list[str], ind: str
+) -> None:
+    """Binary-search dispatch over sorted (key, handler) pairs; every
+    miss falls through to the shared unknown-field skip helper."""
+    if len(handlers) == 1:
+        key, body = handlers[0]
+        lines.append(f"{ind}if key == {key}:")
+        for stmt in body:
+            lines.append(_indent(stmt, ind + "    "))
+        lines.append(f"{ind}else:")
+        lines.append(f"{ind}    pos = _skip(buf, pos, key)")
+        return
+    mid = len(handlers) // 2
+    lines.append(f"{ind}if key < {handlers[mid][0]}:")
+    _emit_tree(handlers[:mid], lines, ind + "    ")
+    lines.append(f"{ind}else:")
+    _emit_tree(handlers[mid:], lines, ind + "    ")
+
+
+def _gen_one(spec: dict, fname: str, subnames: dict[int, str], lines: list[str]) -> None:
+    """Append the source of one specialized decoder to ``lines``."""
+    lines.append(f"def {fname}(buf, pos, end):")
+    for num in spec:
+        name, kind, _sub = spec[num]
+        if kind == "string":
+            init = "''"
+        elif kind in ("int32", "int64"):
+            init = "0"
+        elif kind == "float":
+            init = "0.0"
+        else:  # message / messages / strings / int32s
+            init = "None"
+        lines.append(f"    v_{name} = {init}")
+    lines.append("    while pos < end:")
+    # tag read (same inlined varint as values)
+    lines.append(_indent(_VARINT.format(v="key"), "        "))
+    handlers: list[tuple[int, list[str]]] = []
+    for num in spec:
+        name, kind, sub = spec[num]
+        sf = subnames.get(num)
+        if kind in ("string", "message", "messages", "strings"):
+            handlers.append(((num << 3) | 2, _handler(name, kind, sf, False)))
+        elif kind in ("int32", "int64"):
+            handlers.append(((num << 3) | 0, _handler(name, kind, sf, False)))
+        elif kind == "float":
+            handlers.append(((num << 3) | 5, _handler(name, kind, sf, False)))
+        elif kind == "int32s":
+            handlers.append(((num << 3) | 2, _handler(name, kind, sf, True)))
+            handlers.append(((num << 3) | 0, _handler(name, kind, sf, False)))
+    handlers.sort(key=lambda kv: kv[0])
+    _emit_tree(handlers, lines, "        ")
+    # single dict-literal return; absent repeated -> fresh empty list
+    parts = []
+    for num in spec:
+        name, kind, _sub = spec[num]
+        if kind in ("messages", "strings", "int32s"):
+            parts.append(f"'{name}': v_{name} if v_{name} is not None else []")
+        else:
+            parts.append(f"'{name}': v_{name}")
+    lines.append("    return {" + ", ".join(parts) + "}")
+    lines.append("")
+
+
+def compile_decoder(spec: dict, root: str = "bidrequest") -> Callable[[bytes], dict[str, Any]]:
+    """Compile the spec tree into one specialized decoder per message
+    and return the root's ``decode(buf) -> dict``."""
+    lines: list[str] = [
+        "import struct",
+        "_uf = struct.Struct('<f').unpack_from",
+        "",
+        # unknown-field skip (tag already consumed), shared by all leaves;
+        # mirrors wire.decode_message's by-wire-type skipping
+        "def _skip(buf, pos, key):",
+        "    wt = key & 7",
+        "    if wt == 0:",
+        "        while buf[pos] >= 128: pos += 1",
+        "        return pos + 1",
+        "    if wt == 2:",
+        "        ln = 0; shift = 0",
+        "        while True:",
+        "            b = buf[pos]; pos += 1",
+        "            ln |= (b & 127) << shift",
+        "            if b < 128: break",
+        "            shift += 7",
+        "        return pos + ln",
+        "    if wt == 1: return pos + 8",
+        "    if wt == 5: return pos + 4",
+        "    raise ValueError('unsupported wire type %d' % wt)",
+        "",
+    ]
+    counter = [0]
+
+    def walk(s: dict, name: str) -> str:
+        fname = f"_dec_{name}_{counter[0]}"
+        counter[0] += 1
+        subnames: dict[int, str] = {}
+        for num in s:
+            fld_name, kind, sub = s[num]
+            if kind in ("message", "messages"):
+                subnames[num] = walk(sub, fld_name)
+        _gen_one(s, fname, subnames, lines)
+        return fname
+
+    root_fn = walk(spec, root)
+    src = "\n".join(lines)
+    ns: dict[str, Any] = {}
+    exec(compile(src, f"<fastdecode:{root}>", "exec"), ns)  # noqa: S102
+    fn = ns[root_fn]
+
+    def decode(buf: bytes) -> dict[str, Any]:
+        return fn(buf, 0, len(buf))
+
+    decode.__source__ = src  # type: ignore[attr-defined]  # for debugging
+    return decode
+
+
+decode_bidrequest_fast = compile_decoder(wire.BIDREQUEST_SPEC)
+
+
+# --- projection pushdown into the decoder ---------------------------------
+#
+# mapInArrow output is a black box to Catalyst: downstream column pruning
+# cannot reach through it, so a full-width decode pays wire-parse + Arrow
+# conversion + JVM row conversion for all 22 messages even when the
+# consumer reads 10 fields.  The fix is the decoder-level analog of
+# parquet nested-schema pruning: compile a decoder for a PRUNED spec —
+# unneeded fields hit the unknown-field skip path (a length jump, no
+# parse, no allocation).  The JVM from_protobuf path cannot do this
+# (protobuf descriptors are all-or-nothing); it's a genuine advantage of
+# owning the codec.
+
+def prune_spec(spec: dict, paths) -> dict:
+    """Subset of ``spec`` covering the given dotted paths.  A path that
+    names a message keeps that whole submessage ('site.publisher'); a
+    dotted path keeps only the named leaves ('imp.banner.w')."""
+    tree: dict[str, set] = {}
+    for p in paths:
+        head, _, rest = p.partition(".")
+        tree.setdefault(head, set())
+        if rest:
+            tree[head].add(rest)
+    out = {}
+    for num, (name, kind, sub) in spec.items():
+        if name not in tree:
+            continue
+        rests = tree[name]
+        if sub is not None and rests:
+            out[num] = (name, kind, prune_spec(sub, rests))
+        else:
+            out[num] = (name, kind, sub)
+    return out
+
+
+_PRUNED_CACHE: dict[tuple, Callable[[bytes], dict[str, Any]]] = {}
+
+
+def decoder_for(paths=None) -> Callable[[bytes], dict[str, Any]]:
+    """Memoized: full-width decoder, or one specialized to ``paths``."""
+    if not paths:
+        return decode_bidrequest_fast
+    key = tuple(sorted(paths))
+    got = _PRUNED_CACHE.get(key)
+    if got is None:
+        got = compile_decoder(prune_spec(wire.BIDREQUEST_SPEC, key))
+        _PRUNED_CACHE[key] = got
+    return got

@@ -1,0 +1,88 @@
+"""Streaming-vs-batch equivalence for the LLM-pipeline operators
+(judge r1 'Next round' #8).
+
+The reference processes everything per rotated file
+(/root/reference/main.go:276-317); the Spark analog is foreachBatch
+over a micro-batched stream.  These tests prove the north-star ops
+compose with that ingest surface:
+
+- ``split_assign`` is per-row deterministic (md5 bucket of the id), so
+  the union of per-micro-batch outputs must equal the batch output
+  row-for-row regardless of how rows were batched.
+- ``dedup_exact`` is an associative partial aggregate (min doc_id, sum
+  count per text-hash), so per-micro-batch partials merged with one
+  final re-agg must equal the batch answer — the merge-on-read shape a
+  100 TB streaming dedup actually uses (partials to the lake per epoch,
+  compacted re-agg downstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.dedup import dedup_exact
+from quacfka_service_spark.operators.split import assign_split
+from quacfka_service_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stream_docs_in_batches(spark, tmp_path, n_files: int = 3):
+    """documents split into n parquet files, streamed one file per
+    micro-batch (availableNow) — the rotated-file analog."""
+    docs = load_table(spark, SF_DIR, "documents")
+    src_dir = str(tmp_path / "docs_src")
+    docs.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return docs, stream
+
+
+def _run_foreach_batch(stream, tmp_path, fn, name: str):
+    out_dir = str(tmp_path / f"{name}_out")
+    n_batches = []
+
+    def _body(batch_df, batch_id):
+        n_batches.append(batch_id)
+        fn(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) > 1, "stream must have produced multiple micro-batches"
+    return out_dir
+
+
+def test_split_assign_stream_equals_batch(spark, tmp_path):
+    docs, stream = _stream_docs_in_batches(spark, tmp_path)
+    out = _run_foreach_batch(
+        stream, tmp_path, lambda b: assign_split(b, "doc_id"), "split"
+    )
+    streamed = spark.read.parquet(out)
+    batch = assign_split(docs, "doc_id")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_dedup_exact_stream_partials_equal_batch(spark, tmp_path):
+    docs, stream = _stream_docs_in_batches(spark, tmp_path)
+    out = _run_foreach_batch(stream, tmp_path, dedup_exact, "dedup")
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("text_hash")
+        .agg(
+            F.min("canonical_doc_id").alias("canonical_doc_id"),
+            F.sum("dup_count").alias("dup_count"),
+        )
+    )
+    batch = dedup_exact(docs)
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0

@@ -1,10 +1,13 @@
 """Property-based round-trip tests for the protobuf wire codec.
 
-Strategy generates arbitrary Bidrequest-shaped dicts (including
-unicode strings, empty/absent messages, zero scalars, deep nesting);
-the invariant is decode(encode(m)) == canonicalize(m), where
-canonicalization applies proto3's lossy-by-design rules: scalar zero
-values and absent messages are indistinguishable from defaults."""
+The message strategy is DERIVED from the wire specs (proto/wire.py), so
+it generates random FULL-WIDTH Bidrequests — every field of all 22
+messages of /root/reference/proto/bidrequest.proto can appear
+(including unicode strings, empty/absent messages, zero scalars,
+repeated packed ints, repeated strings, deep nesting).  The invariant
+is decode(encode(m)) == canonicalize(m), where canonicalization applies
+proto3's lossy-by-design rules: scalar zero values, empty collections
+and absent messages are indistinguishable from defaults."""
 
 from __future__ import annotations
 
@@ -21,37 +24,38 @@ from quacfka_service_spark.proto.wire import (
     encode_varint,
 )
 
-text = st.text(min_size=0, max_size=40)
+text = st.text(min_size=0, max_size=20)
 i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
 i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 # float32-representable values only (the wire is fixed32)
 f32 = st.floats(width=32, allow_nan=False, allow_infinity=False)
 
-banner = st.none() | st.fixed_dictionaries({"w": i32, "h": i32})
-video = st.none() | st.fixed_dictionaries({"w": i32, "h": i32})
-deal = st.fixed_dictionaries({"id": text, "bidfloor": f32})
-pmp = st.none() | st.fixed_dictionaries({
-    "private_auction": i32,
-    "deals": st.lists(deal, max_size=4),
-})
-imp = st.fixed_dictionaries({
-    "id": text, "banner": banner, "video": video, "pmp": pmp, "bidfloor": f32,
-})
-publisher = st.none() | st.fixed_dictionaries({"id": text, "name": text})
-site = st.none() | st.fixed_dictionaries({"id": text, "domain": text, "publisher": publisher})
-geo = st.none() | st.fixed_dictionaries({"country": text, "city": text})
-device = st.none() | st.fixed_dictionaries({"ua": text, "geo": geo, "os": text, "ifa": text})
-user = st.none() | st.fixed_dictionaries({"id": text})
-timestamp = st.none() | st.fixed_dictionaries({"seconds": i64, "nanos": i32})
+_KIND_STRATEGY = {
+    "string": text,
+    "int32": i32,
+    "int64": i64,
+    "float": f32,
+    "strings": st.lists(text, max_size=3),
+    "int32s": st.lists(i32, max_size=3),
+}
 
-bidrequest = st.fixed_dictionaries({
-    "id": text,
-    "imp": st.lists(imp, max_size=3),
-    "site": site,
-    "device": device,
-    "user": user,
-    "timestamp": timestamp,
-})
+
+def _message_strategy(spec: dict, depth: int = 0):
+    """Wire spec -> hypothesis strategy for that message's dict shape.
+    Sub-messages may be None (absent); repeated messages 0-2 elements."""
+    shape = {}
+    for _num, (name, kind, sub) in spec.items():
+        if kind == "message":
+            shape[name] = st.none() | _message_strategy(sub, depth + 1)
+        elif kind == "messages":
+            # cap fan-out so deep nests (imp.pmp.deals) stay small
+            shape[name] = st.lists(_message_strategy(sub, depth + 1), max_size=2)
+        else:
+            shape[name] = _KIND_STRATEGY[kind]
+    return st.fixed_dictionaries(shape)
+
+
+bidrequest = _message_strategy(BIDREQUEST_SPEC)
 
 
 def _canon(msg, spec):
@@ -68,6 +72,10 @@ def _canon(msg, spec):
             out[name] = v or 0
         elif kind == "float":
             out[name] = struct.unpack("<f", struct.pack("<f", v or 0.0))[0]
+        elif kind == "strings":
+            out[name] = list(v or [])
+        elif kind == "int32s":
+            out[name] = list(v or [])
         elif kind == "message":
             out[name] = _canon(v, sub)
         elif kind == "messages":
@@ -75,10 +83,22 @@ def _canon(msg, spec):
     return out
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(bidrequest)
 def test_roundtrip(msg):
     assert decode_bidrequest(encode_bidrequest(msg)) == _canon(msg, BIDREQUEST_SPEC)
+
+
+@settings(max_examples=200, deadline=None)
+@given(bidrequest)
+def test_fastdecode_equals_reference_decoder(msg):
+    """The code-generated decoder (fastdecode.py, the ingest hot path)
+    must agree with the interpretive reference decoder byte-for-byte on
+    random full-width messages."""
+    from quacfka_service_spark.proto.fastdecode import decode_bidrequest_fast
+
+    raw = encode_bidrequest(msg)
+    assert decode_bidrequest_fast(raw) == decode_bidrequest(raw)
 
 
 @settings(max_examples=200, deadline=None)
