@@ -60,38 +60,50 @@ def _write(
     writer.parquet(path)
 
 
+def raw_with_partitions(bidreq: DataFrame) -> DataFrame:
+    """Raw table + hour partitions from the precise-millis payload
+    timestamp (main.go:101-108)."""
+    ts = epoch_ms_precise(F.col("timestamp.seconds"), F.col("timestamp.nanos"))
+    return with_hour_partitions(bidreq, ts)
+
+
+def norm_with_partitions(norm: DataFrame) -> DataFrame:
+    """Flat table + hour partitions from event_time (main.go:119-123)."""
+    return with_hour_partitions(norm, epoch_ms_to_ts(F.col("event_time")))
+
+
+def agg_with_partitions(agg: DataFrame) -> DataFrame:
+    """hourly_agg() output + partitions from its (date, hour) keys, so
+    each hour's aggregate lands in its hour dir like the reference's
+    templated COPY (main.go:109-125)."""
+    d = F.to_date(F.col("date"))
+    return (
+        agg.withColumn("year", F.year(d).cast("string"))
+        .withColumn("month", F.month(d).cast("string"))
+        .withColumn("day", F.dayofmonth(d).cast("string"))
+        .withColumn("hour", F.col("hour").cast("string"))
+    )
+
+
 def write_raw_export(
     bidreq: DataFrame, path: str, max_records_per_file: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Raw export (main.go:101-108): SELECT * partitioned by the
-    precise-millis payload timestamp."""
-    ts = epoch_ms_precise(F.col("timestamp.seconds"), F.col("timestamp.nanos"))
-    _write(with_hour_partitions(bidreq, ts), path, max_records_per_file, mode)
+    """Raw export: SELECT * partitioned by payload timestamp."""
+    _write(raw_with_partitions(bidreq), path, max_records_per_file, mode)
 
 
 def write_norm_export(
     norm: DataFrame, path: str, max_records_per_file: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Flat-table export partitioned by event_time (main.go:119-123)."""
-    ts = epoch_ms_to_ts(F.col("event_time"))
-    _write(with_hour_partitions(norm, ts), path, max_records_per_file, mode)
+    """Flat-table export partitioned by event_time."""
+    _write(norm_with_partitions(norm), path, max_records_per_file, mode)
 
 
 def write_hourly_agg(
     agg: DataFrame, path: str, max_records_per_file: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Aggregate export (main.go:109-125).  ``agg`` is hourly_agg()'s
-    output; its (date, hour) keys become the partition path so each
-    hour's aggregate lands in its hour dir like the reference's
-    templated COPY."""
-    d = F.to_date(F.col("date"))
-    df = (
-        agg.withColumn("year", F.year(d).cast("string"))
-        .withColumn("month", F.month(d).cast("string"))
-        .withColumn("day", F.dayofmonth(d).cast("string"))
-        .withColumn("hour", F.col("hour").cast("string"))
-    )
-    _write(df, path, max_records_per_file, mode)
+    """Aggregate export."""
+    _write(agg_with_partitions(agg), path, max_records_per_file, mode)

@@ -1,0 +1,397 @@
+"""ACID parquet table with a manifest commit log (Delta-style, dependency-free).
+
+BASELINE.md states the reference's production posture as "writing to
+Delta/Iceberg"; no Delta/Iceberg jar ships in this environment, so this
+module implements the part of a table format the engine actually relies
+on — atomic commits, snapshot-isolated reads, optimistic concurrency,
+time travel, idempotent streaming epochs, vacuum — as a manifest log
+over plain zstd parquet.  The design follows the publicly documented
+Delta Lake transaction protocol (Armbrust et al., VLDB 2020: an ordered
+log of JSON commit files, put-if-absent commit, periodic checkpoints),
+re-derived minimally; no Delta code or format compatibility.
+
+Layout::
+
+    <root>/_txlog/00000000000000000042.json   # commit record v42
+    <root>/_txlog/_checkpoint.…000040.json    # full live-file snapshot at v40
+    <root>/data/year=…/month=…/part-<uuid>.parquet
+
+Commit protocol (single writer invariant per version):
+
+1. Write the new data files into a unique staging dir, then rename them
+   under ``data/`` (rename within one FS: metadata-only).
+2. Serialize the commit record to a temp file; ``os.link`` it to
+   ``_txlog/<next-version>.json``.  A hard link is put-if-absent on
+   POSIX — if another writer took the version, ``FileExistsError`` fires
+   and we rebase: re-read the log, check logical conflicts, retry with
+   the next version.  (On object stores the same slot is a
+   put-if-absent / conditional-put request — S3 ``If-None-Match``, GCS
+   precondition — exactly how Delta commits there.)
+3. Appends never conflict with appends.  ``replace_partitions`` commits
+   conflict iff a concurrent commit touched an overlapping partition —
+   then ``CommitConflict`` surfaces to the caller instead of silently
+   dropping either writer's files (the isolation plain
+   dynamic-partition-overwrite cannot give, sinks/lake.py:50).
+
+Reads pin a snapshot: latest checkpoint ≤ target version + the commit
+tail after it, replayed into a live-file set, handed to
+``spark.read.parquet(*files)`` with ``basePath`` so hive partition
+columns come back.  A reader holding snapshot vN never sees files from
+commits > N, staged files, or removed-but-not-yet-vacuumed files.
+
+Scale shape (100 TB table ≈ 10^5 files of ~1 GB):
+
+- The log is driver-side metadata — a checkpoint listing 10^5 files is
+  ~25 MB JSON read once per query, the same order as Delta's checkpoint
+  parquet.  Commit replay after a checkpoint is bounded by
+  ``checkpoint_interval`` records.
+- Partition pruning happens on the manifest: ``read(..., where=…)``
+  filters the file list by partition values *before* Spark ever lists
+  or opens a file — no directory listing of a 10^5-file tree at all
+  (the manifest IS the listing), which on object stores is the
+  difference between one GET and 10^5 LISTs.
+- Streaming epochs commit with a ``txn`` id (app_id, epoch); a replayed
+  epoch after a failure between sink-commit and offset-commit is
+  detected in the log and skipped — exactly-once without the
+  ``ingest_batch=N`` full-overwrite trick (streaming/pipeline.py:152),
+  and concurrent maintenance (compaction) can now run safely alongside.
+
+Reference parity: the reference rotates DuckDB files and rescans
+orphans for at-least-once delivery (/root/reference/main.go:140-195);
+the txn-id commit upgrades that to exactly-once, and `vacuum` plays the
+role of its post-export file cleanup (main.go:310-317).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+VERSION_DIGITS = 20
+
+
+class CommitConflict(Exception):
+    """A concurrent commit logically conflicts (overlapping partition
+    rewrite); the caller must re-derive its write from fresh data."""
+
+
+@dataclass(frozen=True)
+class _Snapshot:
+    version: int
+    files: dict[str, dict[str, Any]]  # rel path -> {rows, partition}
+    schema_json: str | None
+    txns: dict[str, int]  # app_id -> highest committed epoch
+
+
+@dataclass
+class TxTable:
+    root: str
+    checkpoint_interval: int = 10
+    _spark_schema_cache: dict[int, Any] = field(default_factory=dict, repr=False)
+
+    # --- paths ---
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_txlog")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:0{VERSION_DIGITS}d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"_checkpoint.{version:0{VERSION_DIGITS}d}.json")
+
+    # --- log replay ---
+    def _list_log(self) -> tuple[list[int], list[int]]:
+        """(sorted commit versions, sorted checkpoint versions)."""
+        commits, checkpoints = [], []
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return [], []
+        for n in names:
+            if n.endswith(".json") and n[: VERSION_DIGITS].isdigit():
+                commits.append(int(n[:VERSION_DIGITS]))
+            elif n.startswith("_checkpoint.") and n.endswith(".json"):
+                checkpoints.append(int(n[len("_checkpoint."):][:VERSION_DIGITS]))
+        return sorted(commits), sorted(checkpoints)
+
+    def latest_version(self) -> int:
+        commits, _ = self._list_log()
+        return commits[-1] if commits else -1
+
+    def snapshot(self, version: int | None = None) -> _Snapshot:
+        commits, checkpoints = self._list_log()
+        if not commits:
+            return _Snapshot(-1, {}, None, {})
+        target = commits[-1] if version is None else version
+        if target not in commits:
+            raise ValueError(
+                f"version {target} not in log (have {commits[0]}..{commits[-1]}); "
+                "it may have been vacuumed"
+            )
+        files: dict[str, dict[str, Any]] = {}
+        schema_json: str | None = None
+        txns: dict[str, int] = {}
+        start = 0
+        base = [c for c in checkpoints if c <= target]
+        if base:
+            with open(self._checkpoint_path(base[-1])) as f:
+                ck = json.load(f)
+            files = dict(ck["files"])
+            schema_json = ck.get("schema_json")
+            txns = dict(ck.get("txns", {}))
+            start = base[-1] + 1
+        for v in range(start, target + 1):
+            if v not in commits:
+                continue  # vacuumed prefix below the earliest checkpoint
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            for act in rec["actions"]:
+                if act["op"] == "add":
+                    files[act["file"]] = {
+                        "rows": act["rows"], "partition": act["partition"],
+                    }
+                elif act["op"] == "remove":
+                    files.pop(act["file"], None)
+            if rec.get("schema_json"):
+                schema_json = rec["schema_json"]
+            if rec.get("txn"):
+                app, epoch = rec["txn"]["app_id"], rec["txn"]["epoch"]
+                txns[app] = max(txns.get(app, -1), epoch)
+        return _Snapshot(target, files, schema_json, txns)
+
+    # --- write path ---
+    def _stage(self, df: DataFrame, partition_by: list[str]) -> list[dict[str, Any]]:
+        """Write df's files via Spark into a staging dir, rename them under
+        data/, and return add-actions.  Rows-per-file counts come from a
+        per-partition-dir read of parquet footers via pyarrow (metadata
+        only, no data read)."""
+        import pyarrow.parquet as pq
+
+        stage = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite").option("compression", "zstd")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        os.makedirs(self._data_dir, exist_ok=True)
+        adds: list[dict[str, Any]] = []
+        for dirpath, _dirs, names in os.walk(stage):
+            rel_dir = os.path.relpath(dirpath, stage)
+            partition = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    partition[k] = val
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rows = pq.read_metadata(os.path.join(dirpath, n)).num_rows
+                new_name = f"part-{uuid.uuid4().hex}.zstd.parquet"
+                rel = os.path.join("data", rel_dir, new_name) if rel_dir != "." else os.path.join("data", new_name)
+                dst = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(dirpath, n), dst)
+                adds.append({"op": "add", "file": rel, "rows": rows, "partition": partition})
+        shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    def _try_commit(self, version: int, record: dict[str, Any]) -> bool:
+        os.makedirs(self._log_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(record, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._commit_path(version))  # atomic put-if-absent
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit_loop(
+        self,
+        adds: list[dict[str, Any]],
+        op_type: str,
+        schema_json: str,
+        txn: dict[str, Any] | None = None,
+        max_retries: int = 50,
+    ) -> int:
+        """Optimistic commit: build remove-actions against the current
+        snapshot, attempt put-if-absent, rebase on loss."""
+        for _ in range(max_retries):
+            snap = self.snapshot() if self.latest_version() >= 0 else _Snapshot(-1, {}, None, {})
+            if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
+                # replayed streaming epoch: already committed, drop our files
+                for a in adds:
+                    try:
+                        os.unlink(os.path.join(self.root, a["file"]))
+                    except FileNotFoundError:
+                        pass
+                return snap.version
+            removes: list[dict[str, Any]] = []
+            if op_type == "overwrite":
+                removes = [
+                    {"op": "remove", "file": p, "partition": meta["partition"]}
+                    for p, meta in snap.files.items()
+                ]
+            elif op_type == "replace_partitions":
+                rep_set = {tuple(sorted(a["partition"].items())) for a in adds}
+                removes = [
+                    {"op": "remove", "file": p, "partition": meta["partition"]}
+                    for p, meta in snap.files.items()
+                    if tuple(sorted(meta["partition"].items())) in rep_set
+                ]
+            version = snap.version + 1
+            record = {
+                "version": version,
+                "op_type": op_type,
+                "actions": removes + adds,
+                "schema_json": schema_json,
+                "txn": txn,
+            }
+            if self._try_commit(version, record):
+                if version % self.checkpoint_interval == 0 and version > 0:
+                    self._write_checkpoint(version)
+                return version
+            # lost the race: logical conflict check before rebasing
+            if op_type in ("overwrite", "replace_partitions"):
+                with open(self._commit_path(version)) as f:
+                    winner = json.load(f)
+                ours = {tuple(sorted(a["partition"].items())) for a in adds}
+                theirs = {
+                    tuple(sorted(a["partition"].items()))
+                    for a in winner["actions"]
+                    if a.get("partition") is not None
+                }
+                if op_type == "overwrite" or ours & theirs:
+                    raise CommitConflict(
+                        f"version {version} taken by a commit touching the same "
+                        f"partitions; re-derive the {op_type} from fresh data"
+                    )
+        raise CommitConflict(f"gave up after {max_retries} rebase attempts")
+
+    def _write_checkpoint(self, version: int) -> None:
+        snap = self.snapshot(version)
+        fd, tmp = tempfile.mkstemp(dir=self._log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"version": version, "files": snap.files,
+                 "schema_json": snap.schema_json, "txns": snap.txns}, f,
+            )
+        os.rename(tmp, self._checkpoint_path(version))  # last-writer-wins, identical content
+
+    # --- public API ---
+    def append(self, df: DataFrame, partition_by: list[str] | None = None,
+               txn: dict[str, Any] | None = None) -> int:
+        adds = self._stage(df, partition_by or [])
+        return self._commit_loop(adds, "append", df.schema.json(), txn=txn)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        adds = self._stage(df, partition_by or [])
+        return self._commit_loop(adds, "overwrite", df.schema.json())
+
+    def replace_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
+        """Dynamic-partition-overwrite semantics with real isolation:
+        atomically swap exactly the partitions present in ``df``."""
+        adds = self._stage(df, partition_by)
+        return self._commit_loop(adds, "replace_partitions", df.schema.json())
+
+    def commit_epoch(self, df: DataFrame, app_id: str, epoch: int,
+                     partition_by: list[str] | None = None) -> int:
+        """Idempotent streaming append: a (app_id, epoch) pair commits at
+        most once; replays are detected in the log and dropped."""
+        return self.append(df, partition_by, txn={"app_id": app_id, "epoch": epoch})
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             where: dict[str, str] | None = None) -> DataFrame:
+        """Snapshot read, optionally time-travelled and manifest-pruned.
+
+        ``where`` filters on partition values driver-side: only matching
+        files reach the scan (no FS listing of the table at all)."""
+        snap = self.snapshot(version)
+        paths = [
+            os.path.join(self.root, p)
+            for p, meta in sorted(snap.files.items())
+            if not where or all(meta["partition"].get(k) == v for k, v in where.items())
+        ]
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap.schema_json else None
+        )
+        if not paths:
+            if schema is None:
+                raise ValueError("empty table with no committed schema")
+            return spark.createDataFrame([], schema)
+        reader = spark.read.option("basePath", self._data_dir)
+        if schema is not None:
+            # committed schema pins partition-column types — otherwise
+            # discovery would re-infer year=2024 as int where the table
+            # wrote a string column.  Spark still appends partition cols
+            # last, so restore the committed column order explicitly.
+            reader = reader.schema(schema)
+            return reader.parquet(*paths).select(*[f.name for f in schema])
+        return reader.parquet(*paths)
+
+    def history(self) -> list[dict[str, Any]]:
+        commits, _ = self._list_log()
+        out = []
+        for v in commits:
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            out.append({
+                "version": v,
+                "op_type": rec["op_type"],
+                "added": sum(1 for a in rec["actions"] if a["op"] == "add"),
+                "removed": sum(1 for a in rec["actions"] if a["op"] == "remove"),
+                "txn": rec.get("txn"),
+            })
+        return out
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Delete data files not live in any of the last
+        ``retain_versions + 1`` snapshots, and drop log entries no longer
+        reachable (strictly below the newest checkpoint ≤ the oldest
+        retained version).  Time travel below the horizon raises."""
+        commits, checkpoints = self._list_log()
+        if not commits:
+            return []
+        horizon = max(commits[0], commits[-1] - retain_versions)
+        live: set[str] = set()
+        for v in range(horizon, commits[-1] + 1):
+            if v in commits:
+                live |= set(self.snapshot(v).files)
+        # ensure a checkpoint at the horizon so older commits are droppable
+        if horizon not in checkpoints:
+            self._write_checkpoint(horizon)
+        removed: list[str] = []
+        all_files: set[str] = set()
+        for dirpath, _dirs, names in os.walk(self._data_dir):
+            for n in names:
+                rel = os.path.relpath(os.path.join(dirpath, n), self.root)
+                all_files.add(rel)
+        for rel in sorted(all_files - live):
+            os.unlink(os.path.join(self.root, rel))
+            removed.append(rel)
+        for v in commits:
+            if v < horizon:
+                os.unlink(self._commit_path(v))
+        for c in checkpoints:
+            if c < horizon:
+                os.unlink(self._checkpoint_path(c))
+        return removed

@@ -96,6 +96,7 @@ class Pipeline:
     _write_norm: bool = True
     _write_agg: bool = True
     _transform: Callable[[DataFrame], DataFrame] | None = None
+    _use_txlog: bool = False
 
     # --- sources ---
     def source_kafka(self, conf: KafkaConfig) -> "Pipeline":
@@ -142,6 +143,27 @@ class Pipeline:
         self._metrics_path = metrics_jsonl
         return self
 
+    def sink_txlog(
+        self,
+        root: str,
+        checkpoint: str,
+        *,
+        raw: bool = True,
+        norm: bool = True,
+        agg: bool = True,
+        metrics_jsonl: str | None = None,
+    ) -> "Pipeline":
+        """Like sink_lake, but each table is an ACID manifest-commit
+        table (sinks/txlog.py): every epoch commits transactionally
+        with a (query, epoch) txn id, so a replayed epoch is a no-op in
+        the log itself — exactly-once without the full-overwrite
+        ``ingest_batch=N`` trick, and compaction/vacuum can run
+        concurrently with the stream under snapshot isolation."""
+        self.sink_lake(root, checkpoint, raw=raw, norm=norm, agg=agg,
+                       metrics_jsonl=metrics_jsonl)
+        self._use_txlog = True
+        return self
+
     def trigger(self, *, available_now: bool = False, processing_time_secs: float | None = None) -> "Pipeline":
         self._available_now = available_now
         self._trigger_secs = processing_time_secs
@@ -164,6 +186,9 @@ class Pipeline:
         bidreq = decode_bidrequests(batch_df, **self._decode_opts)
         if self._transform is not None:
             bidreq = self._transform(bidreq)
+        if self._use_txlog:
+            self._export_batch_txlog(bidreq, batch_id)
+            return
         bidreq.persist()
         sub = f"ingest_batch={batch_id}"
         try:
@@ -179,6 +204,42 @@ class Pipeline:
                 write_norm_export(norm, f"{self._lake_root}/bidreq_norm/{sub}", mode="overwrite")
             if self._write_agg:
                 write_hourly_agg(hourly_agg(norm), f"{self._lake_root}/bidreq_hourly/{sub}", mode="overwrite")
+            if norm is not None and self._write_norm and self._write_agg:
+                norm.unpersist()
+        finally:
+            bidreq.unpersist()
+
+    def _export_batch_txlog(self, bidreq: DataFrame, batch_id: int) -> None:
+        """Txlog variant of the export body: one ACID table per output,
+        committed with txn id (table name, epoch id)."""
+        from ..sinks.lake import (
+            PARTITION_COLS,
+            agg_with_partitions,
+            norm_with_partitions,
+            raw_with_partitions,
+        )
+        from ..sinks.txlog import TxTable
+
+        bidreq.persist()
+        try:
+            if self._write_raw:
+                TxTable(f"{self._lake_root}/bidreq").commit_epoch(
+                    raw_with_partitions(bidreq), "bidreq", batch_id, PARTITION_COLS
+                )
+            norm = None
+            if self._write_norm or self._write_agg:
+                norm = normalize_bidreq(bidreq)
+            if self._write_norm and self._write_agg:
+                norm.persist()
+            if self._write_norm:
+                TxTable(f"{self._lake_root}/bidreq_norm").commit_epoch(
+                    norm_with_partitions(norm), "bidreq_norm", batch_id, PARTITION_COLS
+                )
+            if self._write_agg:
+                TxTable(f"{self._lake_root}/bidreq_hourly").commit_epoch(
+                    agg_with_partitions(hourly_agg(norm)), "bidreq_hourly",
+                    batch_id, PARTITION_COLS,
+                )
             if norm is not None and self._write_norm and self._write_agg:
                 norm.unpersist()
         finally:

@@ -1,0 +1,246 @@
+"""ACID semantics of the manifest-commit table (sinks/txlog.py):
+atomic commits, snapshot isolation, optimistic concurrency, time
+travel, idempotent streaming epochs, vacuum, manifest pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.sinks.txlog import CommitConflict, TxTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, lo, hi, part="a"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(part).alias("p"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_read_roundtrip_and_schema(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    df = _mk(spark, 0, 100)
+    t.append(df, partition_by=["p"])
+    back = t.read(spark)
+    # names/types/order incl. partition cols survive (Spark marks all
+    # file-source columns nullable, so nullability is excluded)
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert _rows(back) == _rows(df)
+
+
+def test_replace_partitions_swaps_exactly_matching(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10, "a").union(_mk(spark, 10, 20, "b")), ["p"])
+    # rewrite only partition a; b must survive untouched
+    t.replace_partitions(_mk(spark, 100, 105, "a"), ["p"])
+    back = t.read(spark)
+    assert back.where("p = 'b'").count() == 10
+    assert _rows(back.where("p = 'a'")) == _rows(_mk(spark, 100, 105, "a"))
+
+
+def test_reader_snapshot_isolation(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    snap_version = t.latest_version()
+    pinned = t.read(spark, version=snap_version)
+    t.append(_mk(spark, 10, 30), ["p"])
+    t.replace_partitions(_mk(spark, 500, 510, "a"), ["p"])
+    # the pinned snapshot still sees exactly the v0 contents even though
+    # later commits added and removed files (not yet vacuumed)
+    assert _rows(pinned) == _rows(_mk(spark, 0, 10))
+    assert t.read(spark).count() == 10  # 500..510 replaced everything in p=a
+
+
+def test_concurrent_appenders_all_land(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 1), ["p"])  # seed schema
+    errs: list[Exception] = []
+
+    def work(base: int) -> None:
+        try:
+            for i in range(4):
+                t.append(_mk(spark, base + i * 10, base + i * 10 + 10), ["p"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(1000 * (k + 1),)) for k in range(3)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    # 1 seed + 12 appends, contiguous versions, no lost update
+    assert t.latest_version() == 12
+    assert t.read(spark).count() == 1 + 3 * 4 * 10
+
+
+def test_concurrent_replace_same_partition_conflicts(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10, "a"), ["p"])
+    # stage both rewrites of partition a, then race the commits by
+    # patching _try_commit so the first attempt always loses
+    adds1 = t._stage(_mk(spark, 100, 110, "a"), ["p"])
+    adds2 = t._stage(_mk(spark, 200, 210, "a"), ["p"])
+    t._commit_loop(adds1, "replace_partitions", _mk(spark, 0, 1).schema.json())
+    with pytest.raises(CommitConflict):
+        # snapshot raced: force the loop to compute against the stale
+        # version by pre-taking the next slot
+        orig = t.snapshot
+
+        def stale_snapshot(version=None):
+            s = orig(version)
+            if version is None and s.version == t.latest_version():
+                # report one behind so the commit attempt collides
+                return orig(s.version - 1)
+            return s
+
+        t.snapshot = stale_snapshot  # type: ignore[method-assign]
+        try:
+            t._commit_loop(adds2, "replace_partitions", _mk(spark, 0, 1).schema.json())
+        finally:
+            t.snapshot = orig  # type: ignore[method-assign]
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 5), ["p"])       # v0
+    t.append(_mk(spark, 5, 9), ["p"])       # v1
+    t.overwrite(_mk(spark, 100, 102), ["p"])  # v2
+    assert t.read(spark, version=0).count() == 5
+    assert t.read(spark, version=1).count() == 9
+    assert t.read(spark, version=2).count() == 2
+    ops = [h["op_type"] for h in t.history()]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_idempotent_epoch_replay(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    v1 = t.commit_epoch(_mk(spark, 0, 10), app_id="pipe", epoch=0, partition_by=["p"])
+    v2 = t.commit_epoch(_mk(spark, 0, 10), app_id="pipe", epoch=0, partition_by=["p"])
+    assert v2 == v1  # replay detected, no new commit
+    assert t.read(spark).count() == 10
+    t.commit_epoch(_mk(spark, 10, 15), app_id="pipe", epoch=1, partition_by=["p"])
+    assert t.read(spark).count() == 15
+    # replayed epoch's orphaned files are cleaned, not just unreferenced
+    data_files = [
+        n for _, _, names in os.walk(os.path.join(t.root, "data")) for n in names
+    ]
+    live = set(t.snapshot().files)
+    assert len(data_files) == len(live)
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(12):
+        t.append(_mk(spark, i * 10, i * 10 + 10), ["p"])
+    cks = [n for n in os.listdir(t._log_dir) if n.startswith("_checkpoint.")]
+    assert cks  # checkpoints were written at v5 and v10
+    # a snapshot at latest replays only the tail after the newest
+    # checkpoint; verify by corrupting an old pre-checkpoint commit —
+    # reads must not touch it
+    with open(t._commit_path(1), "w") as f:
+        f.write("{corrupt")
+    assert t.read(spark).count() == 120
+
+
+def test_vacuum_removes_dead_files_keeps_latest(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 50, "a"), ["p"])
+    t.replace_partitions(_mk(spark, 100, 110, "a"), ["p"])  # v1 kills v0's files
+    before = {
+        n for _, _, names in os.walk(os.path.join(t.root, "data")) for n in names
+    }
+    removed = t.vacuum(retain_versions=0)
+    assert removed  # v0's files are gone from disk
+    after = {
+        n for _, _, names in os.walk(os.path.join(t.root, "data")) for n in names
+    }
+    assert after < before
+    assert t.read(spark).count() == 10
+    with pytest.raises(ValueError):
+        t.read(spark, version=0)  # below the vacuum horizon
+
+
+def test_manifest_pruned_read_lists_only_matching_files(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10, "a").union(_mk(spark, 10, 30, "b")), ["p"])
+    pruned = t.read(spark, where={"p": "b"})
+    assert pruned.count() == 20
+    # driver-side pruning: the scan's input files are only p=b paths
+    files = pruned.inputFiles()
+    assert files and all("/p=b/" in f for f in files)
+
+
+def test_pipeline_sink_txlog_equals_batch_and_survives_replay(spark, tmp_path):
+    """The real Pipeline with sink_txlog: streamed micro-batches commit
+    into ACID tables; the tables equal the batch result, and a replayed
+    epoch is a log-level no-op (T4 upgraded from the ingest_batch=N
+    overwrite trick)."""
+    from quacfka_service_spark.fixtures import build_bidreq
+    from quacfka_service_spark.operators.aggregates import hourly_agg
+    from quacfka_service_spark.operators.normalize import normalize_bidreq
+    from quacfka_service_spark.proto.decode import encode_bidrequests
+    from quacfka_service_spark.streaming.pipeline import Pipeline
+
+    src_dir = str(tmp_path / "framed")
+    bidreq = build_bidreq(spark, "/root/testdata/sf0.001")
+    encode_bidrequests(bidreq).repartition(2).write.parquet(src_dir)
+
+    lake = str(tmp_path / "lake")
+    pipe = (
+        Pipeline(spark)
+        .source_files(src_dir, max_files_per_trigger=1)  # 2 micro-batches
+        .decode(confluent_prefix=True, ts_suffix=True)
+        .sink_txlog(lake, str(tmp_path / "ckpt"), raw=False)
+        .trigger(available_now=True)
+    )
+    handle = pipe.run()
+    handle.await_termination(300)
+    assert handle.error() is None
+    handle.stop()
+
+    norm_b = normalize_bidreq(bidreq)
+    norm_t = TxTable(f"{lake}/bidreq_norm")
+    norm_s = norm_t.read(spark).select(*norm_b.columns)
+    assert norm_s.count() == norm_b.count()
+    assert norm_s.exceptAll(norm_b).count() == 0
+
+    # replay epoch 0 through the foreachBatch body: version unchanged
+    v = norm_t.latest_version()
+    pipe._export_batch(spark.read.parquet(src_dir), 0)
+    assert norm_t.latest_version() == v
+    assert norm_t.read(spark).count() == norm_b.count()
+
+    # agg partials re-aggregate to the batch agg
+    agg_b = hourly_agg(norm_b)
+    agg_s = (
+        TxTable(f"{lake}/bidreq_hourly").read(spark)
+        .groupBy("date", "hour", "pub_id", "device_id", "resolution", "deal")
+        .agg(F.sum("requests").alias("requests"))
+        .select(*agg_b.columns)
+    )
+    assert agg_s.exceptAll(agg_b).count() == 0
+
+
+def test_streaming_pipeline_epochs_into_txtable(spark, tmp_path):
+    """North-star composition: foreachBatch commits each epoch into the
+    ACID table with a txn id; a replayed epoch is a no-op, so the table
+    equals the batch result exactly once (reference analog: orphan-file
+    rescan at-least-once, main.go:140-195, upgraded)."""
+    t = TxTable(str(tmp_path / "t"))
+    src = _mk(spark, 0, 40)
+    # emulate two micro-batches + a replay of epoch 0
+    b0, b1 = src.where("id < 25"), src.where("id >= 25")
+    t.commit_epoch(b0, "q", 0, ["p"])
+    t.commit_epoch(b0, "q", 0, ["p"])  # replay after failed offset commit
+    t.commit_epoch(b1, "q", 1, ["p"])
+    assert _rows(t.read(spark)) == _rows(src)
+    txns = [h["txn"] for h in t.history()]
+    assert {(x["app_id"], x["epoch"]) for x in txns if x} == {("q", 0), ("q", 1)}
