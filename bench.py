@@ -141,10 +141,20 @@ def main() -> None:
     ingest_best = _time_ingest(project=NORMALIZE_FIELDS)
     ingest_full_best = _time_ingest()
 
-    # skew handling under measurement: hot-keyed agg (one key carries
-    # ~20% of all rows), plain groupBy vs the explicit two-stage salted
-    # agg (operators/skew.py) — the skew story as a number, not a claim.
-    from quacfka_service_spark.operators.skew import salted_agg_count
+    # skew handling under measurement — the skew story as numbers, not a
+    # claim.  Two sub-cases, both with a deliberately hot key:
+    #
+    # (a) agg: plain groupBy.count vs two-stage salted count.  Plain WINS
+    #     here and that is the honest result: algebraic aggs get map-side
+    #     partial aggregation, so the hot key never skews the shuffle and
+    #     salting is pure overhead (operators/skew.py:51 documents this).
+    # (b) join: non-broadcastable small side (threshold forced to -1,
+    #     merge-hinted), one key carrying ~50% of a 6.4M-row fact.  The
+    #     plain join sorts the hot partition on ONE task; salted_join
+    #     spreads it across 8 sub-keys.  hot_partition_rows is the
+    #     structural signal that survives any SF: max rows landing in a
+    #     single reduce partition, plain vs salted.
+    from quacfka_service_spark.operators.skew import salted_agg_count, salted_join
     from quacfka_service_spark.session import load_table
 
     ev = load_table(spark, SF_DIR, "events")
@@ -153,8 +163,8 @@ def main() -> None:
     )
     skew = {}
     for label, fn in [
-        ("plain_sec", lambda d: d.groupBy("skew_key").agg(Fn.count(Fn.lit(1)).alias("n"))),
-        ("salted_sec", lambda d: salted_agg_count(d, ["skew_key"])),
+        ("agg_plain_sec", lambda d: d.groupBy("skew_key").agg(Fn.count(Fn.lit(1)).alias("n"))),
+        ("agg_salted_sec", lambda d: salted_agg_count(d, ["skew_key"])),
     ]:
         best = float("inf")
         for _ in range(2):
@@ -162,6 +172,47 @@ def main() -> None:
             fn(hot).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         skew[label] = round(best, 3)
+
+    big = (
+        ev.select("event_id", "user_id")
+        .withColumn("rep", Fn.explode(Fn.sequence(Fn.lit(0), Fn.lit(63))))
+        .withColumn(
+            "skew_key",
+            Fn.when((Fn.col("event_id") + Fn.col("rep")) % 2 == 0, Fn.lit(0))
+            .otherwise(Fn.pmod(Fn.col("user_id") * 31 + Fn.col("rep"), Fn.lit(5000))),
+        )
+        .select("skew_key", "event_id")
+        .persist()
+    )
+    big.count()
+    dim = spark.range(5000).select(
+        Fn.col("id").cast("long").alias("skew_key"),
+        (Fn.col("id") * 7 % 100).alias("attr"),
+    )
+    bcast_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    for label, fn in [
+        ("join_plain_sec", lambda: big.join(dim.hint("merge"), "skew_key")),
+        ("join_salted_sec", lambda: salted_join(big, dim.hint("merge"), "skew_key")),
+    ]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().agg(Fn.sum("attr")).collect()
+            best = min(best, time.perf_counter() - t0)
+        skew[label] = round(best, 3)
+    _max_part = lambda d: (
+        d.groupBy(Fn.spark_partition_id()).count().agg(Fn.max("count")).collect()[0][0]
+    )
+    _salt = Fn.pmod(Fn.xxhash64(Fn.monotonically_increasing_id()), Fn.lit(8)).cast("int")
+    skew["hot_partition_rows"] = {
+        "plain": _max_part(big.repartition(32, "skew_key")),
+        "salted": _max_part(big.withColumn("__s", _salt).repartition(32, "skew_key", "__s")),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_old)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast_old)
+    big.unpersist()
 
     # self-audit vs DuckDB (judge r1 measured this by hand; now the
     # bench emits it): run each timed query's own oracle_sql() in DuckDB
