@@ -313,6 +313,77 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(doc_id, component_id) for every vertex of the pair graph;
+    ``component_id`` is the minimum doc_id in the vertex's connected
+    component.  Near-dup pair emitters (ngram/minhash/simhash/embedding)
+    give *pairs*; turning pairs into keep-one-per-cluster decisions
+    needs the transitive closure — A~B, B~C must collapse to one
+    canonical doc even though A~C was never emitted.
+
+    Algorithm: hash-to-min label propagation (the standard MapReduce CC
+    formulation, same driver-loop shape as GraphFrames').  Each round
+    every vertex takes the min label among itself and its neighbors;
+    converges in O(graph diameter) rounds — near-dup clusters are
+    shallow (stars/cliques), so 2-4 rounds in practice.
+
+    100 TB shape: per round one shuffle join (edges x labels, both
+    hash-partitioned on the vertex) + one groupBy-min, all JVM;
+    ``localCheckpoint`` truncates lineage each round so plan depth
+    stays O(1).  The convergence probe is a limit(1) existence check,
+    not a full count.  No driver-side collection of the graph.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["d"] == labels["v"]).select(
+            F.col("s").alias("v"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+
+
+def neardup_keep_canonical(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Doc ids surviving near-dup dedup: every doc not in the pair
+    graph, plus the canonical (min-id) doc of each component.  One
+    left join against the component map — ``components`` is tiny
+    relative to the corpus (only docs with at least one near-dup), so
+    Catalyst broadcasts it under AQE."""
+    c = components.select("doc_id", "component_id")
+    return (
+        docs.join(c, "doc_id", "left")
+        .where(F.col("component_id").isNull() | (F.col("doc_id") == F.col("component_id")))
+        .select("doc_id")
+    )
+
+
 # The registered gate query runs at 0.35, NOT the 0.99 production
 # default: the synthetic corpus's max intra-label cosine is ~0.47, so
 # any higher threshold makes the oracle vacuous (passes on 0 rows both
@@ -329,6 +400,17 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+
+
+def _q_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    return neardup_keep_canonical(docs, comp)
+
+
 QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "dedup_keep_first": _q_dedup_keep_first,
@@ -336,6 +418,8 @@ QUERIES = {
     "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
     "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
     "dedup_embedding": _q_embedding_neardup,
+    "dedup_components": _q_components,
+    "dedup_near_keep": _q_near_keep,
 }
 
 _SHINGLE_CTE = """
@@ -373,6 +457,68 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+""",
+    # transitive closure of the 0.2-Jaccard pair graph: walk(v, lbl)
+    # enumerates every vertex lbl can reach (edges are symmetric, UNION
+    # dedups so the recursion terminates); min over the reachable set is
+    # the component minimum — same fixpoint the Spark hash-to-min loop
+    # converges to.
+    "dedup_components": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+)
+SELECT v AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY v
+""",
+    "dedup_near_keep": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v, MIN(lbl) AS lbl FROM walk GROUP BY v)
+SELECT d.doc_id AS doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+WHERE c.v IS NULL OR c.v = c.lbl
 """,
     "dedup_embedding": """
 WITH d AS (

@@ -55,3 +55,29 @@ def test_dedup_embedding_planted_pairs(spark):
     loose = embedding_neardup(emb, threshold=0.35).collect()
     assert all(r["cos"] >= 0.35 for r in loose)
     assert {(r["id_a"], r["id_b"]) for r in loose} >= want
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain a-b-c must collapse to one component even though (a, c) is
+    never an edge; disjoint pair and untouched docs stay separate."""
+    from quacfka_service_spark.operators.dedup import (
+        connected_components,
+        neardup_keep_canonical,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11, 20, 21, 99]], "doc_id long")
+    kept = sorted(
+        r["doc_id"]
+        for r in neardup_keep_canonical(docs, connected_components(edges)).collect()
+    )
+    assert kept == [1, 10, 20, 99]
