@@ -161,6 +161,7 @@ class TxTable:
                 if act["op"] == "add":
                     files[act["file"]] = {
                         "rows": act["rows"], "partition": act["partition"],
+                        "stats": act.get("stats", {}),
                     }
                 elif act["op"] == "remove":
                     files.pop(act["file"], None)
@@ -172,11 +173,63 @@ class TxTable:
         return _Snapshot(target, files, schema_json, txns)
 
     # --- write path ---
+    @staticmethod
+    def _stat_value(v: Any) -> Any:
+        """JSON-safe, order-preserving encoding of a parquet stat value.
+        datetimes/dates → epoch seconds (float) so range predicates
+        compare numerically; bytes → utf-8 (non-decodable: no stat)."""
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return v.timestamp()
+        if isinstance(v, datetime.date):
+            return datetime.datetime(
+                v.year, v.month, v.day, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    @classmethod
+    def _file_stats(cls, md: Any) -> dict[str, list[Any]]:
+        """Per-column [min, max] aggregated across row groups, from the
+        parquet footer only.  Top-level scalar columns (no '.' in the
+        path); columns lacking stats in any row group are omitted —
+        data skipping treats a missing stat as must-read (safe)."""
+        stats: dict[str, list[Any]] = {}
+        dropped: set[str] = set()
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dropped:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dropped.add(name); stats.pop(name, None); continue
+                lo, hi = cls._stat_value(st.min), cls._stat_value(st.max)
+                if lo is None or hi is None:
+                    dropped.add(name); stats.pop(name, None); continue
+                if name not in stats:
+                    stats[name] = [lo, hi]
+                else:
+                    stats[name][0] = min(stats[name][0], lo)
+                    stats[name][1] = max(stats[name][1], hi)
+        return stats
+
     def _stage(self, df: DataFrame, partition_by: list[str]) -> list[dict[str, Any]]:
         """Write df's files via Spark into a staging dir, rename them under
-        data/, and return add-actions.  Rows-per-file counts come from a
-        per-partition-dir read of parquet footers via pyarrow (metadata
-        only, no data read)."""
+        data/, and return add-actions.  Row counts and per-column min/max
+        come from parquet footers via pyarrow (metadata only, no data
+        read) — the stats feed manifest-side data skipping in read()."""
         import pyarrow.parquet as pq
 
         stage = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
@@ -196,13 +249,16 @@ class TxTable:
             for n in names:
                 if not n.endswith(".parquet"):
                     continue
-                rows = pq.read_metadata(os.path.join(dirpath, n)).num_rows
+                md = pq.read_metadata(os.path.join(dirpath, n))
                 new_name = f"part-{uuid.uuid4().hex}.zstd.parquet"
                 rel = os.path.join("data", rel_dir, new_name) if rel_dir != "." else os.path.join("data", new_name)
                 dst = os.path.join(self.root, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(os.path.join(dirpath, n), dst)
-                adds.append({"op": "add", "file": rel, "rows": rows, "partition": partition})
+                adds.append({
+                    "op": "add", "file": rel, "rows": md.num_rows,
+                    "partition": partition, "stats": self._file_stats(md),
+                })
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -229,6 +285,7 @@ class TxTable:
         schema_json: str,
         txn: dict[str, Any] | None = None,
         max_retries: int = 50,
+        rewrite_removes: list[str] | None = None,
     ) -> int:
         """Optimistic commit: build remove-actions against the current
         snapshot, attempt put-if-absent, rebase on loss."""
@@ -243,7 +300,27 @@ class TxTable:
                         pass
                 return snap.version
             removes: list[dict[str, Any]] = []
-            if op_type == "overwrite":
+            if op_type == "rewrite":
+                # compaction: remove exactly the input files that were
+                # compacted.  Never conflicts with concurrent appends
+                # (their files stay live); conflicts iff another commit
+                # already removed one of our inputs — then our output
+                # would resurrect superseded data.
+                gone = [p for p in rewrite_removes if p not in snap.files]
+                if gone:
+                    for a in adds:
+                        try:
+                            os.unlink(os.path.join(self.root, a["file"]))
+                        except FileNotFoundError:
+                            pass
+                    raise CommitConflict(
+                        f"rewrite inputs removed by a concurrent commit: {gone[:3]}"
+                    )
+                removes = [
+                    {"op": "remove", "file": p, "partition": snap.files[p]["partition"]}
+                    for p in rewrite_removes
+                ]
+            elif op_type == "overwrite":
                 removes = [
                     {"op": "remove", "file": p, "partition": meta["partition"]}
                     for p, meta in snap.files.items()
@@ -310,23 +387,116 @@ class TxTable:
         adds = self._stage(df, partition_by)
         return self._commit_loop(adds, "replace_partitions", df.schema.json())
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        *,
+        min_files: int = 2,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        where: dict[str, str] | None = None,
+    ) -> dict[str, Any]:
+        """Bin-pack small files: for every partition (optionally
+        restricted by ``where``) holding >= ``min_files`` files, rewrite
+        them as ~``target_file_bytes``-sized files and commit a
+        ``rewrite`` that removes exactly the inputs.  Streaming epochs
+        land one small file per partition per trigger; OPTIMIZE is the
+        standard repair (Delta OPTIMIZE / Iceberg rewrite_data_files).
+
+        Safe alongside writers: concurrent *appends* never conflict
+        (their files are untouched); a concurrent commit that removed
+        one of our inputs raises CommitConflict and commits nothing.
+        Old files stay on disk for time travel until vacuum()."""
+        snap = self.snapshot()
+        groups: dict[tuple, list[str]] = {}
+        for p, meta in snap.files.items():
+            key = tuple(sorted(meta["partition"].items()))
+            if where and not all(meta["partition"].get(k) == v for k, v in where.items()):
+                continue
+            groups.setdefault(key, []).append(p)
+        rewritten: list[str] = []
+        adds: list[dict[str, Any]] = []
+        part_cols: list[str] = []
+        for key, files in sorted(groups.items()):
+            if len(files) < min_files:
+                continue
+            part_cols = [k for k, _ in key]
+            abs_paths = [os.path.join(self.root, f) for f in files]
+            total = sum(os.path.getsize(a) for a in abs_paths)
+            n_out = max(1, -(-total // target_file_bytes))
+            reader = spark.read.option("basePath", self._data_dir)
+            if snap.schema_json:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+            df = reader.parquet(*abs_paths).coalesce(int(n_out))
+            adds.extend(self._stage(df, part_cols))
+            rewritten.extend(files)
+        if not rewritten:
+            return {"rewritten_files": 0, "new_files": 0, "version": snap.version}
+        version = self._commit_loop(
+            adds, "rewrite", snap.schema_json or "", rewrite_removes=rewritten
+        )
+        return {
+            "rewritten_files": len(rewritten),
+            "new_files": len(adds),
+            "version": version,
+        }
+
     def commit_epoch(self, df: DataFrame, app_id: str, epoch: int,
                      partition_by: list[str] | None = None) -> int:
         """Idempotent streaming append: a (app_id, epoch) pair commits at
         most once; replays are detected in the log and dropped."""
         return self.append(df, partition_by, txn={"app_id": app_id, "epoch": epoch})
 
+    def live_files(
+        self,
+        version: int | None = None,
+        where: dict[str, str] | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
+    ) -> list[str]:
+        """Relative paths of live files in the snapshot, pruned by
+        partition equality (``where``) and per-file column min/max
+        (``ranges``: col -> (lo, hi), either bound None for open).  A
+        file lacking a stat for a ranged column is kept (safe).  All
+        pruning is driver-side manifest metadata — zero file opens."""
+        snap = self.snapshot(version)
+        out = []
+        for p, meta in sorted(snap.files.items()):
+            if where and not all(meta["partition"].get(k) == v for k, v in where.items()):
+                continue
+            if ranges:
+                skip = False
+                for col, (lo, hi) in ranges.items():
+                    st = meta.get("stats", {}).get(col)
+                    if st is None:
+                        continue
+                    lo_n = self._stat_value(lo) if lo is not None else None
+                    hi_n = self._stat_value(hi) if hi is not None else None
+                    if (hi_n is not None and st[0] > hi_n) or (
+                        lo_n is not None and st[1] < lo_n
+                    ):
+                        skip = True
+                        break
+                if skip:
+                    continue
+            out.append(p)
+        return out
+
     def read(self, spark: SparkSession, version: int | None = None,
-             where: dict[str, str] | None = None) -> DataFrame:
+             where: dict[str, str] | None = None,
+             ranges: dict[str, tuple[Any, Any]] | None = None) -> DataFrame:
         """Snapshot read, optionally time-travelled and manifest-pruned.
 
-        ``where`` filters on partition values driver-side: only matching
-        files reach the scan (no FS listing of the table at all)."""
+        ``where`` filters on partition values, ``ranges`` on per-file
+        column stats, both driver-side: only surviving files reach the
+        scan (no FS listing of the table at all).  ``ranges`` is data
+        *skipping*, not filtering — apply the actual predicate to the
+        returned DataFrame too; skipping just avoids opening files whose
+        footer stats prove they cannot match."""
         snap = self.snapshot(version)
         paths = [
             os.path.join(self.root, p)
-            for p, meta in sorted(snap.files.items())
-            if not where or all(meta["partition"].get(k) == v for k, v in where.items())
+            for p in self.live_files(version, where, ranges)
         ]
         from pyspark.sql.types import StructType
 

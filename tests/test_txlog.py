@@ -244,3 +244,77 @@ def test_streaming_pipeline_epochs_into_txtable(spark, tmp_path):
     assert _rows(t.read(spark)) == _rows(src)
     txns = [h["txn"] for h in t.history()]
     assert {(x["app_id"], x["epoch"]) for x in txns if x} == {("q", 0), ("q", 1)}
+
+
+def test_file_stats_enable_range_skipping(spark, tmp_path):
+    """Per-file min/max in the manifest prune files whose stats prove
+    they cannot match, without opening any file."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 100), ["p"])
+    t.append(_mk(spark, 1000, 1100), ["p"])
+    t.append(_mk(spark, 2000, 2100), ["p"])
+    all_files = t.live_files()
+    assert len(all_files) >= 3
+    hit = t.live_files(ranges={"id": (1010, 1020)})
+    assert len(hit) < len(all_files)
+    # skipped set still yields the right answer once the real predicate runs
+    got = t.read(spark, ranges={"id": (1010, 1020)}).where(
+        "id between 1010 and 1020"
+    )
+    assert got.count() == 11
+    # open bounds and missing-stat columns are safe (keep everything)
+    assert t.live_files(ranges={"id": (None, None)}) == all_files
+    assert t.live_files(ranges={"nope": (0, 1)}) == all_files
+
+
+def test_optimize_binpacks_preserving_rows_and_time_travel(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_mk(spark, i * 10, i * 10 + 10).coalesce(1), ["p"])
+    pre_version = t.latest_version()
+    pre_files = len(t.live_files())
+    assert pre_files >= 5
+    res = t.optimize(spark)
+    assert res["rewritten_files"] == pre_files
+    assert res["new_files"] < pre_files
+    assert _rows(t.read(spark)) == _rows(_mk(spark, 0, 50))
+    # history shows the rewrite; time travel to pre-optimize still works
+    assert t.history()[-1]["op_type"] == "rewrite"
+    assert _rows(t.read(spark, version=pre_version)) == _rows(_mk(spark, 0, 50))
+    # second optimize is a no-op
+    assert t.optimize(spark)["rewritten_files"] == 0
+
+
+def test_optimize_conflicts_when_inputs_already_rewritten(spark, tmp_path):
+    """A rewrite whose input files were removed by a concurrent commit
+    must conflict (not resurrect superseded data)."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_mk(spark, i * 10, i * 10 + 10).coalesce(1), ["p"])
+    victims = t.live_files()
+    t.optimize(spark)  # removes victims
+    with pytest.raises(CommitConflict):
+        t._commit_loop([], "rewrite", "", rewrite_removes=victims)
+
+
+def test_optimize_does_not_conflict_with_interleaved_append(spark, tmp_path):
+    """Delta-style OPTIMIZE semantics: an append that lands between
+    optimize's snapshot and its commit survives untouched."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_mk(spark, i * 10, i * 10 + 10).coalesce(1), ["p"])
+
+    orig_try = t._try_commit
+    appended = {"done": False}
+
+    def racing_try(version, record):
+        if not appended["done"] and record["op_type"] == "rewrite":
+            appended["done"] = True
+            t2 = TxTable(str(tmp_path / "t"))
+            t2._try_commit = orig_try.__func__.__get__(t2)
+            t2.append(_mk(spark, 500, 510).coalesce(1), ["p"])
+        return orig_try(version, record)
+
+    t._try_commit = racing_try
+    t.optimize(spark)  # loses the race once, rebases, commits
+    assert _rows(t.read(spark)) == _rows(_mk(spark, 0, 30).union(_mk(spark, 500, 510)))
