@@ -47,6 +47,9 @@ HEADLINE = [
     "events_pivot",
     "split_assign",
     "tpch_q14",
+    "dedup_components",
+    "corpus_curation",
+    "corpus_pack_blocks",
 ]
 
 

@@ -1,0 +1,219 @@
+"""Corpus curation + sequence packing — the end-to-end training-data ops.
+
+``corpus_curation`` chains the pipeline a pretraining corpus actually
+goes through — language ID -> quality filter -> near-dup removal ->
+split assignment — as ONE declarative plan, proving the individual
+operators (text.py, dedup.py, split.py) compose without materialization
+barriers.  Catalyst sees the whole chain: the lang/quality filters
+prune the corpus *before* the (expensive) shingle join of the near-dup
+stage, column pruning reaches the scan, and the component map (only
+docs with >= 1 near-dup) broadcasts into the survivor semi-join.
+
+``corpus_pack_blocks`` is concat-and-chunk sequence packing, the
+standard GPT-style pretraining layout: per shard (``source``),
+documents are concatenated in deterministic ``doc_id`` order and cut
+into fixed ``block_tokens`` blocks; each doc gets its (start_block,
+start_offset, end_block) coordinates.  Pure window cumsum — one
+shuffle on ``source``, no Python.  Packing is per-shard by design:
+a *global* cumsum would serialize onto one task at 100 TB, while
+per-source windows are embarrassingly parallel and match how training
+shards are actually laid out.
+
+100 TB shape: curation is filter -> (bucketed near-dup) -> broadcast
+semi-join -> hash projection; packing is one hash-partition + in-task
+sort per shard.  Nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import connected_components, neardup_keep_canonical, ngram_jaccard_pairs
+from .split import BUCKETS, TRAIN_PCT, VAL_PCT, assign_split
+from .text import _words, lang_id, text_quality
+
+BLOCK_TOKENS = 512
+MIN_QUALITY = 0.2
+KEEP_LANGS = ("en",)
+
+
+def corpus_curation(
+    docs: DataFrame,
+    *,
+    min_quality: float = MIN_QUALITY,
+    langs: tuple[str, ...] = KEEP_LANGS,
+) -> DataFrame:
+    """lang-ID filter -> quality filter -> near-dup keep-canonical ->
+    train/val/test split, one plan end to end.
+
+    Near-dup components are computed over the *post-filter* corpus:
+    dropping a low-quality doc must not let its near-duplicate survive
+    via a broken chain — the component map is rebuilt on the filtered
+    population, which is also the cheaper order (filters prune before
+    the shingle join).
+    """
+    filtered = (
+        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
+        .join(
+            text_quality(docs).select("doc_id", "quality"), "doc_id"
+        )
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id", "text", "lang_pred", "quality")
+    )
+    comp = connected_components(
+        ngram_jaccard_pairs(filtered).select("doc_a", "doc_b")
+    )
+    kept = neardup_keep_canonical(filtered, comp)
+    return (
+        assign_split(filtered.join(kept, "doc_id"), "doc_id")
+        .select("doc_id", "lang_pred", "quality", "split")
+    )
+
+
+def corpus_pack_blocks(docs: DataFrame, block_tokens: int = BLOCK_TOKENS) -> DataFrame:
+    """Concat-and-chunk packing coordinates per document, per shard.
+
+    Whitespace token counts (same tokenizer as text.py); docs ordered
+    by doc_id within ``source``; blocks are ``block_tokens`` wide.  A
+    doc starting mid-block records its offset; end_block marks the
+    block its last token lands in (empty docs occupy their start
+    block).
+    """
+    toks = F.size(_words(F.col("text"))).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = docs.select("source", "doc_id", toks.alias("n_tokens"))
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_prev / block_tokens).cast("long").alias("start_block"),
+        F.pmod(cum_prev, F.lit(block_tokens)).cast("long").alias("start_offset"),
+        F.floor(
+            (cum_prev + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / block_tokens
+        ).cast("long").alias("end_block"),
+    )
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_curation(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_pack_blocks(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "corpus_curation": _q_curation,
+    "corpus_pack_blocks": _q_pack_blocks,
+}
+
+# DuckDB oracles compose the already-verified per-stage SQL: the lang
+# CASE and quality expression from text.py's oracles, the shingle /
+# pair / recursive-closure CTEs from dedup.py's (rebased onto the
+# filtered corpus), and split.py's md5 bucketing.
+from .text import _LANG_CASE, _sql_list  # noqa: E402
+from .text import STOPWORDS as _SW  # noqa: E402
+
+_EN = _sql_list(_SW["en"])
+
+_QUALITY_EXPR = (
+    f"least(1.0, CAST(len(w) AS BIGINT) / 100.0)"
+    f" * (1.0 - (CAST(len(list_filter(w, x -> list_contains({_EN}, x))) AS BIGINT)"
+    f" / CAST(len(w) AS BIGINT)) * 0.5)"
+)
+
+_LANGS_IN = ", ".join(f"'{lg}'" for lg in KEEP_LANGS)
+
+ORACLES = {
+    "corpus_curation": f"""
+WITH RECURSIVE
+wq AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+lang AS (SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM wq),
+filtered AS (
+  SELECT d.doc_id, d.text, l.lang_pred, q.quality
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE l.lang_pred IN ({_LANGS_IN}) AND q.quality >= {MIN_QUALITY}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM filtered)
+),
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v, MIN(lbl) AS lbl FROM walk GROUP BY v),
+kept AS (
+  SELECT f.doc_id FROM filtered f
+  LEFT JOIN comp c ON f.doc_id = c.v
+  WHERE c.v IS NULL OR c.v = c.lbl
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS} AS bucket
+  FROM kept
+)
+SELECT f.doc_id, f.lang_pred, f.quality,
+       CASE WHEN b.bucket < {TRAIN_PCT} THEN 'train'
+            WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM filtered f JOIN b USING (doc_id)
+""",
+    "corpus_pack_blocks": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_prev
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       cum_prev // {BLOCK_TOKENS} AS start_block,
+       cum_prev % {BLOCK_TOKENS} AS start_offset,
+       (cum_prev + greatest(n_tokens, 1) - 1) // {BLOCK_TOKENS} AS end_block
+FROM c
+""",
+}

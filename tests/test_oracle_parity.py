@@ -48,7 +48,11 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None
 
 # Oracled keys where an empty result would make the hash-match vacuous
 # (a broken dot product / join would still "pass" on 0 == 0 rows).
-_MUST_BE_NONEMPTY = {"dedup_embedding", "dedup_ngram_jaccard", "similarity_topk"}
+_MUST_BE_NONEMPTY = {
+    "dedup_embedding", "dedup_ngram_jaccard", "similarity_topk",
+    "dedup_components", "dedup_near_keep", "corpus_curation",
+    "corpus_pack_blocks",
+}
 
 
 def _keys():
