@@ -100,7 +100,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
     >=1 shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts,
     so the double division is bit-identical across engines."""
-    sh = doc_shingles(docs)
+    # Persist the shingle table: it feeds BOTH sides of the self-join
+    # plus the two size lookups — without the persist the regex
+    # split + shingle transform over the whole corpus runs four times
+    # (measured 2x wall on the pair join at sf0.1).  MEMORY_AND_DISK:
+    # shingle arrays are ~10x the text, don't OOM executors at scale.
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
     # explode_outer + post-filter: see minhash_signatures for why.
     ex = (
