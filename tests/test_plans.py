@@ -94,3 +94,35 @@ def test_normalize_is_shuffle_free(spark, raw_lake):
     flattening claim (main.go:339-341)."""
     lake = spark.read.parquet(raw_lake).drop("year", "month", "day", "hour")
     assert count_exchanges(normalize_bidreq(lake)) == 0
+
+
+def test_pack_blocks_single_exchange(spark):
+    """Per-shard packing = exactly one hash-partition on source; the
+    window sort happens inside the task (no global sort, no extra
+    shuffle)."""
+    from quacfka_service_spark.operators.corpus import corpus_pack_blocks
+
+    docs = load_table(spark, SF_DIR, "documents")
+    q = corpus_pack_blocks(docs)
+    plan = formatted_plan(q)
+    assert count_exchanges(q) == 1
+    assert "hashpartitioning(source" in plan.replace(" ", "").lower()
+
+
+def test_curation_broadcasts_component_map(spark):
+    """The survivor semi-join against the component map (only docs with
+    >= 1 near-dup) must broadcast, not shuffle the corpus."""
+    from quacfka_service_spark.operators.corpus import corpus_curation
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert has_broadcast_join(corpus_curation(docs))
+
+
+def test_pack_blocks_column_pruning(spark):
+    """Packing reads only (source, doc_id, text) — the scan must not
+    drag the other document columns."""
+    from quacfka_service_spark.operators.corpus import corpus_pack_blocks
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rs = read_schema(corpus_pack_blocks(docs))
+    assert "lang" not in rs and "n_chars" not in rs
