@@ -518,6 +518,54 @@ class TxTable:
             return reader.parquet(*paths).select(*[f.name for f in schema])
         return reader.parquet(*paths)
 
+    def read_inserts(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows *added* in commits (since_version, to_version] — the
+        incremental-consumption primitive (change-data-feed for an
+        append-mostly table).  A downstream job remembers the last
+        version it processed and reads only the new files; cost is
+        proportional to the delta, never to table size.  Files both
+        added and removed inside the window (e.g. an epoch compacted
+        away by a later OPTIMIZE in the same window) still count once:
+        rewrite adds are *excluded* (they carry no new rows) by
+        replaying the log and skipping 'rewrite' commits' add-actions.
+
+        Consume change windows before their files age past the vacuum
+        horizon (same constraint as Delta's change data feed).
+        """
+        commits, _ = self._list_log()
+        if to_version is None:
+            to_version = commits[-1] if commits else since_version
+        added: list[str] = []
+        schema_json = self.snapshot(to_version).schema_json if commits else None
+        for v in commits:
+            if not (since_version < v <= to_version):
+                continue
+            with open(self._commit_path(v)) as f:
+                rec = json.load(f)
+            if rec["op_type"] == "rewrite":
+                continue  # compaction rewrites carry no new rows
+            added.extend(a["file"] for a in rec["actions"] if a["op"] == "add")
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(json.loads(schema_json)) if schema_json else None
+        )
+        if not added:
+            if schema is None:
+                raise ValueError("empty change window on a table with no schema")
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, p) for p in sorted(added)]
+        reader = spark.read.option("basePath", self._data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+            return reader.parquet(*paths).select(*[f.name for f in schema])
+        return reader.parquet(*paths)
+
     def history(self) -> list[dict[str, Any]]:
         commits, _ = self._list_log()
         out = []

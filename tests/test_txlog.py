@@ -318,3 +318,22 @@ def test_optimize_does_not_conflict_with_interleaved_append(spark, tmp_path):
     t._try_commit = racing_try
     t.optimize(spark)  # loses the race once, rebases, commits
     assert _rows(t.read(spark)) == _rows(_mk(spark, 0, 30).union(_mk(spark, 500, 510)))
+
+
+def test_read_inserts_incremental_consumption(spark, tmp_path):
+    """Change-data-feed semantics: only rows added in the version
+    window, compaction rewrites contribute nothing."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10).coalesce(1), ["p"])          # v0
+    v0 = t.latest_version()
+    t.append(_mk(spark, 10, 15).coalesce(1), ["p"])         # v1
+    t.optimize(spark)                                        # v2: rewrite
+    t.append(_mk(spark, 15, 22).coalesce(1), ["p"])         # v3
+    delta = t.read_inserts(spark, since_version=v0)
+    assert _rows(delta) == _rows(_mk(spark, 10, 22))
+    # full-history window sees every appended row exactly once
+    assert _rows(t.read_inserts(spark, since_version=-1)) == _rows(_mk(spark, 0, 22))
+    # empty window: zero rows, correct schema
+    empty = t.read_inserts(spark, since_version=t.latest_version())
+    assert empty.count() == 0
+    assert empty.columns == t.read(spark).columns
