@@ -45,12 +45,16 @@ def text_quality(docs: DataFrame) -> DataFrame:
     char_sum = F.aggregate("w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
     stop_hits = _count_in(F.col("w"), STOPWORDS["en"])
     non_alnum = F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
+    # ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on integral
+    # division; a zero-length text must yield NULL punct_ratio, not
+    # kill the corpus job.  (n_words is never 0: split('') is [''].)
+    text_len = F.nullif(F.length("text").cast("long"), F.lit(0).cast("long"))
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
         (char_sum / n_words).alias("avg_word_len"),
         (stop_hits / n_words).alias("stopword_ratio"),
-        (non_alnum.cast("long") / F.length("text").cast("long")).alias("punct_ratio"),
+        (non_alnum.cast("long") / text_len).alias("punct_ratio"),
         (F.least(F.lit(1.0), n_words / F.lit(100.0)) * (F.lit(1.0) - (stop_hits / n_words) * F.lit(0.5))).alias("quality"),
     )
 
@@ -219,7 +223,7 @@ SELECT
   len(w)::BIGINT AS n_words,
   CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / CAST(len(w) AS BIGINT) AS avg_word_len,
   CAST(len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS["en"])}, x))) AS BIGINT) / CAST(len(w) AS BIGINT) AS stopword_ratio,
-  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) / CAST(length(text) AS BIGINT) AS punct_ratio,
+  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) / CAST(nullif(length(text), 0) AS BIGINT) AS punct_ratio,
   least(1.0, CAST(len(w) AS BIGINT) / 100.0)
     * (1.0 - (CAST(len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS["en"])}, x))) AS BIGINT) / CAST(len(w) AS BIGINT)) * 0.5) AS quality
 FROM d

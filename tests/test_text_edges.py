@@ -1,0 +1,41 @@
+"""Degenerate-document hardening: empty, whitespace-only, and NULL text
+must not kill a corpus job (Spark 4 runs ANSI mode — integral division
+by zero THROWS; regression: text_quality's punct_ratio on length-0
+text)."""
+
+from __future__ import annotations
+
+from quacfka_service_spark.operators.corpus import corpus_curation, corpus_pack_blocks
+from quacfka_service_spark.operators.dedup import dedup_exact, ngram_jaccard_pairs
+from quacfka_service_spark.operators.text import lang_id, text_quality, token_count
+
+
+def _edge_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "", "en", "s1", 0),
+            (2, "   ", "en", "s1", 3),
+            (3, "hello world and the cat", "en", "s1", 23),
+            (4, None, "en", "s1", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_text_ops_survive_degenerate_docs(spark):
+    docs = _edge_docs(spark)
+    q = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    assert len(q) == 4
+    assert q[1]["punct_ratio"] is None  # NULL, not DIVIDE_BY_ZERO
+    assert q[3]["punct_ratio"] == 0.0
+    assert lang_id(docs).count() == 4
+    assert token_count(docs).count() == 4
+    assert dedup_exact(docs).count() == 4  # '', '   ', text, NULL distinct-ish
+    assert ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_corpus_ops_survive_degenerate_docs(spark):
+    docs = _edge_docs(spark)
+    assert corpus_pack_blocks(docs).count() == 4
+    # nothing passes the quality gate here; the point is no crash
+    assert corpus_curation(docs).count() == 0
