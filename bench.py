@@ -193,6 +193,7 @@ def main() -> None:
         (Fn.col("id") * 7 % 100).alias("attr"),
     )
     bcast_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    adaptive_old = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     for label, fn in [
@@ -214,7 +215,10 @@ def main() -> None:
         "salted": _max_part(big.withColumn("__s", _salt).repartition(32, "skew_key", "__s")),
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_old)
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast_old)
+    if adaptive_old is None:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    else:
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", adaptive_old)
     big.unpersist()
 
     # self-audit vs DuckDB (judge r1 measured this by hand; now the

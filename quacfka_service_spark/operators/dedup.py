@@ -96,6 +96,21 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
     )
 
 
+_LAST_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """Evict the previously tracked persisted DataFrame (blocking=False)
+    so repeated dedup invocations pin at most one shingle table."""
+    while _LAST_PERSISTED:
+        try:
+            _LAST_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+    _LAST_PERSISTED.append(df)
+    return df
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
     >=1 shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts,
@@ -105,9 +120,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     # split + shingle transform over the whole corpus runs four times
     # (measured 2x wall on the pair join at sf0.1).  MEMORY_AND_DISK:
     # shingle arrays are ~10x the text, don't OOM executors at scale.
+    # _track_persist bounds the cache footprint to ONE shingle table:
+    # the function returns a lazy plan, so it can't unpersist its own
+    # cache — instead each new invocation evicts the previous one (a
+    # caller re-executing an older returned plan just recomputes).
     from pyspark import StorageLevel
 
-    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
     # explode_outer + post-filter: see minhash_signatures for why.
     ex = (
@@ -354,6 +373,7 @@ def connected_components(
     labels = sym.select(F.col("s").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         prop = sym.join(labels, sym["d"] == labels["v"]).select(
             F.col("s").alias("v"), F.col("lbl")
@@ -370,8 +390,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # returning partial labels would silently split one cluster
+        # into several "canonical" docs (and diverge from the oracle's
+        # true closure) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the pair graph has a longer chain than expected — raise max_iters"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("component_id")
     )

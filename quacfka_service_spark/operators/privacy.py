@@ -1,0 +1,103 @@
+"""PII detection / redaction over ``documents``.
+
+A training-data pipeline must strip emails, phone numbers, and IP
+addresses before a corpus ships.  All detection and replacement is
+JVM-side ``regexp_extract_all`` / ``regexp_replace`` (whole-stage
+codegen, no Python in the hot path); at 100 TB this is a pure map —
+zero shuffles, scales linearly, and the parquet scan prunes to
+``doc_id, text``.
+
+The regex subset used here (character classes, ``\\d``, ``\\b``,
+bounded/unbounded repetition) behaves identically in Java regex
+(Spark) and RE2 (DuckDB), which is what makes the oracle exact.
+
+The fixture corpus contains no real PII, so the registered query
+plants synthetic PII deterministically from ``doc_id`` (both engines
+build the identical string) and then redacts it — the check exercises
+real matches rather than passing vacuously on zero replacements
+(lesson from round 1's ``dedup_embedding``; see VERDICT.md "What's
+wrong" #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+# Applied in this order; replacement tokens contain no digits or '@',
+# so a later pattern can never match inside an earlier redaction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Counts per PII class (on the original text) + redacted text.
+    Counting before replacing keeps the counts independent of pattern
+    order."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    red: Column = text
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return docs.select("doc_id", *counts, red.alias("redacted"))
+
+
+def _planted(docs: DataFrame) -> DataFrame:
+    """Deterministically append synthetic PII derived from doc_id."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text"),
+    )
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(_planted(load_table(spark, sf_dir, "documents")))
+
+
+QUERIES = {"pii_redact": _q_pii_redact}
+
+_PLANT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-01'"
+    " || lpad((doc_id % 100)::VARCHAR, 2, '0')"
+    " || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1'"
+)
+
+ORACLES = {
+    "pii_redact": rf"""
+WITH planted AS (
+  SELECT doc_id, {_PLANT_SQL} AS text FROM documents
+)
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '\+\d[\d-]{{7,}}\d'))::BIGINT AS n_phones,
+  len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))::BIGINT AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\+\d[\d-]{{7,}}\d', '<PHONE>', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g') AS redacted
+FROM planted
+""",
+}

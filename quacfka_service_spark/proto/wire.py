@@ -373,15 +373,20 @@ BIDREQUEST_SPEC = {                                                        # pro
 
 # --- encoder (test fixtures; proto3 zero-skipping) ------------------------
 
-_BY_NAME_CACHE: dict[int, dict] = {}
+# Keyed by id(spec) for O(1) lookup, but the entry PINS the spec
+# object: without the reference, a GC'd spec dict's id can be reused by
+# a different spec and serve a stale field map (silently mis-encoded
+# payloads).  Bounded by the number of distinct live specs.
+_BY_NAME_CACHE: dict[int, tuple[dict, dict]] = {}
 
 
 def _by_name(spec: dict) -> dict:
     got = _BY_NAME_CACHE.get(id(spec))
-    if got is None:
-        got = {name: (num, kind, sub) for num, (name, kind, sub) in spec.items()}
-        _BY_NAME_CACHE[id(spec)] = got
-    return got
+    if got is None or got[0] is not spec:
+        mapped = {name: (num, kind, sub) for num, (name, kind, sub) in spec.items()}
+        _BY_NAME_CACHE[id(spec)] = (spec, mapped)
+        return mapped
+    return got[1]
 
 
 def encode_message(msg: dict[str, Any] | None, spec: dict) -> bytes:
@@ -436,11 +441,13 @@ def encode_message(msg: dict[str, Any] | None, spec: dict) -> bytes:
 # Per-spec default templates, memoized: dict.copy() + fresh lists beats
 # rebuilding a 30-field dict per decoded message (the decode hot loop
 # touches this once per message, nested messages included).
-_DEFAULTS_CACHE: dict[int, tuple[dict[str, Any], tuple[str, ...]]] = {}
+# entry pins the spec — see _BY_NAME_CACHE for why id() alone is unsafe
+_DEFAULTS_CACHE: dict[int, tuple[dict, dict[str, Any], tuple[str, ...]]] = {}
 
 
 def _defaults(spec: dict) -> dict[str, Any]:
-    got = _DEFAULTS_CACHE.get(id(spec))
+    entry = _DEFAULTS_CACHE.get(id(spec))
+    got = (entry[1], entry[2]) if entry is not None and entry[0] is spec else None
     if got is None:
         tpl: dict[str, Any] = {}
         list_fields: list[str] = []
@@ -457,7 +464,7 @@ def _defaults(spec: dict) -> dict[str, Any]:
                 tpl[name] = []
                 list_fields.append(name)
         got = (tpl, tuple(list_fields))
-        _DEFAULTS_CACHE[id(spec)] = got
+        _DEFAULTS_CACHE[id(spec)] = (spec, tpl, tuple(list_fields))
     tpl, list_fields = got
     d = tpl.copy()
     for name in list_fields:

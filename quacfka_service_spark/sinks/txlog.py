@@ -69,7 +69,7 @@ import os
 import shutil
 import tempfile
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,7 +94,6 @@ class _Snapshot:
 class TxTable:
     root: str
     checkpoint_interval: int = 10
-    _spark_schema_cache: dict[int, Any] = field(default_factory=dict, repr=False)
 
     # --- paths ---
     @property
@@ -133,6 +132,8 @@ class TxTable:
     def snapshot(self, version: int | None = None) -> _Snapshot:
         commits, checkpoints = self._list_log()
         if not commits:
+            if version is not None and version >= 0:
+                raise ValueError(f"version {version} not in an empty log")
             return _Snapshot(-1, {}, None, {})
         target = commits[-1] if version is None else version
         if target not in commits:
@@ -290,14 +291,10 @@ class TxTable:
         """Optimistic commit: build remove-actions against the current
         snapshot, attempt put-if-absent, rebase on loss."""
         for _ in range(max_retries):
-            snap = self.snapshot() if self.latest_version() >= 0 else _Snapshot(-1, {}, None, {})
+            snap = self.snapshot()  # empty log -> _Snapshot(-1, {}, ...)
             if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
                 # replayed streaming epoch: already committed, drop our files
-                for a in adds:
-                    try:
-                        os.unlink(os.path.join(self.root, a["file"]))
-                    except FileNotFoundError:
-                        pass
+                self._drop_staged(adds)
                 return snap.version
             removes: list[dict[str, Any]] = []
             if op_type == "rewrite":
@@ -308,11 +305,7 @@ class TxTable:
                 # would resurrect superseded data.
                 gone = [p for p in rewrite_removes if p not in snap.files]
                 if gone:
-                    for a in adds:
-                        try:
-                            os.unlink(os.path.join(self.root, a["file"]))
-                        except FileNotFoundError:
-                            pass
+                    self._drop_staged(adds)
                     raise CommitConflict(
                         f"rewrite inputs removed by a concurrent commit: {gone[:3]}"
                     )
@@ -355,11 +348,23 @@ class TxTable:
                     if a.get("partition") is not None
                 }
                 if op_type == "overwrite" or ours & theirs:
+                    self._drop_staged(adds)
                     raise CommitConflict(
                         f"version {version} taken by a commit touching the same "
                         f"partitions; re-derive the {op_type} from fresh data"
                     )
+        self._drop_staged(adds)
         raise CommitConflict(f"gave up after {max_retries} rebase attempts")
+
+    def _drop_staged(self, adds: list[dict[str, Any]]) -> None:
+        """A failed commit must not leave its already-renamed data
+        files orphaned under data/ (invisible to the manifest but
+        occupying space until a vacuum)."""
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.root, a["file"]))
+            except FileNotFoundError:
+                pass
 
     def _write_checkpoint(self, version: int) -> None:
         snap = self.snapshot(version)
@@ -369,6 +374,8 @@ class TxTable:
                 {"version": version, "files": snap.files,
                  "schema_json": snap.schema_json, "txns": snap.txns}, f,
             )
+            f.flush()
+            os.fsync(f.fileno())  # a torn checkpoint would brick every read
         os.rename(tmp, self._checkpoint_path(version))  # last-writer-wins, identical content
 
     # --- public API ---
@@ -453,13 +460,14 @@ class TxTable:
         version: int | None = None,
         where: dict[str, str] | None = None,
         ranges: dict[str, tuple[Any, Any]] | None = None,
+        _snap: _Snapshot | None = None,
     ) -> list[str]:
         """Relative paths of live files in the snapshot, pruned by
         partition equality (``where``) and per-file column min/max
         (``ranges``: col -> (lo, hi), either bound None for open).  A
         file lacking a stat for a ranged column is kept (safe).  All
         pruning is driver-side manifest metadata — zero file opens."""
-        snap = self.snapshot(version)
+        snap = _snap if _snap is not None else self.snapshot(version)
         out = []
         for p, meta in sorted(snap.files.items()):
             if where and not all(meta["partition"].get(k) == v for k, v in where.items()):
@@ -496,7 +504,7 @@ class TxTable:
         snap = self.snapshot(version)
         paths = [
             os.path.join(self.root, p)
-            for p in self.live_files(version, where, ranges)
+            for p in self.live_files(version, where, ranges, _snap=snap)
         ]
         from pyspark.sql.types import StructType
 
@@ -581,11 +589,21 @@ class TxTable:
             })
         return out
 
-    def vacuum(self, retain_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 0, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Delete data files not live in any of the last
         ``retain_versions + 1`` snapshots, and drop log entries no longer
         reachable (strictly below the newest checkpoint ≤ the oldest
-        retained version).  Time travel below the horizon raises."""
+        retained version).  Time travel below the horizon raises.
+
+        ``grace_seconds``: files younger than this are never deleted —
+        an in-flight commit renames its files under data/ *before*
+        linking the commit record, so a zero-grace vacuum racing such a
+        writer would delete rows the commit is about to publish (the
+        same reason Delta enforces a retention window).  Set 0 only
+        when no writer can be active."""
+        import time as _time
         commits, checkpoints = self._list_log()
         if not commits:
             return []
@@ -599,12 +617,19 @@ class TxTable:
             self._write_checkpoint(horizon)
         removed: list[str] = []
         all_files: set[str] = set()
+        now = _time.time()
         for dirpath, _dirs, names in os.walk(self._data_dir):
             for n in names:
                 rel = os.path.relpath(os.path.join(dirpath, n), self.root)
                 all_files.add(rel)
         for rel in sorted(all_files - live):
-            os.unlink(os.path.join(self.root, rel))
+            path = os.path.join(self.root, rel)
+            try:
+                if now - os.path.getmtime(path) < grace_seconds:
+                    continue  # possibly staged by an in-flight commit
+                os.unlink(path)
+            except FileNotFoundError:
+                continue
             removed.append(rel)
         for v in commits:
             if v < horizon:

@@ -170,7 +170,9 @@ class Pipeline:
         return self
 
     # --- run ---
-    def _export_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _export_batch(
+        self, batch_df: DataFrame, batch_id: int, streaming: bool = True
+    ) -> None:
         """The foreachBatch body = the reference's whole export path
         (§3.2): one rotated file's worth of rows -> raw + norm + agg.
 
@@ -187,7 +189,7 @@ class Pipeline:
         if self._transform is not None:
             bidreq = self._transform(bidreq)
         if self._use_txlog:
-            self._export_batch_txlog(bidreq, batch_id)
+            self._export_batch_txlog(bidreq, batch_id, streaming=streaming)
             return
         bidreq.persist()
         sub = f"ingest_batch={batch_id}"
@@ -209,9 +211,32 @@ class Pipeline:
         finally:
             bidreq.unpersist()
 
-    def _export_batch_txlog(self, bidreq: DataFrame, batch_id: int) -> None:
-        """Txlog variant of the export body: one ACID table per output,
-        committed with txn id (table name, epoch id)."""
+    def _txlog_app_id(self) -> str | None:
+        """Txn identity for txlog epoch commits: the checkpoint's
+        persisted streaming-query id (same rule as Delta's txn appId) —
+        stable across restarts of the SAME checkpoint, so replayed
+        epochs dedup; fresh when the checkpoint dir is recreated, so a
+        deliberate reprocess re-lands instead of being silently
+        swallowed by the old query's txn history."""
+        import hashlib
+        import os
+
+        try:
+            with open(os.path.join(self._checkpoint, "metadata")) as f:
+                return json.load(f)["id"]
+        except (OSError, ValueError, KeyError, TypeError):
+            # metadata not written yet (shouldn't happen once batches
+            # run) — fall back to a checkpoint-path-stable id so
+            # exactly-once still holds across restarts
+            return hashlib.md5(str(self._checkpoint).encode()).hexdigest()
+
+    def _export_batch_txlog(
+        self, bidreq: DataFrame, batch_id: int, streaming: bool = True
+    ) -> None:
+        """Txlog variant of the export body: one ACID table per output.
+        Streaming epochs commit with txn id (table@query_id, epoch);
+        batch mode (run_batch — a deliberate re-export) commits plain
+        appends with no txn, so re-running it re-lands by design."""
         from ..sinks.lake import (
             PARTITION_COLS,
             agg_with_partitions,
@@ -220,26 +245,28 @@ class Pipeline:
         )
         from ..sinks.txlog import TxTable
 
+        app = self._txlog_app_id() if streaming else None
+
+        def _commit(table: str, df: DataFrame) -> None:
+            t = TxTable(f"{self._lake_root}/{table}")
+            if app is None:
+                t.append(df, PARTITION_COLS)
+            else:
+                t.commit_epoch(df, f"{table}@{app}", batch_id, PARTITION_COLS)
+
         bidreq.persist()
         try:
             if self._write_raw:
-                TxTable(f"{self._lake_root}/bidreq").commit_epoch(
-                    raw_with_partitions(bidreq), "bidreq", batch_id, PARTITION_COLS
-                )
+                _commit("bidreq", raw_with_partitions(bidreq))
             norm = None
             if self._write_norm or self._write_agg:
                 norm = normalize_bidreq(bidreq)
             if self._write_norm and self._write_agg:
                 norm.persist()
             if self._write_norm:
-                TxTable(f"{self._lake_root}/bidreq_norm").commit_epoch(
-                    norm_with_partitions(norm), "bidreq_norm", batch_id, PARTITION_COLS
-                )
+                _commit("bidreq_norm", norm_with_partitions(norm))
             if self._write_agg:
-                TxTable(f"{self._lake_root}/bidreq_hourly").commit_epoch(
-                    agg_with_partitions(hourly_agg(norm)), "bidreq_hourly",
-                    batch_id, PARTITION_COLS,
-                )
+                _commit("bidreq_hourly", agg_with_partitions(hourly_agg(norm)))
             if norm is not None and self._write_norm and self._write_agg:
                 norm.unpersist()
         finally:
@@ -303,7 +330,7 @@ class Pipeline:
         dev/backfill path (reference parity: re-exporting one DB file)."""
         if self._source is None or self._lake_root is None:
             raise ValueError("pipeline needs a source and sink_lake(...)")
-        self._export_batch(self._source, 0)
+        self._export_batch(self._source, 0, streaming=False)
 
 
 @dataclass

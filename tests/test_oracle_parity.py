@@ -51,7 +51,8 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None
 _MUST_BE_NONEMPTY = {
     "dedup_embedding", "dedup_ngram_jaccard", "similarity_topk",
     "dedup_components", "dedup_near_keep", "corpus_curation",
-    "corpus_pack_blocks",
+    "corpus_pack_blocks", "pii_redact", "text_repetition",
+    "events_retention", "events_funnel",
 }
 
 

@@ -157,7 +157,7 @@ def test_vacuum_removes_dead_files_keeps_latest(spark, tmp_path):
     before = {
         n for _, _, names in os.walk(os.path.join(t.root, "data")) for n in names
     }
-    removed = t.vacuum(retain_versions=0)
+    removed = t.vacuum(retain_versions=0, grace_seconds=0)  # no live writers here
     assert removed  # v0's files are gone from disk
     after = {
         n for _, _, names in os.walk(os.path.join(t.root, "data")) for n in names
@@ -337,3 +337,52 @@ def test_read_inserts_incremental_consumption(spark, tmp_path):
     empty = t.read_inserts(spark, since_version=t.latest_version())
     assert empty.count() == 0
     assert empty.columns == t.read(spark).columns
+
+
+def test_txlog_reprocess_after_checkpoint_reset_relands(spark, tmp_path):
+    """The txn id is scoped to the streaming QUERY (checkpoint's query
+    id), not the table: deleting the checkpoint to deliberately
+    reprocess must re-land the data, not be swallowed by the previous
+    query's txn history.  run_batch (batch re-export) likewise commits
+    without a txn, so running it twice lands twice by design."""
+    import shutil
+
+    from quacfka_service_spark.fixtures import build_bidreq
+    from quacfka_service_spark.operators.normalize import normalize_bidreq
+    from quacfka_service_spark.proto.decode import encode_bidrequests
+    from quacfka_service_spark.streaming.pipeline import Pipeline
+
+    src_dir = str(tmp_path / "framed")
+    bidreq = build_bidreq(spark, "/root/testdata/sf0.001")
+    encode_bidrequests(bidreq).coalesce(1).write.parquet(src_dir)
+    n = normalize_bidreq(bidreq).count()
+
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    def _run():
+        pipe = (
+            Pipeline(spark)
+            .source_files(src_dir)
+            .decode(confluent_prefix=True, ts_suffix=True)
+            .sink_txlog(lake, ckpt, raw=False, agg=False)
+            .trigger(available_now=True)
+        )
+        h = pipe.run()
+        h.await_termination(300)
+        assert h.error() is None
+        h.stop()
+        return pipe
+
+    _run()
+    t = TxTable(f"{lake}/bidreq_norm")
+    assert t.read(spark).count() == n
+    # same checkpoint, rerun: nothing new to process, nothing re-lands
+    _run()
+    assert t.read(spark).count() == n
+    # checkpoint reset = deliberate reprocess: data lands AGAIN
+    shutil.rmtree(ckpt)
+    pipe = _run()
+    assert t.read(spark).count() == 2 * n
+    # batch mode (run_batch body): no txn, re-running re-lands
+    pipe._export_batch(spark.read.parquet(src_dir), 0, streaming=False)
+    assert t.read(spark).count() == 3 * n
