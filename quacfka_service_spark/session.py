@@ -85,6 +85,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
                 )
     except ImportError:
         pass
+    # timestamp[us] with isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ;
+    # DuckDB reads the same column as a naive TIMESTAMP and the oracle
+    # treats it as UTC wall time.  With the session pinned UTC above,
+    # NTZ -> TIMESTAMP is the identity on the underlying micros, so the
+    # whole engine keeps operating on one timestamp type.
+    for name_, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name_, F.col(f"`{name_}`").cast("timestamp"))
     return df
 
 
