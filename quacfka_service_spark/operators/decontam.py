@@ -1,0 +1,132 @@
+"""Benchmark decontamination — flag training documents that share an
+n-gram with an evaluation/benchmark set.
+
+The standard pretraining hygiene step (GPT-3 appendix C / PaLM-style
+13-gram overlap, scaled down to the fixture corpus): any training doc
+sharing at least one distinct word n-gram with any benchmark doc is
+"contaminated" and must be dropped or flagged before training.
+
+There is no RNG and no Python: the benchmark membership predicate is a
+deterministic id rule (``doc_id % BENCH_MOD == 0`` — in production this
+would be the eval-suite table), n-grams are built with the same
+higher-order-function column algebra as dedup.py's shingles, and the
+overlap is an equi-join on the gram string.
+
+100 TB shape: the benchmark side is tiny by construction (an eval
+suite is KBs–MBs), so its distinct-gram set broadcasts; the train side
+is explode -> broadcast-hash-semi-join -> partial-agg countDistinct.
+One shuffle (the per-doc groupBy), no corpus x corpus anything, and
+the gram explode streams — nothing is materialized per-task beyond the
+broadcast set.  Catalyst prunes ``text`` out of the scan after the
+gram projection.
+
+Reference parity: the reference service (quacfka-service) has no
+decontamination surface; this extends the LLM-pipeline operator set
+the build brief mandates (SURVEY.md north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import _words
+
+# Every 97th doc is "the benchmark" in fixture runs — ~1% of the
+# corpus, mirroring a real eval suite's relative size.
+BENCH_MOD = 97
+# 3-grams on the fixture corpus (real pipelines use 8-13): the check
+# must be non-vacuous — at sf0.01, n=3 flags 171 docs, n=5 flags 1.
+NGRAM_N = 3
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Distinct word n-grams; empty array below n words.  Same
+    contract as dedup._shingles but parameterized in n — ``words``
+    must be a resolved column reference (multi-referenced, see
+    dedup.py:52)."""
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def doc_ngrams(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return w.select("doc_id", _ngrams(F.col("w"), n).alias("g"))
+
+
+def decontaminate(
+    train: DataFrame, bench: DataFrame, n: int = NGRAM_N
+) -> DataFrame:
+    """(doc_id, n_hit) for every training doc sharing >= 1 distinct
+    n-gram with the benchmark set; n_hit counts the distinct shared
+    grams (integer — bit-exact across engines).  Docs absent from the
+    output are clean."""
+    bench_grams = (
+        doc_ngrams(bench, n)
+        .select(F.explode("g").alias("s"))
+        .distinct()
+    )
+    train_grams = doc_ngrams(train, n).select(
+        "doc_id", F.explode("g").alias("s")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hit"))
+    )
+
+
+def split_benchmark(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    return docs.where(~is_bench), docs.where(is_bench)
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train, bench = split_benchmark(docs)
+    return decontaminate(train, bench)
+
+
+QUERIES = {"corpus_decontaminate": _q_decontaminate}
+
+_GRAM_LIST = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+
+ORACLES = {
+    "corpus_decontaminate": f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= {NGRAM_N}
+                THEN list_transform(generate_series(1, len(w) - {NGRAM_N - 1}),
+                                    i -> {_GRAM_LIST})
+                ELSE [] END) AS g
+  FROM w
+),
+bench AS (
+  SELECT DISTINCT unnest(g) AS s FROM g WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(g) AS s FROM g WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT t.doc_id, COUNT(DISTINCT t.s) AS n_hit
+FROM train t
+JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+""",
+}
