@@ -47,9 +47,13 @@ HEADLINE = [
     "events_pivot",
     "split_assign",
     "tpch_q14",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "dedup_components",
     "corpus_curation",
     "corpus_pack_blocks",
+    "corpus_decontaminate",
 ]
 
 

@@ -70,13 +70,20 @@ def decontaminate(
     n-gram with the benchmark set; n_hit counts the distinct shared
     grams (integer — bit-exact across engines).  Docs absent from the
     output are clean."""
+    # explode_outer + isNotNull, NOT plain explode: InferFiltersFromGenerate
+    # would re-inline the whole n-gram transform into a pushed-down
+    # size()>0 filter and evaluate it twice per row (measured 20s -> ~2s
+    # at sf0.1; same trap documented at dedup.py minhash_signatures).
     bench_grams = (
         doc_ngrams(bench, n)
-        .select(F.explode("g").alias("s"))
+        .select(F.explode_outer("g").alias("s"))
+        .where(F.col("s").isNotNull())
         .distinct()
     )
-    train_grams = doc_ngrams(train, n).select(
-        "doc_id", F.explode("g").alias("s")
+    train_grams = (
+        doc_ngrams(train, n)
+        .select("doc_id", F.explode_outer("g").alias("s"))
+        .where(F.col("s").isNotNull())
     )
     return (
         train_grams.join(F.broadcast(bench_grams), "s")
