@@ -1,0 +1,128 @@
+"""Corpus vocabulary induction + out-of-vocabulary scoring.
+
+A training pipeline needs a corpus-level view of its token
+distribution: which tokens make the vocabulary, and which documents
+are mostly tail tokens (OCR noise, boilerplate IDs, foreign scripts)
+— the standard "rare word ratio" quality gate.
+
+Two operators:
+
+- ``vocab_top``: corpus term frequencies, keeping the TOP-K tokens by
+  (tf desc, tok asc) — the fixed-size-vocabulary contract real
+  tokenizers use (a tf *threshold* is vacuous on the 31-token fixture
+  corpus: every token occurs 26+ times at sf0.01).  One explode + one
+  hash agg — the wordcount shuffle, map-side-combinable — then an
+  orderBy/limit over the (vocab-sized, tiny) frequency table.
+- ``oov_score``: per-doc whitespace-token total vs how many of those
+  occurrences fall OUTSIDE the vocabulary.  All integers, so the
+  DuckDB oracle is bit-exact.  The (tf, tok) tie-break makes the K-th
+  vocab slot deterministic across engines.
+
+100 TB shape: the vocabulary is K rows by construction, so it
+BROADCASTS — the scoring pass is scan -> explode -> broadcast
+left-anti -> hash agg, never a shuffle keyed on the (Zipf-skewed)
+token.  Joining tokens against a shuffled vocab table would put 'the'
+on one reducer; the broadcast anti-join keeps hot tokens
+embarrassingly parallel.  The vocab build itself IS token-keyed, but
+it's a partial-agg count (the combiner eats the skew before the
+exchange), and the top-K sort runs over vocab-cardinality rows, not
+corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import _words
+
+VOCAB_K = 24
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    # explode_outer + isNotNull (not plain explode): keeps the split
+    # from being re-inlined into a generated size()>0 filter.
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return (
+        w.select("doc_id", F.explode_outer("w").alias("tok"))
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+
+
+def vocab_top(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """(tok, tf) for the top-k tokens by corpus frequency,
+    deterministic under ties via the token string."""
+    return (
+        _doc_tokens(docs)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def oov_score(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """(doc_id, n_tokens, n_oov): token occurrences per doc, and how
+    many fall outside the top-k vocabulary.  Docs with no tokens are
+    kept (0, 0) — a quality gate must see empty docs, not drop them."""
+    toks = _doc_tokens(docs)
+    vocab = vocab_top(docs, k).select("tok")
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left_outer")
+        .join(oov, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+        )
+    )
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+
+def _q_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_score(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+QUERIES = {"text_oov_score": _q_oov}
+
+ORACLES = {
+    "text_oov_score": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+toks_ne AS (
+  SELECT doc_id, tok FROM toks WHERE tok IS NOT NULL AND tok <> ''
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS tf FROM toks_ne GROUP BY tok
+    ORDER BY tf DESC, tok ASC LIMIT {VOCAB_K}
+  )
+),
+oov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_oov
+  FROM toks_ne t ANTI JOIN vocab v USING (tok)
+  GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks_ne GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(o.n_oov, 0)::BIGINT AS n_oov
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN oov o ON d.doc_id = o.doc_id
+""",
+}
