@@ -1,0 +1,70 @@
+"""Plan pins for round-2 operators: decontamination, OOV scoring, and
+the new TPC-H guards.  Same contract as test_plans.py — assert the
+load-bearing plan property, not timings."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from quacfka_service_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schema,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, key):
+    return entry.queries()[key](spark, SF_DIR)
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    df = _q(spark, "corpus_decontaminate")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)  # bench gram set must broadcast
+    # only 3 exchanges: bench distinct + two-phase per-doc countDistinct
+    assert count_exchanges(df) == 3
+    # the n-gram Generate must not be duplicated into a pushed filter
+    # (the plain-explode InferFiltersFromGenerate trap): two Generates
+    # total — one per corpus side.
+    assert plan.count("(Generate") <= 2 or plan.count(") Generate") == 2
+
+
+def test_oov_score_never_shuffles_on_token(spark):
+    df = _q(spark, "text_oov_score")
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan and has_broadcast_join(df)
+    # exchanges: vocab wordcount + totals agg + oov agg = 3; none of
+    # them keyed on tok for a row join (LeftAnti is broadcast).
+    assert count_exchanges(df) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q6_is_pure_pushdown_scan(spark):
+    df = _q(spark, "tpch_q6")
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    rs = read_schema(df)
+    assert "l_orderkey" not in rs  # only the 4 referenced columns read
+    assert count_exchanges(df) == 1
+    assert has_partial_aggregation(df)
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    df = _q(spark, "tpch_q4")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in pushed_filters(df)  # quarter filter pushed
+
+
+def test_tpch_q18_aggregates_before_joining(spark):
+    df = _q(spark, "tpch_q18")
+    plan = formatted_plan(df)
+    # the per-orderkey quantity agg must sit BELOW the first join —
+    # i.e. partial aggregation exists and only one (agg) exchange.
+    assert has_partial_aggregation(df)
+    assert count_exchanges(df) == 1
+    assert has_broadcast_join(df)
