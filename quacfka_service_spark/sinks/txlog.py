@@ -401,6 +401,7 @@ class TxTable:
         min_files: int = 2,
         target_file_bytes: int = 128 * 1024 * 1024,
         where: dict[str, str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Bin-pack small files: for every partition (optionally
         restricted by ``where``) holding >= ``min_files`` files, rewrite
@@ -408,6 +409,11 @@ class TxTable:
         ``rewrite`` that removes exactly the inputs.  Streaming epochs
         land one small file per partition per trigger; OPTIMIZE is the
         standard repair (Delta OPTIMIZE / Iceberg rewrite_data_files).
+
+        ``cluster_by`` additionally range-sorts the rewrite on the
+        given columns (Delta ZORDER-by-one-dim / Iceberg sort-order
+        analog) so per-file min/max stats become disjoint and
+        ``live_files(ranges=...)`` skipping turns selective.
 
         Safe alongside writers: concurrent *appends* never conflict
         (their files are untouched); a concurrent commit that removed
@@ -435,7 +441,21 @@ class TxTable:
                 from pyspark.sql.types import StructType
 
                 reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
-            df = reader.parquet(*abs_paths).coalesce(int(n_out))
+            df = reader.parquet(*abs_paths)
+            if cluster_by:
+                # Range-cluster so each output file owns a disjoint
+                # slice of the cluster column: per-file min/max stats
+                # become selective and live_files(ranges=...) pruning
+                # actually skips (random row placement makes every
+                # file's range span the domain and nothing prunes).
+                # Partition cols lead the range key so a task writes
+                # into one hive dir.  Delta ZORDER / Iceberg sort-order
+                # compaction analog.
+                df = df.repartitionByRange(
+                    int(n_out), *(part_cols + list(cluster_by))
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                df = df.coalesce(int(n_out))
             adds.extend(self._stage(df, part_cols))
             rewritten.extend(files)
         if not rewritten:

@@ -386,3 +386,42 @@ def test_txlog_reprocess_after_checkpoint_reset_relands(spark, tmp_path):
     # batch mode (run_batch body): no txn, re-running re-lands
     pipe._export_batch(spark.read.parquet(src_dir), 0, streaming=False)
     assert t.read(spark).count() == 3 * n
+
+
+def test_optimize_cluster_by_makes_skipping_selective(spark, tmp_path):
+    """Interleaved appends give every file a full-domain id range, so
+    range pruning keeps all of them; optimize(cluster_by=['id']) must
+    produce disjoint per-file ranges where a point lookup prunes to a
+    strict subset — and reads stay correct."""
+    import pyspark.sql.functions as F
+
+    t = TxTable(str(tmp_path / "t"))
+    # 4 appends, each striping the whole 0..400 domain (id % 4 == i)
+    for i in range(4):
+        df = (
+            spark.range(0, 400)
+            .where(F.col("id") % 4 == i)
+            .select(F.col("id"), F.lit("a").alias("p"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+        t.append(df, ["p"])
+    all_before = t.live_files()
+    assert len(all_before) >= 4
+    # every file spans the domain: a point query prunes nothing
+    assert len(t.live_files(ranges={"id": (7, 7)})) == len(all_before)
+
+    res = t.optimize(spark, cluster_by=["id"], target_file_bytes=4096)
+    assert res["rewritten_files"] == len(all_before)
+    assert res["new_files"] >= 2  # forced multi-file rewrite
+
+    after = t.live_files()
+    hit = t.live_files(ranges={"id": (7, 7)})
+    assert len(hit) < len(after)  # skipping is now selective
+    # correctness: pruned read + predicate equals the full answer
+    got = t.read(spark, ranges={"id": (7, 7)}).where("id = 7")
+    assert [tuple(r) for r in got.collect()] == [(7, "a", 14)]
+    assert _rows(t.read(spark)) == _rows(
+        spark.range(0, 400).select(
+            F.col("id"), F.lit("a").alias("p"), (F.col("id") * 2).alias("v")
+        )
+    )
