@@ -54,6 +54,8 @@ HEADLINE = [
     "corpus_curation",
     "corpus_pack_blocks",
     "corpus_decontaminate",
+    "text_oov_score",
+    "corpus_mixture",
 ]
 
 
