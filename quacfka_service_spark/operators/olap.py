@@ -182,6 +182,46 @@ def json_extract_agg(ev: DataFrame) -> DataFrame:
     )
 
 
+def spike_hours(ev: DataFrame, num: int = 2, den: int = 1) -> DataFrame:
+    """Hourly volume anomalies per event_type: hours whose count
+    exceeds (num/den)x the trailing-24-observed-hours average.
+
+    The comparison is pure integer cross-multiplication —
+    ``cnt * n_prev * den > num * s_prev`` — never a float average, so
+    both engines agree bit-for-bit.  ROWS (not RANGE) frame over
+    *observed* hours: silent hours don't dilute the baseline (compose
+    with hourly_gap_fill upstream if zero-fill semantics are wanted).
+
+    100 TB shape: the hourly pre-aggregate collapses the event stream
+    to (type x hour) cardinality before the window; the window sorts
+    within each event_type partition — tiny after collapse."""
+    from pyspark.sql.window import Window
+
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    d = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count("cnt").over(w).alias("n_prev"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("long")).alias("s_prev"),
+    )
+    return (
+        d.where(
+            (F.col("n_prev") > 0)
+            & (F.col("cnt") * F.col("n_prev") * den > num * F.col("s_prev"))
+        )
+        .select(
+            "event_type",
+            F.col("hour").cast("string").alias("hour"),
+            "cnt", "n_prev", "s_prev",
+        )
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,6 +280,10 @@ def _q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_analytics(ev)
 
 
+def _q_spike_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spike_hours(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
@@ -252,6 +296,7 @@ QUERIES = {
     "events_approx_distinct": _q_approx_distinct,  # rows-only (HLL sketch)
     "events_gap_fill": _q_gap_fill,
     "events_window_analytics": _q_window_analytics,
+    "events_spike_hours": _q_spike_hours,
 }
 
 _DAY = "datetrunc('day', ts)::DATE::VARCHAR"
@@ -260,6 +305,23 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
+    "events_spike_hours": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, cnt,
+         count(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)::BIGINT AS n_prev,
+         coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s_prev
+  FROM hourly
+)
+SELECT event_type, hour::VARCHAR AS hour, cnt, n_prev, s_prev
+FROM w
+WHERE n_prev > 0 AND cnt * n_prev * 1 > 2 * s_prev
+""",
     "events_rollup": f"""
 WITH d AS (SELECT {_DAY} AS day, event_type FROM events)
 SELECT day, event_type, count(*) AS n,

@@ -86,6 +86,46 @@ def oov_score(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
     )
 
 
+MERGE_K = 20
+
+
+def bpe_merge_candidates(docs: DataFrame, k: int = MERGE_K) -> DataFrame:
+    """Top-k adjacent character pairs by corpus occurrence — the
+    statistic the first BPE merge iteration maximizes (full BPE is
+    iterative re-tokenization; the candidate count is the per-iteration
+    primitive and is what distributes: one explode + one wordcount-
+    style agg per iteration, driver picks the argmax merge).
+
+    Pairs are counted over token OCCURRENCES (frequency-weighted, as
+    BPE training does), per-position: 'aaa' contributes 'aa' twice.
+    Integer counts, (cnt desc, pair asc) tie-break — engine-exact.
+
+    100 TB shape: explode of length-1 window pairs streams through
+    codegen; the count agg is map-side combined on a key space bounded
+    by |charset|² — broadcast-sized output regardless of corpus."""
+    toks = _doc_tokens(docs)
+    # guard len>=2 BEFORE sequence(): Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]), it is not empty — a 1-char token would emit junk
+    # positions without the when().
+    grams = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.col("tok").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        toks.select(F.explode_outer(grams).alias("pair"))
+        .where(F.col("pair").isNotNull())
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -93,7 +133,13 @@ def _q_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_score(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
-QUERIES = {"text_oov_score": _q_oov}
+def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_candidates(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+QUERIES = {"text_oov_score": _q_oov, "tokenizer_merges": _q_bpe}
 
 ORACLES = {
     "text_oov_score": f"""
@@ -124,5 +170,21 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN totals t ON d.doc_id = t.doc_id
 LEFT JOIN oov o ON d.doc_id = o.doc_id
+""",
+    "tokenizer_merges": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                               i -> substring(tok, i, 2))) AS pair
+  FROM toks WHERE tok <> '' AND len(tok) >= 2
+)
+SELECT pair, count(*)::BIGINT AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT {MERGE_K}
 """,
 }

@@ -53,7 +53,7 @@ _MUST_BE_NONEMPTY = {
     "dedup_components", "dedup_near_keep", "corpus_curation",
     "corpus_pack_blocks", "pii_redact", "text_repetition",
     "events_retention", "events_funnel", "corpus_decontaminate",
-    "corpus_mixture",
+    "corpus_mixture", "events_spike_hours", "tokenizer_merges",
 }
 
 

@@ -39,3 +39,16 @@ def test_oov_score_counts(spark):
         (4, 0, 0),
         (5, 1, 1),   # epsilon OOV
     }
+
+
+def test_bpe_merge_candidates(spark):
+    from quacfka_service_spark.operators.vocab import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab x"), (2, "ab aaa")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = [(r["pair"], r["cnt"]) for r in bpe_merge_candidates(docs, k=10).collect()]
+    # 'aaa' x2 -> 'aa' 4 (per-position, twice per occurrence); 'ab' x2;
+    # 'x' too short to pair.  Ties impossible here; order (cnt desc, pair).
+    assert got == [("aa", 4), ("ab", 2)]
