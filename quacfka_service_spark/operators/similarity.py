@@ -70,6 +70,50 @@ def brute_force_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD)
     )
 
 
+def filtered_topk(
+    emb: DataFrame,
+    docs: DataFrame,
+    lang: str = "en",
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Metadata-filtered vector search (the RAG retrieval shape):
+    top-k cosine neighbors restricted to corpus vectors whose paired
+    document (vec_id = doc_id) passes a metadata predicate.
+
+    PRE-filtering, not post-filtering: the predicate lands on the
+    corpus side *before* scoring, so every query still gets k results
+    from the eligible set (post-filtering a top-k list can return
+    fewer than k — the classic filtered-ANN bug).  The doc-id keep set
+    semi-joins in; queries themselves are NOT filtered.
+
+    100 TB shape: identical to brute_force_topk (broadcast query set,
+    per-partition partial top-k) with one extra semi-join whose right
+    side is doc ids only — broadcast when the filter is selective,
+    shuffled semi otherwise; either way the vectors never move twice."""
+    keep = docs.where(F.col("lang") == lang).select(F.col("doc_id").alias("vec_id"))
+    d = _with_norm(emb)
+    corpus = d.join(keep, "vec_id", "left_semi")
+    q = d.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _bucket(vcol) -> object:
     """Sign-LSH bucket id: bit p set iff dot(v, hyperplane_p) > 0."""
     bits = []
@@ -261,8 +305,16 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtered_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
 QUERIES = {
     "similarity_topk": _q_topk,
+    "similarity_filtered_topk": _q_filtered_topk,
     "similarity_lsh_topk": _q_lsh_topk,  # rows-only (approximate path)
     "similarity_ivf_topk": _q_ivf_topk,  # rows-only (approximate path)
     "embedding_norm_stats": _q_norm_stats,
@@ -281,6 +333,27 @@ scored AS (
          list_dot_product(d.v, q.qv) / (d.nrm * q.qn) AS cos
   FROM d CROSS JOIN q
   WHERE d.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, cos, rank FROM (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+    "similarity_filtered_topk": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+corpus AS (SELECT d.* FROM d SEMI JOIN keep USING (vec_id)),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM d WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.qv) / (c.nrm * q.qn) AS cos
+  FROM corpus c CROSS JOIN q
+  WHERE c.vec_id <> q.q_id
 )
 SELECT q_id, neighbor_id, cos, rank FROM (
   SELECT q_id, neighbor_id, cos,

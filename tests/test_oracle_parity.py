@@ -54,7 +54,7 @@ _MUST_BE_NONEMPTY = {
     "corpus_pack_blocks", "pii_redact", "text_repetition",
     "events_retention", "events_funnel", "corpus_decontaminate",
     "corpus_mixture", "events_spike_hours", "tokenizer_merges",
-    "tpch_q15", "tpch_q22",
+    "tpch_q15", "tpch_q22", "similarity_filtered_topk",
 }
 
 
