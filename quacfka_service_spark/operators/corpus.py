@@ -19,18 +19,33 @@ a *global* cumsum would serialize onto one task at 100 TB, while
 per-source windows are embarrassingly parallel and match how training
 shards are actually laid out.
 
-100 TB shape: curation is filter -> (bucketed near-dup) -> broadcast
-semi-join -> hash projection; packing is one hash-partition + in-task
-sort per shard.  Nothing quadratic, nothing driver-side.
+100 TB shape: curation is filter -> near-dup pair emit -> connected
+components -> broadcast semi-join -> hash projection; packing is one
+hash-partition + in-task sort per shard.  The pair emitter is
+pluggable: the DEFAULT is the exact shingle self-join
+(``ngram_jaccard_pairs``) because DuckDB can reproduce it bit-exactly
+for the correctness gate, but it is quadratic in docs-per-shingle — at
+100 TB a hot shingle makes that join explode.  The scale path is
+``corpus_curation_lsh`` (registered below), which plugs in
+``minhash_lsh_pairs``: the only joins are (band, band_hash) bucket
+equi-joins plus a candidate-only exact verify, so cost tracks true
+near-duplicates rather than corpus².
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from .dedup import connected_components, neardup_keep_canonical, ngram_jaccard_pairs
+from .dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    neardup_keep_canonical,
+    ngram_jaccard_pairs,
+)
 from .split import BUCKETS, TRAIN_PCT, VAL_PCT, assign_split
 from .text import _words, lang_id, text_quality
 
@@ -44,6 +59,7 @@ def corpus_curation(
     *,
     min_quality: float = MIN_QUALITY,
     langs: tuple[str, ...] = KEEP_LANGS,
+    pair_emitter: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """lang-ID filter -> quality filter -> near-dup keep-canonical ->
     train/val/test split, one plan end to end.
@@ -52,8 +68,15 @@ def corpus_curation(
     dropping a low-quality doc must not let its near-duplicate survive
     via a broken chain — the component map is rebuilt on the filtered
     population, which is also the cheaper order (filters prune before
-    the shingle join).
+    the pair join).
+
+    ``pair_emitter`` maps the filtered (doc_id, text, ...) frame to
+    (doc_a, doc_b, ...) near-dup pairs.  Default: the exact shingle
+    self-join (oracle-reproducible; quadratic in docs-per-shingle).
+    Pass ``minhash_lsh_pairs`` for the bucketed 100 TB path — that's
+    what ``corpus_curation_lsh`` registers.
     """
+    emit = ngram_jaccard_pairs if pair_emitter is None else pair_emitter
     filtered = (
         docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
         .join(
@@ -62,9 +85,7 @@ def corpus_curation(
         .where(F.col("quality") >= min_quality)
         .select("doc_id", "text", "lang_pred", "quality")
     )
-    comp = connected_components(
-        ngram_jaccard_pairs(filtered).select("doc_a", "doc_b")
-    )
+    comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
     kept = neardup_keep_canonical(filtered, comp)
     return (
         assign_split(filtered.join(kept, "doc_id"), "doc_id")
@@ -110,9 +131,22 @@ def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pack_blocks(load_table(spark, sf_dir, "documents"))
 
 
+def _q_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB curation pipeline: MinHash-LSH pair emitter instead of
+    the exact shingle self-join.  Rows-only driver check (the LSH
+    signatures use engine-specific hashes DuckDB can't reproduce);
+    tests/test_corpus.py pins non-vacuity (it actually removes
+    near-dups at sf0.01) and the plan shape (no shingle-string
+    self-join)."""
+    return corpus_curation(
+        load_table(spark, sf_dir, "documents"), pair_emitter=minhash_lsh_pairs
+    )
+
+
 QUERIES = {
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
+    "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
 }
 
 # DuckDB oracles compose the already-verified per-stage SQL: the lang

@@ -182,7 +182,13 @@ def json_extract_agg(ev: DataFrame) -> DataFrame:
     )
 
 
-def spike_hours(ev: DataFrame, num: int = 2, den: int = 1) -> DataFrame:
+# Spike threshold num/den shared by spike_hours defaults AND the
+# DuckDB oracle f-string below — one source of truth (ADVICE r2).
+SPIKE_NUM = 2
+SPIKE_DEN = 1
+
+
+def spike_hours(ev: DataFrame, num: int = SPIKE_NUM, den: int = SPIKE_DEN) -> DataFrame:
     """Hourly volume anomalies per event_type: hours whose count
     exceeds (num/den)x the trailing-24-observed-hours average.
 
@@ -305,7 +311,7 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
-    "events_spike_hours": """
+    "events_spike_hours": f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS cnt
   FROM events GROUP BY 1, 2
@@ -320,7 +326,7 @@ w AS (
 )
 SELECT event_type, hour::VARCHAR AS hour, cnt, n_prev, s_prev
 FROM w
-WHERE n_prev > 0 AND cnt * n_prev * 1 > 2 * s_prev
+WHERE n_prev > 0 AND cnt * n_prev * {SPIKE_DEN} > {SPIKE_NUM} * s_prev
 """,
     "events_rollup": f"""
 WITH d AS (SELECT {_DAY} AS day, event_type FROM events)

@@ -32,6 +32,15 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
 
 
+def count_generates(df: DataFrame) -> int:
+    """Generate (explode) nodes in the formatted plan — numbered detail
+    entries only, mirroring count_exchanges.  Guards the
+    InferFiltersFromGenerate duplication trap: a plain explode over a
+    computed array re-inlines the whole expression into a pushed
+    size()>0 filter, doubling the Generate count."""
+    return len(re.findall(r"^\(\d+\) Generate", formatted_plan(df), re.MULTILINE))
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 

@@ -1,9 +1,70 @@
 """Hand-built semantics checks for corpus packing (operators/corpus.py);
-corpus_curation is covered end-to-end by the oracle-parity gate."""
+corpus_curation is covered end-to-end by the oracle-parity gate.
+corpus_curation_lsh (the 100 TB path) gets a non-vacuity check and a
+plan pin here since its engine-hash signatures have no DuckDB oracle."""
 
 from __future__ import annotations
 
-from quacfka_service_spark.operators.corpus import corpus_pack_blocks
+import re
+
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.corpus import (
+    KEEP_LANGS,
+    MIN_QUALITY,
+    corpus_curation,
+    corpus_pack_blocks,
+)
+from quacfka_service_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from quacfka_service_spark.operators.text import lang_id, text_quality
+from quacfka_service_spark.plans.inspect import formatted_plan
+from quacfka_service_spark.session import load_table
+
+from .conftest import SF_DIR_MID
+
+
+def _shingle_string_join_keys(plan: str) -> list[str]:
+    """Join-key lines binding the exploded shingle STRING column — the
+    signature of the exact quadratic pair join (`s` is the explode
+    alias in both ngram_jaccard_pairs and minhash_signatures, but only
+    the exact path ever uses it as a join key)."""
+    return [
+        l.strip()
+        for l in plan.splitlines()
+        if re.search(r"keys \[\d+\]: \[s#\d+\]", l)
+    ]
+
+
+def test_curation_lsh_plan_has_no_shingle_self_join(spark):
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    lsh_plan = formatted_plan(minhash_lsh_pairs(docs))
+    exact_plan = formatted_plan(ngram_jaccard_pairs(docs))
+    # sanity: the marker does detect the exact emitter's quadratic join
+    assert _shingle_string_join_keys(exact_plan), "marker lost its teeth"
+    # the scale path never joins on raw shingle strings ...
+    assert not _shingle_string_join_keys(lsh_plan)
+    # ... and really is the MinHash path (signature hashing present)
+    assert "xxhash64" in lsh_plan and "xxhash64" not in exact_plan
+
+
+def test_curation_lsh_nonvacuous_at_sf001(spark):
+    """The LSH curation variant must actually remove near-dups on the
+    fixture corpus (guards against a wiring bug making the rows-only
+    driver check vacuous)."""
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    filtered_n = (
+        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id")
+        .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
+        .where(F.col("quality") >= MIN_QUALITY)
+        .count()
+    )
+    out = corpus_curation(docs, pair_emitter=minhash_lsh_pairs)
+    n = out.count()
+    assert 0 < n < filtered_n, (n, filtered_n)
+    assert out.columns == ["doc_id", "lang_pred", "quality", "split"]
 
 
 def test_pack_blocks_boundary_crossing(spark):

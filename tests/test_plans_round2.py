@@ -7,6 +7,7 @@ from __future__ import annotations
 import __spark_entry__ as entry
 from quacfka_service_spark.plans.inspect import (
     count_exchanges,
+    count_generates,
     formatted_plan,
     has_broadcast_join,
     has_partial_aggregation,
@@ -29,8 +30,9 @@ def test_decontaminate_broadcasts_bench_grams(spark):
     assert count_exchanges(df) == 3
     # the n-gram Generate must not be duplicated into a pushed filter
     # (the plain-explode InferFiltersFromGenerate trap): two Generates
-    # total — one per corpus side.
-    assert plan.count("(Generate") <= 2 or plan.count(") Generate") == 2
+    # total — one per corpus side.  (ADVICE r2: the old string-count
+    # guard matched nothing in formatted output and was vacuous.)
+    assert count_generates(df) == 2, plan
 
 
 def test_oov_score_never_shuffles_on_token(spark):

@@ -34,9 +34,7 @@ def test_unverified_keys_lead_the_window():
 
 def test_priority_keys_all_exist():
     keys = set(entry.queries().keys())
-    ghosts = MUST_BE_IN_WINDOW - keys - {"corpus_curation_lsh"}
-    # corpus_curation_lsh is registered later in round 3; every other
-    # priority key must already exist so the priority list can't rot.
+    ghosts = MUST_BE_IN_WINDOW - keys
     assert not ghosts, f"priority list names unknown keys: {sorted(ghosts)}"
 
 
