@@ -120,6 +120,37 @@ def corpus_pack_blocks(docs: DataFrame, block_tokens: int = BLOCK_TOKENS) -> Dat
     )
 
 
+SHUFFLE_SALT = "epoch-0"
+
+
+def corpus_shuffle_order(docs: DataFrame, salt: str = SHUFFLE_SALT) -> DataFrame:
+    """(doc_id, order_idx): deterministic pseudo-random global training
+    order — rank of md5(salt || doc_id).  Reshuffling between epochs =
+    changing ``salt``; no RNG, so any worker can recompute any index.
+
+    100 TB shape: a naive dense rank is a GLOBAL sort (one task).
+    Instead the md5 key's first byte pre-shards the sort: ordering by
+    (shard, rest-of-key) IS md5 order, so each shard ranks
+    independently (256-way parallel window) and the global index is
+    intra-shard rank + the (broadcast, 256-row) running offset of
+    earlier shards.  One corpus shuffle total, no single-task sort.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("k"), F.substring(key, 1, 2).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    ranked = keyed.select("doc_id", "shard", F.row_number().over(w).alias("intra"))
+    counts = keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    # 256 rows: the running offset window is effectively free
+    off_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(off_w), F.lit(0).cast("long")).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .select("doc_id", (F.col("off") + F.col("intra") - 1).cast("long").alias("order_idx"))
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -143,10 +174,15 @@ def _q_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_shuffle_order(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
+    "corpus_shuffle_order": _q_shuffle_order,
 }
 
 # DuckDB oracles compose the already-verified per-stage SQL: the lang
@@ -230,6 +266,11 @@ SELECT f.doc_id, f.lang_pred, f.quality,
             WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM filtered f JOIN b USING (doc_id)
+""",
+    "corpus_shuffle_order": f"""
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5('{SHUFFLE_SALT}:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT AS order_idx
+FROM documents
 """,
     "corpus_pack_blocks": f"""
 WITH t AS (

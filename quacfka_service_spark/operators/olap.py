@@ -118,6 +118,26 @@ def approx_distinct(ev: DataFrame) -> DataFrame:
     )
 
 
+HIST_WIDTH = 25
+
+
+def value_histogram(ev: DataFrame, width: int = HIST_WIDTH) -> DataFrame:
+    """Fixed-width value histogram per event_type: bucket i covers
+    [i*width, (i+1)*width).  The bucket id is floor(decimal / int) —
+    exact on both engines (casting the double to DECIMAL(18,6) first
+    pins the boundary behavior; a double division could put 24.999...
+    vs 25.0 in different buckets per engine).
+
+    100 TB shape: one map-side-combined hash agg on a key space
+    bounded by |event_types| x (value_range/width) — broadcast-sized
+    output, single shuffle, same plan as any wordcount."""
+    bucket = F.floor(F.col("value").cast("decimal(18,6)") / F.lit(width)).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def hourly_gap_fill(ev: DataFrame) -> DataFrame:
     """Hypertable-style rollup: per-hour event counts over a COMPLETE
     hour spine (min..max hour), empty hours as n=0.  The spine comes
@@ -290,6 +310,10 @@ def _q_spike_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spike_hours(load_table(spark, sf_dir, "events"))
 
 
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
@@ -303,6 +327,7 @@ QUERIES = {
     "events_gap_fill": _q_gap_fill,
     "events_window_analytics": _q_window_analytics,
     "events_spike_hours": _q_spike_hours,
+    "events_histogram": _q_histogram,
 }
 
 _DAY = "datetrunc('day', ts)::DATE::VARCHAR"
@@ -311,6 +336,13 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
+    "events_histogram": f"""
+SELECT event_type,
+       floor(CAST(value AS DECIMAL(18,6)) / {HIST_WIDTH})::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY 1, 2
+""",
     "events_spike_hours": f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS cnt

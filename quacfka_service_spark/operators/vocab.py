@@ -86,6 +86,53 @@ def oov_score(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
     )
 
 
+def rarity_score(docs: DataFrame, head_k: int = VOCAB_K) -> DataFrame:
+    """(doc_id, n_tokens, rarity): integer surprisal proxy — each token
+    occurrence contributes ``total_corpus_tokens div tf(token)`` (a
+    rare tf=1 token adds the whole corpus size; 'the' adds ~1).  Pure
+    integer division, so the DuckDB oracle is bit-exact — no log()
+    whose last ulp differs between libm and the JVM.
+
+    100 TB shape (the skew-aware token join): scoring needs tf per
+    token occurrence, and a plain shuffle join on token puts every
+    'the' on one reducer.  Split the frequency table: the top
+    ``head_k`` tokens (the Zipf head that causes the skew — and by
+    Zipf's law the vast majority of occurrences) BROADCAST; only tail
+    tokens, which are rare by construction and therefore evenly
+    spread, take the shuffle join.  The wordcount agg itself is
+    map-side combined as usual.
+    """
+    toks = _doc_tokens(docs)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").cast("long").alias("total"))
+    weights = (
+        tf.crossJoin(F.broadcast(total))
+        .select("tok", F.expr("total div tf").cast("long").alias("wt"))
+    )
+    head = (
+        tf.orderBy(F.desc("tf"), F.asc("tok")).limit(head_k).select("tok")
+    )
+    head_w = weights.join(F.broadcast(head), "tok")
+    tail_w = weights.join(F.broadcast(head), "tok", "left_anti")
+    scored = (
+        toks.join(F.broadcast(head_w), "tok")
+        .unionByName(toks.join(tail_w, "tok"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("wt").cast("long").alias("rarity"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("rarity", F.lit(0).cast("long")).alias("rarity"),
+        )
+    )
+
+
 MERGE_K = 20
 
 
@@ -139,9 +186,38 @@ def _q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"text_oov_score": _q_oov, "tokenizer_merges": _q_bpe}
+def _q_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rarity_score(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+QUERIES = {
+    "text_oov_score": _q_oov,
+    "tokenizer_merges": _q_bpe,
+    "text_rarity_score": _q_rarity,
+}
 
 ORACLES = {
+    "text_rarity_score": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+toks_ne AS (
+  SELECT doc_id, tok FROM toks WHERE tok IS NOT NULL AND tok <> ''
+),
+tf AS (SELECT tok, count(*)::BIGINT AS tf FROM toks_ne GROUP BY tok),
+tot AS (SELECT sum(tf)::BIGINT AS total FROM tf),
+w AS (SELECT tok, (total // tf)::BIGINT AS wt FROM tf, tot),
+per_doc AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(w.wt)::BIGINT AS rarity
+  FROM toks_ne t JOIN w USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.rarity, 0)::BIGINT AS rarity
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
     "text_oov_score": f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

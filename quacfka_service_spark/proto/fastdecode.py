@@ -69,9 +69,26 @@ def _handler(name: str, kind: str, subname: str | None, packed: bool) -> list[st
         out.append(_VARINT.format(v="ln"))
         out.append(f"v_{name} = buf[pos:pos+ln].decode('utf-8'); pos += ln")
     elif kind in ("int32", "int64"):
-        out.append(_VARINT.format(v="v"))
-        out.append(_SIGN32 if kind == "int32" else _SIGN64)
-        out.append(f"v_{name} = v")
+        # 1-byte fast path NEVER needs sign reinterpretation (0..127):
+        # fold the sign fix into the multi-byte branch only — saves two
+        # comparisons on the overwhelmingly common case.
+        sign = _SIGN32 if kind == "int32" else _SIGN64
+        out.append(
+            f"b = buf[pos]; pos += 1\n"
+            f"if b < 128:\n"
+            f"    v_{name} = b\n"
+            f"else:\n"
+            f"    v = b & 127; shift = 7\n"
+            f"    while True:\n"
+            f"        b = buf[pos]; pos += 1\n"
+            f"        if b < 128:\n"
+            f"            v |= b << shift; break\n"
+            f"        v |= (b & 127) << shift; shift += 7\n"
+            f"        if shift >= 70:\n"
+            f"            raise ValueError('varint too long')\n"
+            + _indent(sign, "    ")
+            + f"\n    v_{name} = v"
+        )
     elif kind == "float":
         out.append(f"v_{name} = _uf(buf, pos)[0]; pos += 4")
     elif kind == "message":
@@ -125,7 +142,12 @@ def _emit_tree(
 
 def _gen_one(spec: dict, fname: str, subnames: dict[int, str], lines: list[str]) -> None:
     """Append the source of one specialized decoder to ``lines``."""
-    lines.append(f"def {fname}(buf, pos, end):")
+    # bind module-level helpers as default args: locals are one C-array
+    # index vs a dict lookup per use (_uf per float field, _skip per
+    # unknown field, submessage decoders per nested message)
+    deps = sorted(set(subnames.values()))
+    extra = "".join(f", {d}={d}" for d in deps)
+    lines.append(f"def {fname}(buf, pos, end, _uf=_uf, _skip=_skip{extra}):")
     for num in spec:
         name, kind, _sub = spec[num]
         if kind == "string":

@@ -55,6 +55,7 @@ _MUST_BE_NONEMPTY = {
     "events_retention", "events_funnel", "corpus_decontaminate",
     "corpus_mixture", "events_spike_hours", "tokenizer_merges",
     "tpch_q15", "tpch_q22", "similarity_filtered_topk",
+    "text_rarity_score", "corpus_shuffle_order", "events_histogram",
 }
 
 
