@@ -119,9 +119,12 @@ def main() -> None:
     #                              insert-ready dual-output rows)
     #   ingest_query_mb_per_sec  = the old full chain incl. hourly agg
     #                              (round-over-round continuity)
+    # min-of-6: the chain's steady state (codegen + python-worker JIT
+    # warm) only stabilizes after ~3 executions from a cold JVM — 4
+    # runs measured ~15% under the same chain's warm-session number.
     def _time_chain(chain, **kw) -> float:
         best = float("inf")
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             chain(
                 decode_bidrequests(src, confluent_prefix=True, ts_suffix=True, **kw)
@@ -176,6 +179,13 @@ def main() -> None:
             spark.catalog.clearCache()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+
+    # steady-state ingest: the same projected chain re-timed now that
+    # the session is fully warm (JIT across scan/shuffle/python-worker
+    # paths).  The cold-start number above is what a fresh ingest job's
+    # first minutes look like; this is its cruise speed — a long-lived
+    # 100 TB ingest cluster runs at the warm number.
+    ingest_warm_best = _time_chain(normalize_bidreq, project=NORMALIZE_FIELDS)
 
     # skew handling under measurement — the skew story as numbers, not a
     # claim.  Two sub-cases, both with a deliberately hot key:
@@ -295,6 +305,7 @@ def main() -> None:
         "ingest_rows_per_sec": int(n_msgs / ingest_best),
         "ingest_fullwidth_rows_per_sec": int(n_msgs / ingest_full_best),
         "ingest_mb_per_sec": round(n_bytes / ingest_best / 1e6, 1),
+        "ingest_warm_mb_per_sec": round(n_bytes / ingest_warm_best / 1e6, 1),
         "ingest_query_mb_per_sec": round(n_bytes / ingest_query_best / 1e6, 1),
         "ingest_note": (
             "codegen python wire-codec, mapInArrow, decoder-projection; "

@@ -51,12 +51,13 @@ def partition_enumeration(bidreq: DataFrame) -> DataFrame:
     )
 
 
-def hourly_agg(norm: DataFrame) -> DataFrame:
-    """A2 (main.go:109-125), the flagship: GROUP BY ALL over
-    (date, hour, pub_id, device_id, resolution, deal) with exact
-    count(distinct bidreq_id) AS requests."""
+def hourly_flat(norm: DataFrame) -> DataFrame:
+    """The pre-aggregate projection of hourly_agg: one row per input
+    with the six group columns + bidreq_id.  Split out so the
+    incremental maintainer (streaming/incremental_agg.py) can keep the
+    DISTINCT of exactly these rows as its merge base."""
     ts = epoch_ms_to_ts(F.col("event_time"))
-    flat = norm.select(
+    return norm.select(
         to_day_date(ts).cast("string").alias("date"),
         extract_hour(ts).alias("hour"),
         F.col("pub_id"),
@@ -65,6 +66,13 @@ def hourly_agg(norm: DataFrame) -> DataFrame:
         F.col("deal"),
         F.col("bidreq_id"),
     )
+
+
+def hourly_agg(norm: DataFrame) -> DataFrame:
+    """A2 (main.go:109-125), the flagship: GROUP BY ALL over
+    (date, hour, pub_id, device_id, resolution, deal) with exact
+    count(distinct bidreq_id) AS requests."""
+    flat = hourly_flat(norm)
     return flat.groupBy("date", "hour", "pub_id", "device_id", "resolution", "deal").agg(
         F.countDistinct("bidreq_id").alias("requests")
     )

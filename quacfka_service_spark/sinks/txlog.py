@@ -388,11 +388,14 @@ class TxTable:
         adds = self._stage(df, partition_by or [])
         return self._commit_loop(adds, "overwrite", df.schema.json())
 
-    def replace_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
+    def replace_partitions(self, df: DataFrame, partition_by: list[str],
+                           txn: dict[str, Any] | None = None) -> int:
         """Dynamic-partition-overwrite semantics with real isolation:
-        atomically swap exactly the partitions present in ``df``."""
+        atomically swap exactly the partitions present in ``df``.
+        ``txn`` = {app_id, epoch} makes a replayed streaming epoch a
+        true no-op (same contract as append)."""
         adds = self._stage(df, partition_by)
-        return self._commit_loop(adds, "replace_partitions", df.schema.json())
+        return self._commit_loop(adds, "replace_partitions", df.schema.json(), txn=txn)
 
     def optimize(
         self,
