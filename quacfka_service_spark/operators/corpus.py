@@ -120,6 +120,76 @@ def corpus_pack_blocks(docs: DataFrame, block_tokens: int = BLOCK_TOKENS) -> Dat
     )
 
 
+# Gopher-style dup-word gate: the sf0.01 fixture's dup_word_frac spans
+# 0–0.72 (p90 ≈ 0.68), so 0.65 discriminates; 0.9 never fired (vacuous).
+MAX_DUP_WORD_FRAC = 0.65
+
+# reason-code bits (integer bitmask — exact across engines)
+REASON_LANG = 1
+REASON_QUALITY = 2
+REASON_REPETITION = 4
+
+
+def corpus_quality_gate(
+    docs: DataFrame,
+    *,
+    min_quality: float = MIN_QUALITY,
+    langs: tuple[str, ...] = KEEP_LANGS,
+    max_dup_word_frac: float = MAX_DUP_WORD_FRAC,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, keep, reasons): the per-document curation verdict with
+    WHY — a real pipeline never just drops a doc, it records which gate
+    fired (corpus debugging, per-source quality dashboards, appeal
+    review).  ``reasons`` is a bitmask (1 = lang, 2 = quality,
+    4 = repetition); keep = 1 iff reasons = 0.  Integer codes keep the
+    oracle bit-exact.
+
+    ``lang_col``: trust an upstream language tag (e.g. the crawler's)
+    instead of the stopword predictor — the registered gate query uses
+    the fixture's ``lang`` column because the predictor is degenerate
+    on the synthetic word-soup corpus (predicts 'en' for ~everything,
+    which would make the lang bit vacuous).
+
+    One declarative plan: the three signal frames join on doc_id and
+    Catalyst fuses the projections; nothing materializes per gate.
+    100 TB shape: all three signals are 0-1-shuffle column algebra
+    (see their own operators); the composition adds joins keyed on
+    doc_id only."""
+    from .repetition import repetition_signals
+
+    if lang_col is None:
+        lang = lang_id(docs).select(
+            "doc_id", F.col("lang_pred").isin(*langs).alias("lang_ok")
+        )
+    else:
+        lang = docs.select(
+            "doc_id", F.col(lang_col).isin(*langs).alias("lang_ok")
+        )
+    qual = text_quality(docs).select(
+        "doc_id", (F.col("quality") >= min_quality).alias("qual_ok")
+    )
+    rep = repetition_signals(docs).select(
+        "doc_id", (F.col("dup_word_frac") <= max_dup_word_frac).alias("rep_ok")
+    )
+    reasons = (
+        F.when(~F.col("lang_ok"), REASON_LANG).otherwise(0)
+        + F.when(~F.col("qual_ok"), REASON_QUALITY).otherwise(0)
+        + F.when(~F.col("rep_ok"), REASON_REPETITION).otherwise(0)
+    ).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.when(reasons == 0, 1).otherwise(0).cast("long").alias("keep"),
+            reasons.alias("reasons"),
+        )
+    )
+
+
 SHUFFLE_SALT = "epoch-0"
 
 
@@ -178,11 +248,18 @@ def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle_order(load_table(spark, sf_dir, "documents"))
 
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_quality_gate(
+        load_table(spark, sf_dir, "documents"), lang_col="lang"
+    )
+
+
 QUERIES = {
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
     "corpus_shuffle_order": _q_shuffle_order,
+    "corpus_quality_gate": _q_quality_gate,
 }
 
 # DuckDB oracles compose the already-verified per-stage SQL: the lang
@@ -266,6 +343,34 @@ SELECT f.doc_id, f.lang_pred, f.quality,
             WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM filtered f JOIN b USING (doc_id)
+""",
+    "corpus_quality_gate": f"""
+WITH wq AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+lang AS (SELECT doc_id, lang AS lang_pred FROM documents),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM wq),
+rep AS (
+  SELECT doc_id,
+         (len(w)::BIGINT - len(list_distinct(w))::BIGINT) / len(w)::BIGINT AS dup_word_frac
+  FROM wq
+),
+verdict AS (
+  SELECT d.doc_id,
+         (CASE WHEN l.lang_pred NOT IN ({_LANGS_IN}) THEN {REASON_LANG} ELSE 0 END
+          + CASE WHEN q.quality < {MIN_QUALITY} THEN {REASON_QUALITY} ELSE 0 END
+          + CASE WHEN r.dup_word_frac > {MAX_DUP_WORD_FRAC} THEN {REASON_REPETITION} ELSE 0 END
+         )::BIGINT AS reasons
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id)
+)
+SELECT doc_id,
+       (CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep,
+       reasons
+FROM verdict
 """,
     "corpus_shuffle_order": f"""
 SELECT doc_id,

@@ -152,6 +152,46 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     )
 
 
+SPAN_WORDS = 8
+SPAN_MIN_DOCS = 2
+
+
+def span_dedup(
+    docs: DataFrame, span_words: int = SPAN_WORDS, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """Cross-document duplicated spans: every rolling ``span_words``-word
+    window appearing in >= ``min_docs`` distinct docs, with its doc and
+    occurrence counts — the line/passage-dedup signal (boilerplate,
+    licenses, templated headers) that document-level near-dup misses.
+
+    100 TB shape: one explode (linear in corpus tokens) + one partial-
+    agg groupBy.  The two-phase distinct-count keeps the hot-span key
+    combinable; at production scale you'd group by xxhash64(span) to
+    shrink shuffle width — the gate groups by the span STRING because
+    md5/xxhash of it must then round-trip through the oracle, and the
+    string is the portable form."""
+    w = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    spans = F.when(
+        F.size("w") >= span_words,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (span_words - 1)),
+            lambda i: F.array_join(F.slice("w", i, span_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        w.select("doc_id", F.explode_outer(spans).alias("span"))
+        .where(F.col("span").isNotNull())
+    )
+    return (
+        ex.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """32 MinHash values per doc: shingle -> xxhash64 -> fold to 32
     bits -> min over (a*h+b) mod (2^31-1) per permutation.
@@ -447,9 +487,14 @@ def _q_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_keep_canonical(docs, comp)
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dedup(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "dedup_keep_first": _q_dedup_keep_first,
+    "dedup_spans": _q_span_dedup,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
     "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
@@ -471,6 +516,19 @@ sh AS (
 """
 
 ORACLES = {
+    "dedup_spans": f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - {SPAN_WORDS - 1}),
+                               i -> array_to_string(w[i:i+{SPAN_WORDS - 1}], ' '))) AS span
+  FROM w WHERE len(w) >= {SPAN_WORDS}
+)
+SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occurrences
+FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
 FROM documents GROUP BY 1
