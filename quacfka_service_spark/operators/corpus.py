@@ -190,6 +190,31 @@ def corpus_quality_gate(
     )
 
 
+def corpus_source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus dashboard: doc count, distinct-text count
+    (exact-dup rate is n_docs - n_distinct_texts), token and char
+    totals.  All integer aggregates — bit-exact across engines; the
+    float metrics (mean quality etc.) live in their own operators
+    where their engine-portability is handled individually.
+
+    100 TB shape: one map-side-combined agg keyed on source (source
+    cardinality is dashboard-sized); the distinct-text count is the
+    standard two-phase expand — no row ever carries its full text into
+    the shuffle (md5 first)."""
+    toks = F.size(_words(F.col("text"))).cast("long")
+    return (
+        docs.select("source", F.md5("text").alias("h"), toks.alias("n_toks"),
+                    F.length("text").cast("long").alias("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct_texts"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
 SHUFFLE_SALT = "epoch-0"
 
 
@@ -254,12 +279,17 @@ def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_source_stats(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
     "corpus_shuffle_order": _q_shuffle_order,
     "corpus_quality_gate": _q_quality_gate,
+    "corpus_source_stats": _q_source_stats,
 }
 
 # DuckDB oracles compose the already-verified per-stage SQL: the lang
@@ -343,6 +373,15 @@ SELECT f.doc_id, f.lang_pred, f.quality,
             WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM filtered f JOIN b USING (doc_id)
+""",
+    "corpus_source_stats": """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
+       sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars
+FROM documents
+GROUP BY source
 """,
     "corpus_quality_gate": f"""
 WITH wq AS (

@@ -56,7 +56,8 @@ _MUST_BE_NONEMPTY = {
     "corpus_mixture", "events_spike_hours", "tokenizer_merges",
     "tpch_q15", "tpch_q22", "similarity_filtered_topk",
     "text_rarity_score", "corpus_shuffle_order", "events_histogram",
-    "dedup_spans", "corpus_quality_gate",
+    "dedup_spans", "corpus_quality_gate", "corpus_source_stats",
+    "similarity_range_search",
 }
 
 
