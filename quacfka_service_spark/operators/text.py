@@ -159,6 +159,41 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def text_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Web-corpus text normalization: strip HTML-ish tags, drop control
+    characters, collapse runs of whitespace, trim.  Emits the cleaned
+    text plus audit counters (tags removed, chars delta) — a cleaning
+    stage that can't report what it changed is undebuggable at corpus
+    scale.  Pure regexp_replace chain: zero shuffles, codegen, and the
+    same Java-regex-portable character classes as pii_redact."""
+    t = F.col(text_col)
+    n_tags = F.size(F.regexp_extract_all(t, F.lit(r"<[^>]+>"), F.lit(0))).cast("long")
+    no_tags = F.regexp_replace(t, r"<[^>]+>", " ")
+    no_ctrl = F.regexp_replace(no_tags, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    clean = F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_tags.alias("n_tags_removed"),
+        (F.length(t) - F.length(clean)).cast("long").alias("chars_removed"),
+    )
+
+
+def _dirty(docs: DataFrame) -> DataFrame:
+    """Deterministically append synthetic markup/control dirt derived
+    from doc_id (same planted pattern as privacy._planted — the fixture
+    corpus is already clean, so cleaning it would be vacuous)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" <b>ad-"),
+            F.col("doc_id").cast("string"),
+            F.lit("</b>\t\tcall  now!<br/>\x07 "),
+        ).alias("text"),
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +220,10 @@ def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_clean(_dirty(load_table(spark, sf_dir, "documents")))
+
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "text_lang_id": _q_lang_id,
@@ -192,6 +231,7 @@ QUERIES = {
     "text_fingerprint": _q_fingerprint,
     "text_rolling_fp": _q_rolling_fp,
     "text_top_bigrams": _q_top_bigrams,
+    "text_clean": _q_text_clean,
 }
 
 
@@ -214,6 +254,26 @@ for _i, _lg in enumerate(_LANG_ORDER):
 _LANG_CASE += "END"
 
 ORACLES = {
+    "text_clean": r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' <b>ad-' || doc_id::VARCHAR || '</b>' || chr(9) || chr(9)
+              || 'call  now!<br/>' || chr(7) || ' ' AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '<[^>]+>'))::BIGINT AS n_tags,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             text, '<[^>]+>', ' ', 'g'),
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS clean
+  FROM dirty
+)
+SELECT doc_id, clean AS clean_text, n_tags AS n_tags_removed,
+       (length(text) - length(clean))::BIGINT AS chars_removed
+FROM c
+""",
     "text_quality": f"""
 WITH d AS (
   SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents

@@ -57,7 +57,7 @@ _MUST_BE_NONEMPTY = {
     "tpch_q15", "tpch_q22", "similarity_filtered_topk",
     "text_rarity_score", "corpus_shuffle_order", "events_histogram",
     "dedup_spans", "corpus_quality_gate", "corpus_source_stats",
-    "similarity_range_search",
+    "similarity_range_search", "text_clean",
 }
 
 

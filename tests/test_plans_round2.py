@@ -70,3 +70,41 @@ def test_tpch_q18_aggregates_before_joining(spark):
     assert has_partial_aggregation(df)
     assert count_exchanges(df) == 1
     assert has_broadcast_join(df)
+
+
+def test_dynamic_partition_pruning_on_hive_lake(spark, tmp_path):
+    """Dynamic partition pruning: joining the hive-partitioned lake
+    against a FILTERED dim must inject a runtime subquery filter on the
+    partition column (the fact scan's files are chosen at execution
+    time from the dim's surviving keys — at 100 TB this is the
+    difference between scanning one hour-partition and all 8,760).
+    Static pruning is already pinned elsewhere; this pins the dynamic
+    path Catalyst uses when the partition keys are only known at run
+    time."""
+    from pyspark.sql import functions as F
+
+    from quacfka_service_spark.plans.inspect import formatted_plan
+
+    lake = str(tmp_path / "lake")
+    (
+        spark.range(0, 10_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 24).cast("string").alias("hour"),
+            (F.col("id") * 3).alias("v"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("hour")
+        .parquet(lake)
+    )
+    fact = spark.read.parquet(lake)
+    dim = (
+        spark.range(0, 24)
+        .select(F.col("id").cast("string").alias("hour"), F.lit("x").alias("attr"))
+        .where(F.col("hour") == "7")
+    )
+    joined = fact.join(dim, "hour").agg(F.sum("v").alias("s"))
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning reaches the fact scan's partition filters
+    assert "PartitionFilters" in plan
