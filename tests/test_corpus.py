@@ -90,3 +90,36 @@ def test_pack_blocks_boundary_crossing(spark):
     # shards pack independently
     assert rows[9] == {"source": "s2", "doc_id": 9, "n_tokens": 512,
                        "start_block": 0, "start_offset": 0, "end_block": 0}
+
+
+def test_quality_gate_reason_bits(spark):
+    """Each reason bit fires independently and combines on hand-built
+    docs (the oracle covers fixture scale; this documents the bit
+    semantics)."""
+    from quacfka_service_spark.operators.corpus import (
+        REASON_LANG,
+        REASON_QUALITY,
+        REASON_REPETITION,
+        corpus_quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: en, 120 words, diverse tokens -> passes every gate
+            (1, "en", " ".join(f"w{i} the" for i in range(60))),
+            (2, "de", " ".join(f"w{i} the" for i in range(60))),  # lang fail only
+            (3, "en", "short"),                                   # quality fail (len)
+            (4, "en", "spam " * 200),                             # repetition fail (+quality ok: 200 words, 0 stopwords)
+            (5, "zh", "x " * 150),                                # lang + repetition
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in corpus_quality_gate(docs, lang_col="lang").collect()
+    }
+    assert out[1] == (1, 0)
+    assert out[2] == (0, REASON_LANG)
+    assert out[3] == (0, REASON_QUALITY)
+    assert out[4] == (0, REASON_REPETITION)
+    assert out[5] == (0, REASON_LANG + REASON_REPETITION)
