@@ -58,6 +58,8 @@ _MUST_BE_NONEMPTY = {
     "text_rarity_score", "corpus_shuffle_order", "events_histogram",
     "dedup_spans", "corpus_quality_gate", "corpus_source_stats",
     "similarity_range_search", "text_clean",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q20", "tpch_q21",
 }
 
 
