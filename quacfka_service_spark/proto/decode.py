@@ -157,6 +157,7 @@ def decode_bidrequests(
 
     def _decode_batches(batches):
         import gc
+        import struct
 
         import pyarrow as pa
 
@@ -165,6 +166,12 @@ def decode_bidrequests(
         from .fastdecode import decoder_for
 
         decode_fast = decoder_for(proj_key)
+        # raw (buf, pos, end) entry point: skips the wrapper call per
+        # record, and for ts-suffixed frames decodes a WINDOW of the
+        # payload instead of slicing off the last 8 bytes (which copied
+        # every ~1.1 KB record)
+        decode_raw = decode_fast.raw
+        read_ts = struct.Struct("<Q").unpack_from
         arrow_schema = pa.schema(
             [pa.field(f.name, to_arrow_type(f.dataType)) for f in out_schema.fields]
         )
@@ -180,12 +187,12 @@ def decode_bidrequests(
                     b = raw if isinstance(raw, bytes) else bytes(raw)
                     try:
                         if ts_suffix:
-                            b, ms = split_ts_suffix(b)
-                        elif ts_list is not None:
-                            ms = int(ts_list[i])
+                            e = len(b) - 8
+                            ms = read_ts(b, e)[0]
+                            rec = decode_raw(b, 0, e)
                         else:
-                            ms = 0
-                        rec = decode_fast(b)
+                            ms = int(ts_list[i]) if ts_list is not None else 0
+                            rec = decode_raw(b, 0, len(b))
                     except Exception:
                         if permissive:
                             continue  # drop the malformed record

@@ -120,18 +120,42 @@ def _handler(name: str, kind: str, subname: str | None, packed: bool) -> list[st
     return out
 
 
+# Inline unknown-field skip for the two wire types that dominate proto3
+# payloads (varint=0, length-delimited=2): a projected decoder skips
+# most of the record, and the function call into _skip was ~10% of
+# decode wall — the leaf else inlines the hot skip and keeps _skip for
+# the rare fixed32/fixed64 types only.
+_INLINE_SKIP = """\
+wt = key & 7
+if wt == 2:
+    ln = buf[pos]; pos += 1
+    if ln >= 128:
+        ln &= 127; shift = 7
+        while True:
+            b = buf[pos]; pos += 1
+            if b < 128:
+                ln |= b << shift; break
+            ln |= (b & 127) << shift; shift += 7
+    pos += ln
+elif wt == 0:
+    while buf[pos] >= 128: pos += 1
+    pos += 1
+else:
+    pos = _skip(buf, pos, key)"""
+
+
 def _emit_tree(
     handlers: list[tuple[int, list[str]]], lines: list[str], ind: str
 ) -> None:
     """Binary-search dispatch over sorted (key, handler) pairs; every
-    miss falls through to the shared unknown-field skip helper."""
+    miss falls through to the inlined unknown-field skip."""
     if len(handlers) == 1:
         key, body = handlers[0]
         lines.append(f"{ind}if key == {key}:")
         for stmt in body:
             lines.append(_indent(stmt, ind + "    "))
         lines.append(f"{ind}else:")
-        lines.append(f"{ind}    pos = _skip(buf, pos, key)")
+        lines.append(_indent(_INLINE_SKIP, ind + "    "))
         return
     mid = len(handlers) // 2
     lines.append(f"{ind}if key < {handlers[mid][0]}:")
@@ -235,10 +259,14 @@ def compile_decoder(spec: dict, root: str = "bidrequest") -> Callable[[bytes], d
     exec(compile(src, f"<fastdecode:{root}>", "exec"), ns)  # noqa: S102
     fn = ns[root_fn]
 
-    def decode(buf: bytes) -> dict[str, Any]:
-        return fn(buf, 0, len(buf))
+    def decode(buf: bytes, end: int | None = None) -> dict[str, Any]:
+        return fn(buf, 0, len(buf) if end is None else end)
 
     decode.__source__ = src  # type: ignore[attr-defined]  # for debugging
+    # the raw (buf, pos, end) entry point: callers decoding framed
+    # payloads (ts-suffix windows) use it to skip both the wrapper call
+    # and the per-record payload[:-8] slice copy
+    decode.raw = fn  # type: ignore[attr-defined]
     return decode
 
 

@@ -122,3 +122,21 @@ def test_corpus_mixture_over_streamed_lake_equals_batch(spark, tmp_path):
     assert streamed_mix.exceptAll(batch_mix).count() == 0
     assert batch_mix.exceptAll(streamed_mix).count() == 0
     assert streamed_mix.count() == batch_mix.count() > 0
+
+
+def test_cap_per_source_over_streamed_lake_equals_batch(spark, tmp_path):
+    """corpus_cap_per_source is a GLOBAL per-source rank (top-N longest
+    docs per domain), so like mixture the streaming contract is
+    cap-at-epoch over the accumulated lake, not per-batch capping (a
+    batch-local cap would keep up to N x n_batches docs per source).
+    The rank's (n_chars DESC, doc_id) tiebreak is arrival-order-free,
+    so the streamed keep-set must equal the batch keep-set exactly."""
+    from quacfka_service_spark.operators.corpus import corpus_cap_per_source
+
+    docs, stream = _stream_docs_in_batches(spark, tmp_path)
+    lake = _run_foreach_batch(stream, tmp_path, lambda b: b, "caplake")
+    streamed_cap = corpus_cap_per_source(spark.read.parquet(lake), cap=5)
+    batch_cap = corpus_cap_per_source(docs, cap=5)
+    assert streamed_cap.exceptAll(batch_cap).count() == 0
+    assert batch_cap.exceptAll(streamed_cap).count() == 0
+    assert streamed_cap.count() == batch_cap.count() > 0
