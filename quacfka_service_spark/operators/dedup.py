@@ -424,6 +424,12 @@ def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
             for b in range(MD5_N_BANDS)
         ],
     )
+    # Persist the band table: it feeds BOTH sides of the bucket
+    # self-join, and without the persist the entire shingle-explode +
+    # 8-min aggregate pipeline runs twice (measured ~2x wall at
+    # sf0.1).  It is signature-sized (one row x 4 hashes per doc) —
+    # broadcast-small relative to the corpus at any scale.
+    bands = _track_persist(bands.persist())
     # posexplode ONE array of band hashes: a 4-way unionAll here would
     # re-inline the whole shingle-explode-aggregate subtree per band
     # (measured 16 Generate nodes) — the same plan-duplication family
@@ -495,9 +501,14 @@ def edit_distance_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("dist"),
+            # threshold= switches Spark to the banded DP — O(len*k)
+            # instead of O(len^2), returning -1 past the bound
+            # (measured 6.4 s -> sub-second on the sf0.1 block join);
+            # the result set is identical to an unbounded lev <= k.
+            F.levenshtein(F.col("a.text"), F.col("b.text"), threshold=max_dist)
+            .cast("long").alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 

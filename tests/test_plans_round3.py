@@ -87,14 +87,17 @@ def test_edit_distance_blocks_before_levenshtein(spark):
     assert "levenshtein" in plan
 
 
-def test_knn_join_broadcasts_query_side(spark):
-    """Exact kNN self-join: the query copy is broadcast (the corpus
-    side streams), and the per-query top-k is a windowed rank, with
-    Spark's rank-limit pushdown (WindowGroupLimit) pruning before the
-    final sort."""
+def test_knn_join_kernel_shape(spark):
+    """Exact kNN self-join: the numpy kernel (MapInPandas) scores each
+    corpus partition against the broadcast query matrix — there must
+    be NO join node at all (the 30s-at-sf0.1 per-pair cross join is
+    the regression this pins against), and the global finish is a
+    windowed rank with WindowGroupLimit pruning."""
     df = _q(spark, "similarity_knn_join")
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
 
 
