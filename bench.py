@@ -56,6 +56,12 @@ HEADLINE = [
     "corpus_decontaminate",
     "text_oov_score",
     "corpus_mixture",
+    # round-3 additions (real-work LLM ops; note the aggregate
+    # spark_vs_duckdb ratio is NOT comparable round-over-round when
+    # this list grows — the per-query dict and shared_set_note are)
+    "similarity_knn_join",
+    "dedup_minhash_exact",
+    "dedup_edit_distance",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.
