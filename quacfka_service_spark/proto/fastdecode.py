@@ -201,6 +201,13 @@ def _gen_one(spec: dict, fname: str, subnames: dict[int, str], lines: list[str])
             handlers.append(((num << 3) | 0, _handler(name, kind, sf, False)))
     handlers.sort(key=lambda kv: kv[0])
     _emit_tree(handlers, lines, "        ")
+    # A well-formed message consumes EXACTLY its window.  pos > end
+    # means a field read overran the boundary — possible since decoders
+    # run on (buf, pos, end) windows over a larger buffer (ts-suffixed
+    # frames, nested submessages): a dangling varint would otherwise
+    # swallow the suffix/sibling bytes and "succeed" (caught by
+    # test_permissive_decode_drops_corrupt_records).
+    lines.append("    if pos > end: raise ValueError('message overruns its window')")
     # single dict-literal return; absent repeated -> fresh empty list
     parts = []
     for num in spec:
