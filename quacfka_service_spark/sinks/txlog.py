@@ -82,6 +82,19 @@ class CommitConflict(Exception):
     rewrite); the caller must re-derive its write from fresh data."""
 
 
+class SchemaEvolutionError(Exception):
+    """The incoming write's schema is incompatible with the table's.
+
+    ADDITIVE evolution is allowed and works end-to-end: an append may
+    introduce new columns (they become the snapshot schema; files
+    written before the column existed read back as NULL via parquet
+    schema-on-read) and may omit existing columns (filled as NULL from
+    the snapshot schema).  What is REJECTED is changing the type of a
+    column that already exists — the old files would silently misread
+    (parquet type mismatch errors mid-query at best, corrupt values at
+    worst) and every prior snapshot would be poisoned."""
+
+
 @dataclass(frozen=True)
 class _Snapshot:
     version: int
@@ -279,6 +292,40 @@ class TxTable:
         finally:
             os.unlink(tmp)
 
+    @staticmethod
+    def _evolve_schema(old_json: str | None, new_json: str, op_type: str) -> str:
+        """Schema-evolution gate + merge for a commit.
+
+        Additive changes pass; a type change on an existing column
+        raises SchemaEvolutionError (old files would misread).  For
+        append/replace_partitions — where files written under the old
+        schema stay live — the recorded snapshot schema is the UNION
+        (old column order first, new columns appended) so a write that
+        OMITS a column never narrows the table for later readers.
+        overwrite/rewrite replace or preserve the file set wholesale
+        and take the incoming schema as-is."""
+        if not old_json or old_json == new_json or op_type in ("overwrite", "rewrite"):
+            return new_json
+        old = json.loads(old_json)
+        new = json.loads(new_json)
+        old_fields = {f["name"]: f for f in old.get("fields", [])}
+        new_fields = {f["name"]: f for f in new.get("fields", [])}
+        changed = sorted(
+            n
+            for n in old_fields.keys() & new_fields.keys()
+            if old_fields[n]["type"] != new_fields[n]["type"]
+        )
+        if changed:
+            raise SchemaEvolutionError(
+                f"column type change(s) on {changed}: rewrite the table "
+                "(overwrite) to change a column's type"
+            )
+        merged = dict(new)
+        merged["fields"] = [
+            new_fields.get(f["name"], f) for f in old.get("fields", [])
+        ] + [f for f in new.get("fields", []) if f["name"] not in old_fields]
+        return json.dumps(merged)
+
     def _commit_loop(
         self,
         adds: list[dict[str, Any]],
@@ -292,6 +339,11 @@ class TxTable:
         snapshot, attempt put-if-absent, rebase on loss."""
         for _ in range(max_retries):
             snap = self.snapshot()  # empty log -> _Snapshot(-1, {}, ...)
+            try:
+                schema_json = self._evolve_schema(snap.schema_json, schema_json, op_type)
+            except SchemaEvolutionError:
+                self._drop_staged(adds)  # rejected write leaves no orphans
+                raise
             if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
                 # replayed streaming epoch: already committed, drop our files
                 self._drop_staged(adds)

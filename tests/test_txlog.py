@@ -552,3 +552,84 @@ def test_overwrite_loses_race_conflicts_and_snapshot_stays_consistent(spark, tmp
     assert sorted(r["id"] for r in reader.read(spark, version=1).select("id").collect()) == (
         list(range(10)) + list(range(900, 905))
     )
+
+
+# --- schema evolution (round 3) -------------------------------------------
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """An append may introduce a new column: old files read back with
+    NULL in it (parquet schema-on-read), new rows carry values, and the
+    snapshot schema is the union."""
+    from quacfka_service_spark.sinks.txlog import SchemaEvolutionError  # noqa: F401
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    widened = _mk(spark, 10, 20).withColumn("score", F.col("id") * 10)
+    t.append(widened, ["p"])
+    back = t.read(spark)
+    assert "score" in back.columns
+    assert back.where("id < 10 AND score IS NULL").count() == 10
+    assert back.where("id >= 10").agg(F.sum("score")).first()[0] == sum(
+        i * 10 for i in range(10, 20)
+    )
+
+
+def test_schema_evolution_omitted_column_never_narrows(spark, tmp_path):
+    """A write that OMITS an existing column must not narrow the table:
+    later readers still see the column (NULL for the narrow rows)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    narrow = spark.range(10, 15).select(F.col("id"), F.lit("a").alias("p"))
+    t.append(narrow, ["p"])
+    back = t.read(spark)
+    assert "v" in back.columns
+    assert back.where("id >= 10 AND v IS NULL").count() == 5
+    assert back.where("id < 10 AND v IS NOT NULL").count() == 10
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    from quacfka_service_spark.sinks.txlog import SchemaEvolutionError
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    bad = spark.range(10, 15).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit("oops").alias("v")  # v: long -> string
+    )
+    with pytest.raises(SchemaEvolutionError, match="v"):
+        t.append(bad, ["p"])
+    # the failed write must not leave orphan data files in live state
+    assert t.read(spark).count() == 10
+
+
+def test_schema_evolution_overwrite_resets_schema(spark, tmp_path):
+    """overwrite replaces the file set, so it may change types."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    newshape = spark.range(0, 5).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit("s").alias("v")
+    )
+    t.overwrite(newshape, ["p"])
+    back = t.read(spark)
+    assert dict((f.name, f.dataType.simpleString()) for f in back.schema)["v"] == "string"
+    assert back.count() == 5
+
+
+def test_schema_evolution_rejection_leaves_no_orphan_files(spark, tmp_path):
+    from quacfka_service_spark.sinks.txlog import SchemaEvolutionError
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "t")) for f in fs
+    }
+    bad = spark.range(10, 15).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit("oops").alias("v")
+    )
+    with pytest.raises(SchemaEvolutionError):
+        t.append(bad, ["p"])
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "t")) for f in fs
+    }
+    assert files_after == files_before  # staged parquet dropped on rejection
