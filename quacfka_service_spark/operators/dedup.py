@@ -609,6 +609,22 @@ def connected_components(
     )
 
 
+def component_stats(components: DataFrame) -> DataFrame:
+    """Near-dup dashboard: the component-SIZE histogram (how many
+    duplicate clusters of each size exist).  The shape every dedup run
+    reports before committing a keep-set — a giant component usually
+    means boilerplate (robots pages, licenses) rather than true dups,
+    and a long size-1.. tail means the threshold is too tight.  Two
+    tiny aggregates over the (pair-graph-sized, not corpus-sized)
+    component map; both map-side combinable."""
+    return (
+        components.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
 def neardup_keep_canonical(docs: DataFrame, components: DataFrame) -> DataFrame:
     """Doc ids surviving near-dup dedup: every doc not in the pair
     graph, plus the canonical (min-id) doc of each component.  One
@@ -654,7 +670,15 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return component_stats(
+        connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    )
+
+
 QUERIES = {
+    "dedup_component_stats": _q_component_stats,
     "dedup_exact": _q_dedup_exact,
     "dedup_keep_first": _q_dedup_keep_first,
     "dedup_spans": _q_span_dedup,
@@ -781,6 +805,36 @@ walk(v, lbl) AS (
   SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
 )
 SELECT v AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY v
+""",
+    "dedup_component_stats": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v, MIN(lbl) AS component_id FROM walk GROUP BY v)
+SELECT component_size, count(*)::BIGINT AS n_components FROM (
+  SELECT component_id, count(*)::BIGINT AS component_size FROM comp GROUP BY 1
+) GROUP BY 1
 """,
     "dedup_near_keep": f"""
 WITH RECURSIVE {_SHINGLE_CTE},

@@ -173,6 +173,110 @@ def bpe_merge_candidates(docs: DataFrame, k: int = MERGE_K) -> DataFrame:
     )
 
 
+BPE_N_MERGES = 10
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """Full iterative BPE training (Sennrich-style): learn ``n_merges``
+    merge rules from the corpus, each chosen as the most frequent
+    adjacent SYMBOL pair weighted by word frequency, ties broken
+    (count desc, pair asc) so the learned tokenizer is deterministic.
+
+    ``bpe_merge_candidates`` is one iteration's counting primitive;
+    this is the trainer that loops it.  Like every real BPE trainer,
+    iterations run on the WORD VOCABULARY (word -> corpus frequency),
+    not the corpus: one corpus-sized wordcount shuffle up front, then
+    every iteration touches vocab-cardinality rows only.
+
+    Per iteration: (a) explode each vocab word's current symbol
+    sequence into adjacent pairs weighted by word freq, aggregate, and
+    collect the single argmax row (a 1-row collect, the same bounded
+    driver probe as connected_components' convergence check); (b)
+    apply that merge to every vocab word with a left-to-right
+    aggregate scan (the greedy non-overlapping merge order BPE
+    specifies); (c) localCheckpoint to truncate lineage, as in
+    connected_components.  Interpreted higher-order functions are fine
+    here BECAUSE the data is vocab-sized — the corpus never re-enters.
+
+    Output: one row per learned rule (rank, left, right, merged, cnt).
+    Iterative and therefore not SQL-expressible — rows-only driver
+    check; the semantics test pins the classic hand-computable corpus.
+
+    100 TB shape: the corpus-sized work is exactly one wordcount (the
+    skew-eating partial agg from vocab_top); n_merges scales the JOB
+    COUNT, not any shuffle's size.  Production vocabularies (30k
+    merges) would batch argmax selection (top-M compatible merges per
+    round); the per-round plan is unchanged."""
+    vocab = (
+        _doc_tokens(docs)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # initial symbol sequence = characters
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("tok")), lambda i: F.col("tok").substr(i, F.lit(1))
+    )
+    cur = vocab.select("tok", "freq", syms.alias("syms")).localCheckpoint()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.get("syms", i).alias("l"), F.get("syms", i + 1).alias("r")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            cur.select(F.explode_outer(pairs).alias("p"), "freq")
+            .where(F.col("p").isNotNull())
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["cnt"]
+        merges.append((rank, left, right, left + right, cnt))
+        # greedy left-to-right non-overlapping merge via aggregate scan:
+        # state = (out, carry); flush carry unless it pairs with cur.
+        l_lit, r_lit = F.lit(left), F.lit(right)
+        merged_syms = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit("").alias("carry"),
+            ),
+            lambda st, s: F.when(
+                (st["carry"] == l_lit) & (s == r_lit),
+                F.struct(
+                    F.concat(st["out"], F.array(F.lit(left + right))).alias("out"),
+                    F.lit("").alias("carry"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(st["carry"] == "", st["out"]).otherwise(
+                        F.concat(st["out"], F.array(st["carry"]))
+                    ).alias("out"),
+                    s.alias("carry"),
+                )
+            ),
+            lambda st: F.when(st["carry"] == "", st["out"]).otherwise(
+                F.concat(st["out"], F.array(st["carry"]))
+            ),
+        )
+        cur = cur.select("tok", "freq", merged_syms.alias("syms")).localCheckpoint()
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, cnt long"
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -190,10 +294,15 @@ def _q_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rarity_score(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 QUERIES = {
     "text_oov_score": _q_oov,
     "tokenizer_merges": _q_bpe,
     "text_rarity_score": _q_rarity,
+    "tokenizer_bpe_train": _q_bpe_train,  # iterative -> rows-only
 }
 
 ORACLES = {

@@ -61,7 +61,7 @@ _MUST_BE_NONEMPTY = {
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "dedup_minhash_exact", "dedup_edit_distance", "similarity_knn_join",
-    "corpus_cap_per_source",
+    "corpus_cap_per_source", "dedup_component_stats",
 }
 
 

@@ -52,3 +52,58 @@ def test_bpe_merge_candidates(spark):
     # 'aaa' x2 -> 'aa' 4 (per-position, twice per occurrence); 'ab' x2;
     # 'x' too short to pair.  Ties impossible here; order (cnt desc, pair).
     assert got == [("aa", 4), ("ab", 2)]
+
+
+# --- full BPE trainer (round 3) -------------------------------------------
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE (Sennrich): most frequent adjacent
+    symbol pair, ties (count desc, pair asc), greedy left-to-right
+    non-overlapping application."""
+    vocab = {w: [c for c in w] for w in word_freqs}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return out
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from quacfka_service_spark.operators.vocab import bpe_train
+
+    words = (["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words),) for i in range(2)], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.cnt)
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 2  # two identical docs
+    want = _reference_bpe(freqs, 6)
+    assert got == want
+    # sanity: "ug" rides hug(20) + pug(10) + hugs(10) = 40 occurrences
+    assert got[0][1:4] == ("u", "g", "ug") and got[0][4] == 40
+    # and a LATER merge builds on an earlier merged symbol (true BPE
+    # iteration, not repeated unigram-pair counting): some rule's left
+    # or right side is itself multi-character
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
