@@ -429,12 +429,57 @@ def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_search(load_table(spark, sf_dir, "embeddings"))
 
 
+def label_centroids(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Per-label centroid (the class prototype / IVF seed vector),
+    exploded to (label, dim, centroid) scalar rows.
+
+    Float sums over a groupBy are partial-aggregation ORDER-DEPENDENT
+    — per-run and per-engine drift.  Deterministic instead: collect
+    each label's vectors, sort by vec_id, and fold each dimension
+    sequentially (0.0 + x1 + x2 + ...) — bit-identical to the DuckDB
+    oracle's list_reduce over the same ordering, then one division by
+    the count.  The per-label list is label-cardinality-bounded (a
+    prototype table, not corpus data); at 100 TB a label too large to
+    collect per-group uses the ordinary partial-agg mean and accepts
+    last-ulp drift — that variant is three lines and deliberately NOT
+    the oracled default."""
+    v = F.col("embedding").cast("array<double>")
+    g = (
+        emb.select("label", "vec_id", v.alias("v"))
+        .groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            "vs", F.lit(0.0), lambda acc, x: acc + F.get(x["v"], i)
+        ),
+    )
+    return g.select(
+        "label",
+        "n",
+        F.posexplode(sums).alias("dim", "dim_sum"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        (F.col("dim_sum") / F.col("n")).alias("centroid"),
+    )
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "similarity_knn_join": _q_knn_join,
+    "embedding_label_centroids": _q_label_centroids,
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_range_search": _q_range_search,
@@ -461,6 +506,19 @@ SELECT q_id, neighbor_id, cos, rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {KNN_JOIN_K}
+""",
+    "embedding_label_centroids": f"""
+WITH d AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+g AS (
+  SELECT label, list(v ORDER BY vec_id) AS vs, count(*)::BIGINT AS n
+  FROM d GROUP BY label
+)
+SELECT label, (i - 1)::BIGINT AS dim,
+       list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])),
+                   (a, b) -> a + b) / n AS centroid
+FROM g, generate_series(1, {EMB_DIM}) AS t(i)
 """,
     "similarity_range_search": f"""
 WITH d AS (
