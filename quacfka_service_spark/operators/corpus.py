@@ -274,6 +274,64 @@ def corpus_cap_per_source(docs: DataFrame, cap: int = CAP_PER_SOURCE) -> DataFra
     )
 
 
+def corpus_lang_source_matrix(docs: DataFrame) -> DataFrame:
+    """The language x source crosstab (doc counts + char mass) every
+    multilingual-corpus dashboard opens with.  One map-side-combined
+    agg on a (langs x sources)-bounded key space — broadcast-sized
+    output at any corpus scale."""
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+        )
+    )
+
+
+N_DECILES = 10
+
+
+def corpus_length_deciles(docs: DataFrame, n: int = N_DECILES) -> DataFrame:
+    """(doc_id, n_chars, decile): curriculum/length bucketing by VALUE
+    boundaries — all docs sharing a boundary length land in the same
+    bucket (semantically right for curricula; rank-ntile would split
+    ties arbitrarily).
+
+    Scale-true construction, NO global sort: boundary b_i = the
+    smallest length whose running count reaches ceil(i*N/n).  The
+    running count lives on the (value-cardinality, not corpus-sized)
+    length histogram — a window over <=~1000 rows — and the 9-row
+    boundary table broadcasts back into a map-only bucket assignment:
+    decile = 1 + #{i : b_i < n_chars}.  Integer arithmetic throughout,
+    so the oracle is bit-exact."""
+    hist = docs.groupBy(F.col("n_chars").cast("long").alias("len")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("len", F.sum("cnt").over(w).alias("cum"))
+    total = docs.count()  # one scalar job; the spine below needs it driver-side
+    spine = [(i, (i * total + n - 1) // n) for i in range(1, n)]
+    sp = docs.sparkSession.createDataFrame(spine, "i long, need long")
+    bounds = (
+        F.broadcast(sp)
+        .join(cum, cum.cum >= sp.need)
+        .groupBy("i")
+        .agg(F.min("len").alias("b"))
+    )
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .crossJoin(F.broadcast(bounds.agg(F.collect_list("b").alias("bs"))))
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.lit(1)
+                + F.size(F.filter("bs", lambda b: b < F.col("n_chars")))
+            ).cast("long").alias("decile"),
+        )
+    )
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_curation(load_table(spark, sf_dir, "documents"))
 
@@ -312,8 +370,18 @@ def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_cap_per_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_lang_source_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def _q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_length_deciles(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "corpus_cap_per_source": _q_cap_per_source,
+    "corpus_lang_source_matrix": _q_lang_source_matrix,
+    "corpus_length_deciles": _q_length_deciles,
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
@@ -340,6 +408,29 @@ _QUALITY_EXPR = (
 _LANGS_IN = ", ".join(f"'{lg}'" for lg in KEEP_LANGS)
 
 ORACLES = {
+    "corpus_lang_source_matrix": """
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+FROM documents GROUP BY lang, source
+""",
+    "corpus_length_deciles": f"""
+WITH hist AS (
+  SELECT n_chars::BIGINT AS len, count(*)::BIGINT AS cnt FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT len, sum(cnt) OVER (ORDER BY len)::BIGINT AS cum FROM hist
+),
+tot AS (SELECT count(*)::BIGINT AS total FROM documents),
+spine AS (
+  SELECT i, (i * total + {N_DECILES} - 1) // {N_DECILES} AS need
+  FROM generate_series(1, {N_DECILES} - 1) AS t(i), tot
+),
+bounds AS (
+  SELECT i, min(len) AS b FROM spine JOIN cum ON cum.cum >= spine.need GROUP BY i
+)
+SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
+       (1 + (SELECT count(*) FROM bounds WHERE b < d.n_chars))::BIGINT AS decile
+FROM documents d
+""",
     "corpus_cap_per_source": f"""
 SELECT doc_id, source, rk FROM (
   SELECT doc_id, source,

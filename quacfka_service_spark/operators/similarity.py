@@ -473,13 +473,52 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(load_table(spark, sf_dir, "embeddings"))
 
 
+def quantize_sq8(emb: DataFrame) -> DataFrame:
+    """Scalar 8-bit quantization (SQ8 — the standard 4x vector-store
+    compression): per-dimension global [min, max] from the corpus,
+    then q = clamp(floor((x - min) * 255 / (max - min)), 0, 255).
+    Output exploded to (vec_id, dim, q) integer rows.
+
+    Exactness: min/max are order-INdependent aggregates (safe under
+    partial aggregation, unlike sums) and the quantization itself is
+    elementwise IEEE arithmetic — bit-identical across engines, so the
+    integer codes hash-match the oracle exactly.
+
+    100 TB shape: the stats pass is posexplode + a map-side-combined
+    min/max onto a 64-row key space; the 64-row stats table broadcasts
+    into a map-only encode pass.  Two corpus scans, zero corpus
+    shuffles."""
+    v = F.col("embedding").cast("array<double>")
+    ex = emb.select("vec_id", F.posexplode(v).alias("dim", "x"))
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), q.cast("long").alias("q"))
+    )
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_sq8(load_table(spark, sf_dir, "embeddings"))
 
 
 QUERIES = {
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
+    "embedding_quantize_sq8": _q_quantize,
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_range_search": _q_range_search,
@@ -506,6 +545,19 @@ SELECT q_id, neighbor_id, cos, rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {KNN_JOIN_K}
+""",
+    "embedding_quantize_sq8": f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS dim, v[i] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       generate_series(1, {EMB_DIM}) AS t(i)
+),
+stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim)
+SELECT vec_id, ex.dim::BIGINT AS dim,
+       CASE WHEN mx > mn
+            THEN least(255, greatest(0, floor((x - mn) * 255.0 / (mx - mn))::INTEGER))
+            ELSE 0 END::BIGINT AS q
+FROM ex JOIN stats ON ex.dim = stats.dim
 """,
     "embedding_label_centroids": f"""
 WITH d AS (

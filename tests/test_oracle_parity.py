@@ -62,7 +62,8 @@ _MUST_BE_NONEMPTY = {
     "tpch_q20", "tpch_q21",
     "dedup_minhash_exact", "dedup_edit_distance", "similarity_knn_join",
     "corpus_cap_per_source", "dedup_component_stats",
-    "embedding_label_centroids",
+    "embedding_label_centroids", "embedding_quantize_sq8",
+    "corpus_lang_source_matrix", "corpus_length_deciles",
 }
 
 
