@@ -83,6 +83,59 @@ def funnel(ev: DataFrame, steps: list[str] | None = None) -> DataFrame:
     return res
 
 
+def user_growth(ev: DataFrame) -> DataFrame:
+    """Cumulative-user growth curve: per day, how many users appeared
+    for the FIRST time, and the running total.  The running distinct
+    count is NOT a windowed countDistinct (unsupported and quadratic):
+    first-seen day per user collapses the corpus to |users| rows, the
+    per-day new-user counts collapse to |days| rows, and the cumsum
+    window runs over that day-cardinality table — at 100 TB the window
+    input is a few thousand rows regardless of event count.  Output
+    (day string, new_users, cum_users)."""
+    from pyspark.sql.window import Window
+
+    first = (
+        ev.select("user_id", to_day_date(F.col("ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    per_day = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(ev: DataFrame, window_days: int = ROLLING_WINDOW_DAYS) -> DataFrame:
+    """WAU-style rolling distinct actives: for each day with activity,
+    the distinct users active in the ``window_days`` window ENDING that
+    day.  No range join: each distinct (user, day) row fans out to the
+    <= 7 window-end days it contributes to (explode of a date
+    sequence), then one countDistinct per window day, restricted to
+    days that actually occur (left-semi against the day spine).  One
+    shuffle keyed on the window day; fan-out factor is the window
+    length, not data size."""
+    ud = ev.select("user_id", to_day_date(F.col("ts")).alias("d")).distinct()
+    spine = ud.select("d").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("w"),
+    )
+    return (
+        fan.join(spine, fan.w == spine.d, "left_semi")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(F.col("w").cast("string").alias("day"), "active_users")
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,12 +146,44 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(load_table(spark, sf_dir, "events"))
 
 
+def _q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_growth(load_table(spark, sf_dir, "events"))
+
+
+def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_retention": _q_retention,
     "events_funnel": _q_funnel,
+    "events_user_growth": _q_user_growth,
+    "events_rolling_active_users": _q_rolling_active,
 }
 
 ORACLES = {
+    "events_user_growth": """
+WITH first AS (
+  SELECT user_id, min(datetrunc('day', ts)::DATE) AS d FROM events GROUP BY user_id
+),
+per_day AS (SELECT d, count(*)::BIGINT AS new_users FROM first GROUP BY d)
+SELECT d::VARCHAR AS day, new_users,
+       sum(new_users) OVER (ORDER BY d)::BIGINT AS cum_users
+FROM per_day
+""",
+    "events_rolling_active_users": f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, datetrunc('day', ts)::DATE AS d FROM events
+),
+spine AS (SELECT DISTINCT d FROM ud),
+fan AS (
+  SELECT user_id, unnest(generate_series(d, d + INTERVAL {ROLLING_WINDOW_DAYS - 1} DAY, INTERVAL 1 DAY))::DATE AS w
+  FROM ud
+)
+SELECT w::VARCHAR AS day, count(DISTINCT user_id)::BIGINT AS active_users
+FROM fan SEMI JOIN spine ON fan.w = spine.d
+GROUP BY w
+""",
     "events_retention": f"""
 WITH activity AS (
   SELECT DISTINCT user_id, datetrunc('day', ts)::DATE AS d FROM events

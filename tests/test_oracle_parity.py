@@ -64,6 +64,7 @@ _MUST_BE_NONEMPTY = {
     "corpus_cap_per_source", "dedup_component_stats",
     "embedding_label_centroids", "embedding_quantize_sq8",
     "corpus_lang_source_matrix", "corpus_length_deciles",
+    "events_user_growth", "events_rolling_active_users",
 }
 
 
