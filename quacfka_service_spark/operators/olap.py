@@ -314,7 +314,42 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"))
 
 
+BASKET_MIN_ORDERS = 2
+
+
+def basket_pairs(li: DataFrame, min_orders: int = BASKET_MIN_ORDERS) -> DataFrame:
+    """Market-basket co-occurrence (frequent itemsets, k=2): part
+    pairs ordered together in >= min_orders orders.  The classic
+    combinatorial trap is bounded per GROUP, not per corpus: the
+    orderkey self-join fans out only within an order (~4 items ->
+    ~6 pairs), both sides hash-partition on the same orderkey (AQE
+    coalesces to one co-partitioned exchange pair), and the pair
+    count agg is map-side combinable.  A pathological mega-order is
+    the skew unit — cap items-per-group upstream if baskets are
+    unbounded."""
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+    )
+
+
+def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return basket_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
 QUERIES = {
+    "basket_pairs": _q_basket_pairs,
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
     "events_grouping_sets": _q_grouping_sets,
@@ -336,6 +371,13 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
+    "basket_pairs": f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_ORDERS}
+""",
     "events_histogram": f"""
 SELECT event_type,
        floor(CAST(value AS DECIMAL(18,6)) / {HIST_WIDTH})::BIGINT AS bucket,

@@ -69,13 +69,45 @@ def _planted(docs: DataFrame) -> DataFrame:
     )
 
 
+def pii_stats_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The privacy dashboard: per-source totals of each PII class plus
+    how many documents carry ANY hit — what a compliance review reads
+    before a corpus ships, and the per-domain signal that points at
+    the crawler feed that needs fixing.  Pure map (the same codegen
+    regex counts as redact_pii) + one combined agg onto the
+    source-cardinality key space."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    per_doc = docs.select("source", *counts)
+    any_hit = sum(F.col(f"n_{name}") for name, _p, _t in PII_PATTERNS)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(any_hit > 0, 1).otherwise(0)).cast("long").alias("n_docs_with_pii"),
+            *[F.sum(f"n_{name}").alias(f"n_{name}") for name, _p, _t in PII_PATTERNS],
+        )
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(_planted(load_table(spark, sf_dir, "documents")))
 
 
-QUERIES = {"pii_redact": _q_pii_redact}
+def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = _planted(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return pii_stats_by_source(planted)
+
+
+QUERIES = {"pii_redact": _q_pii_redact, "pii_stats_by_source": _q_pii_stats}
 
 _PLANT_SQL = (
     "text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-01'"
@@ -84,6 +116,22 @@ _PLANT_SQL = (
 )
 
 ORACLES = {
+    "pii_stats_by_source": rf"""
+WITH planted AS (
+  SELECT d.source,
+         len(regexp_extract_all(p.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(p.text, '\+\d[\d-]{{7,}}\d'))::BIGINT AS n_phones,
+         len(regexp_extract_all(p.text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))::BIGINT AS n_ips
+  FROM (SELECT doc_id, {_PLANT_SQL} AS text FROM documents) p
+  JOIN documents d USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+       sum(n_emails)::BIGINT AS n_emails,
+       sum(n_phones)::BIGINT AS n_phones,
+       sum(n_ips)::BIGINT AS n_ips
+FROM planted GROUP BY source
+""",
     "pii_redact": rf"""
 WITH planted AS (
   SELECT doc_id, {_PLANT_SQL} AS text FROM documents
