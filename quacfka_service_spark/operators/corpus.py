@@ -366,6 +366,26 @@ def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_source_stats(load_table(spark, sf_dir, "documents"))
 
 
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """The one-row dataset card (datasheet headline): corpus totals a
+    release ships with — doc/source/lang cardinalities, token and char
+    mass, distinct-text count (exact-dup rate falls out).  One
+    scan + one global combined agg; the three exact distincts expand
+    but each keys on dashboard-or-hash cardinality."""
+    toks = F.size(_words(F.col("text"))).cast("long")
+    return docs.select(
+        "source", "lang", F.md5("text").alias("h"), toks.alias("n_toks"),
+        F.length("text").cast("long").alias("len"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("len").alias("n_chars"),
+    )
+
+
 def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_cap_per_source(load_table(spark, sf_dir, "documents"))
 
@@ -382,6 +402,9 @@ QUERIES = {
     "corpus_cap_per_source": _q_cap_per_source,
     "corpus_lang_source_matrix": _q_lang_source_matrix,
     "corpus_length_deciles": _q_length_deciles,
+    "corpus_datasheet": lambda spark, sf_dir: corpus_datasheet(
+        load_table(spark, sf_dir, "documents")
+    ),
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
@@ -408,6 +431,21 @@ _QUALITY_EXPR = (
 _LANGS_IN = ", ".join(f"'{lg}'" for lg in KEEP_LANGS)
 
 ORACLES = {
+    "corpus_datasheet": """
+WITH w AS (
+  SELECT source, lang, md5(text) AS h,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_toks,
+         len(text)::BIGINT AS len
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT h)::BIGINT AS n_distinct_texts,
+       sum(n_toks)::BIGINT AS n_tokens,
+       sum(len)::BIGINT AS n_chars
+FROM w
+""",
     "corpus_lang_source_matrix": """
 SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
 FROM documents GROUP BY lang, source

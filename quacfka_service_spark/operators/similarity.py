@@ -511,14 +511,50 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def recall_report(emb: DataFrame) -> DataFrame:
+    """Self-measuring ANN quality: recall@k of each approximate
+    retrieval path (sign-LSH multi-probe, IVF-Flat) against the exact
+    broadcast top-k on the SAME corpus — the per-run quality gauge an
+    ANN deployment dashboards, and the continuously-verified form of
+    the recall floors the test suite pins once.  |hits ∩ exact| /
+    |exact| per method via a pair join on (q_id, neighbor_id); all
+    inputs are top-k-sized (queries x k rows), so the report costs
+    three small retrievals + broadcast joins.  Approximate by
+    construction -> rows-only driver check; tests/test_skew_and_ivf.py
+    pins the floors this report must echo (lsh multi-probe >= 0.4,
+    ivf >= 0.5 on the fixture)."""
+    exact = brute_force_topk(emb).select("q_id", "neighbor_id")
+    out = []
+    for method, df in (("lsh", lsh_topk(emb)), ("ivf", ivf_topk(emb))):
+        hits = df.select("q_id", "neighbor_id").join(
+            exact, ["q_id", "neighbor_id"], "left_semi"
+        )
+        n_hit = hits.groupBy().count().select(F.col("count").alias("n_hit"))
+        n_exact = exact.groupBy().count().select(F.col("count").alias("n_exact"))
+        out.append(
+            n_hit.crossJoin(n_exact).select(
+                F.lit(method).alias("method"),
+                "n_hit",
+                "n_exact",
+                (F.col("n_hit") / F.col("n_exact")).alias("recall_at_k"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_sq8(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_report(load_table(spark, sf_dir, "embeddings"))
 
 
 QUERIES = {
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
     "embedding_quantize_sq8": _q_quantize,
+    "similarity_recall_report": _q_recall_report,  # rows-only (approx paths)
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_range_search": _q_range_search,

@@ -91,3 +91,18 @@ def test_ivf_kmeans_variant_runs(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     out = ivf_topk(emb, kmeans=True)
     assert out.groupBy("q_id").count().where(F.col("count") != 5).count() == 0
+
+
+def test_recall_report_echoes_pinned_floors(spark):
+    """The self-measuring recall report (similarity_recall_report) must
+    agree with the floors the two tests above pin directly."""
+    from quacfka_service_spark.operators.similarity import recall_report
+    from quacfka_service_spark.session import load_table
+
+    rep = {
+        r.method: r.recall_at_k
+        for r in recall_report(load_table(spark, SF_DIR, "embeddings")).collect()
+    }
+    assert set(rep) == {"lsh", "ivf"}
+    assert rep["ivf"] >= 0.5, rep
+    assert rep["lsh"] >= 0.4, rep
