@@ -344,12 +344,55 @@ def basket_pairs(li: DataFrame, min_orders: int = BASKET_MIN_ORDERS) -> DataFram
     )
 
 
+RFM_RECENT_DAYS = 365
+RFM_FREQ_HI = 3
+RFM_MONEY_HI = 300_000
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation (the classic CRM cut): per customer,
+    days-since-last-order relative to the corpus max date (recency),
+    order count (frequency), exact-DECIMAL spend (monetary), plus a
+    3-letter segment code from fixed business thresholds.  Fixed-value
+    thresholds — not quantiles — keep every comparison integer/DECIMAL
+    exact AND make segments stable as data grows (quantile cuts
+    reshuffle customers every run).  One orderkey-free aggregate keyed
+    on customer + a 1-row broadcast max-date; map-only labeling."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,10)").alias("monetary"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    r = F.datediff("mx", "last_order").cast("long")
+    seg = F.concat(
+        F.when(r <= RFM_RECENT_DAYS, F.lit("R")).otherwise(F.lit("r")),
+        F.when(F.col("frequency") >= RFM_FREQ_HI, F.lit("F")).otherwise(F.lit("f")),
+        F.when(
+            F.col("monetary") >= F.lit(RFM_MONEY_HI).cast("decimal(12,2)"), F.lit("M")
+        ).otherwise(F.lit("m")),
+    )
+    return per_cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        r.alias("recency_days"),
+        "frequency",
+        F.col("monetary").cast("string").alias("monetary"),
+        seg.alias("segment"),
+    )
+
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_pairs(load_table(spark, sf_dir, "lineitem"))
 
 
 QUERIES = {
     "basket_pairs": _q_basket_pairs,
+    "orders_rfm": _q_rfm,
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
     "events_grouping_sets": _q_grouping_sets,
@@ -371,6 +414,24 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
+    "orders_rfm": f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*)::BIGINT AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,10)) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT max(o_orderdate) AS mx FROM orders)
+SELECT o_custkey,
+       datediff('day', last_order, mx)::BIGINT AS recency_days,
+       frequency,
+       monetary::VARCHAR AS monetary,
+       (CASE WHEN datediff('day', last_order, mx) <= {RFM_RECENT_DAYS} THEN 'R' ELSE 'r' END)
+       || (CASE WHEN frequency >= {RFM_FREQ_HI} THEN 'F' ELSE 'f' END)
+       || (CASE WHEN monetary >= CAST({RFM_MONEY_HI} AS DECIMAL(12,2)) THEN 'M' ELSE 'm' END)
+       AS segment
+FROM per_cust CROSS JOIN mx
+""",
     "basket_pairs": f"""
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_orders

@@ -65,7 +65,7 @@ _MUST_BE_NONEMPTY = {
     "embedding_label_centroids", "embedding_quantize_sq8",
     "corpus_lang_source_matrix", "corpus_length_deciles",
     "events_user_growth", "events_rolling_active_users",
-    "pii_stats_by_source", "basket_pairs", "corpus_datasheet",
+    "pii_stats_by_source", "basket_pairs", "corpus_datasheet", "orders_rfm",
 }
 
 
