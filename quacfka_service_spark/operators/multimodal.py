@@ -178,9 +178,50 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "multimodal_features": _q_multimodal,        # rows-only (mapInPandas stub)
-    "multimodal_resize": _q_multimodal_resize,   # rows-only
-    "multimodal_frames": _q_multimodal_frames,   # rows-only
+    "multimodal_features": _q_multimodal,
+    "multimodal_resize": _q_multimodal_resize,
+    "multimodal_frames": _q_multimodal_frames,
 }
 
-ORACLES: dict[str, str] = {}
+# The decode is a stub, but a DETERMINISTIC one over the utf-8 payload
+# — so on the (pure-ASCII) fixture every stub output is reproducible
+# in SQL: sha256 is sha256 in both engines, the byte mean is an ascii
+# sum over characters, and the resize/frame-window arithmetic is
+# integer.  Upgraded from rows-only in r3: the driver now VALUE-checks
+# the whole mapInPandas plumbing (batch iteration, schema contract,
+# 1->N frame explosion), not just row counts.  A real codec plugged
+# into _decode_stub would return these keys to rows-only, by design.
+ORACLES: dict[str, str] = {
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       len(text)::BIGINT AS n_bytes,
+       (CASE WHEN len(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END)::INTEGER AS first_byte,
+       substr(sha256(text), 1, 16) AS sha16,
+       CASE WHEN len(text) > 0
+            THEN list_sum(list_transform(generate_series(1, len(text)),
+                                         i -> ascii(substr(text, i, 1)))) * 1.0 / len(text)
+            ELSE 0.0 END AS feat_mean
+FROM documents
+""",
+    "multimodal_resize": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INTEGER + 1] AS media_type,
+         len(text)::BIGINT AS n
+  FROM documents
+)
+SELECT media_id, media_type, 64::INTEGER AS out_w, 64::INTEGER AS out_h,
+       least((n + greatest(1, n // 4096) - 1) // greatest(1, n // 4096),
+             4096)::BIGINT AS payload_bytes
+FROM m
+""",
+    "multimodal_frames": """
+WITH v AS (
+  SELECT doc_id AS media_id, len(text)::BIGINT AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, i::INTEGER AS frame_idx,
+       least(16, n - (n * i) // 4)::BIGINT AS frame_bytes
+FROM v, generate_series(0, 3) AS t(i)
+""",
+}

@@ -66,6 +66,7 @@ _MUST_BE_NONEMPTY = {
     "corpus_lang_source_matrix", "corpus_length_deciles",
     "events_user_growth", "events_rolling_active_users",
     "pii_stats_by_source", "basket_pairs", "corpus_datasheet", "orders_rfm",
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
 }
 
 
