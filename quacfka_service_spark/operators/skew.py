@@ -16,8 +16,10 @@ full copy of the small side, so correctness is salt-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import load_table
 
 DEFAULT_SALTS = 8
 
@@ -60,3 +62,42 @@ def salted_agg_count(
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return stage1.groupBy(*keys).agg(F.sum("__partial").alias("n"))
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+#
+# The salting operators are registered against PLAIN-join / plain-agg
+# oracles: salting must be result-invisible (every salt value carries a
+# full small-side copy; partial counts merge exactly), so the driver's
+# value-hash against the unsalted SQL IS the salt-independence proof —
+# run to run, the nondeterministic per-row salt may differ while the
+# result multiset may not.
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    return salted_join(li, supp, "l_suppkey")
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_agg_count(load_table(spark, sf_dir, "events"), ["event_type"])
+
+
+QUERIES = {
+    "skew_salted_join": _q_salted_join,
+    "skew_salted_agg": _q_salted_agg,
+}
+
+ORACLES = {
+    "skew_salted_join": """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name, s_nationkey
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+""",
+    "skew_salted_agg": """
+SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+""",
+}

@@ -633,3 +633,18 @@ def test_schema_evolution_rejection_leaves_no_orphan_files(spark, tmp_path):
         for dp, _, fs in os.walk(str(tmp_path / "t")) for f in fs
     }
     assert files_after == files_before  # staged parquet dropped on rejection
+
+
+def test_optimize_after_widening_keeps_union_schema(spark, tmp_path):
+    """OPTIMIZE must read mixed-schema inputs with the snapshot (union)
+    schema: files written before a column existed compact together with
+    widened files, and the column survives with NULLs for old rows."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), ["p"])
+    t.append(_mk(spark, 10, 20).withColumn("score", F.col("id") * 10), ["p"])
+    res = t.optimize(spark, min_files=2)
+    assert res["rewritten_files"] >= 2
+    back = t.read(spark)
+    assert back.count() == 20
+    assert back.where("id < 10 AND score IS NULL").count() == 10
+    assert back.where("id >= 10 AND score = id * 10").count() == 10
