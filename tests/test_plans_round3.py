@@ -118,3 +118,44 @@ def test_q11_global_total_is_broadcast(spark):
     assert has_broadcast_join(df)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_no_range_join(spark):
+    """WAU via date-sequence fan-out: no range/nested-loop join may
+    appear — the semi join on the day spine must be broadcast/hash."""
+    df = _q(spark, "events_rolling_active_users")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_pairs_co_partitions_on_orderkey(spark):
+    """The pair self-join must be an equi-join on orderkey (fan-out
+    bounded per order) — never a product."""
+    df = _q(spark, "basket_pairs")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_broadcasts_global_max(spark):
+    df = _q(spark, "orders_rfm")
+    assert has_broadcast_join(df)
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    """The 64-row per-dimension stats join must broadcast (map-only
+    encode); exactly the explode + stats agg shuffles exist."""
+    df = _q(spark, "embedding_quantize_sq8")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_user_growth_windows_day_cardinality_only(spark):
+    """The cumsum window must sit above the per-day aggregate, never
+    over event rows: two aggregates (user first-seen, per-day counts)
+    then the window."""
+    df = _q(spark, "events_user_growth")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
