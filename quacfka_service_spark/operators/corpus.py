@@ -93,6 +93,55 @@ def corpus_curation(
     )
 
 
+def corpus_e2e_factory(
+    docs: DataFrame,
+    *,
+    min_quality: float = MIN_QUALITY,
+    langs: tuple[str, ...] = KEEP_LANGS,
+    cap: int | None = None,
+    pair_emitter: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """The whole data factory as ONE Catalyst plan: lang-ID filter ->
+    quality filter -> near-dup keep-canonical -> per-source cap ->
+    train/val/test split.  This is the composition a real corpus
+    release runs end to end; expressing it as one DataFrame lets
+    Catalyst prune columns through every stage and the driver
+    value-check the ENTIRE pipeline, not just its pieces.
+
+    Stage order is the cost order: cheap per-doc filters prune before
+    the pair join (the expensive stage sees only survivors), the cap
+    runs on the deduped population (a capped-out near-dup must not
+    block its duplicate from counting against the cap), and the split
+    is a pure hash at the end.  Same emitter pluggability as
+    corpus_curation (exact shingle join by default; minhash_lsh_pairs
+    at 100 TB)."""
+    cap = CAP_PER_SOURCE if cap is None else cap  # module global, call-time
+    emit = ngram_jaccard_pairs if pair_emitter is None else pair_emitter
+    filtered = (
+        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
+        .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id", "text", "lang_pred", "quality")
+    )
+    comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
+    kept = neardup_keep_canonical(filtered, comp)
+    survivors = (
+        filtered.join(kept, "doc_id")
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = (
+        survivors.select(
+            "doc_id", "source", "lang_pred", "quality",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= cap)
+    )
+    return assign_split(capped, "doc_id").select(
+        "doc_id", "source", "lang_pred", "quality", "split"
+    )
+
+
 def corpus_pack_blocks(docs: DataFrame, block_tokens: int = BLOCK_TOKENS) -> DataFrame:
     """Concat-and-chunk packing coordinates per document, per shard.
 
@@ -405,6 +454,9 @@ QUERIES = {
     "corpus_datasheet": lambda spark, sf_dir: corpus_datasheet(
         load_table(spark, sf_dir, "documents")
     ),
+    "corpus_e2e_factory": lambda spark, sf_dir: corpus_e2e_factory(
+        load_table(spark, sf_dir, "documents")
+    ),
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
@@ -539,6 +591,82 @@ SELECT f.doc_id, f.lang_pred, f.quality,
             WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM filtered f JOIN b USING (doc_id)
+""",
+    "corpus_e2e_factory": f"""
+WITH RECURSIVE
+wq AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+lang AS (SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM wq),
+filtered AS (
+  SELECT d.doc_id, d.text, l.lang_pred, q.quality
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE l.lang_pred IN ({_LANGS_IN}) AND q.quality >= {MIN_QUALITY}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM filtered)
+),
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v, MIN(lbl) AS lbl FROM walk GROUP BY v),
+kept AS (
+  SELECT f.doc_id FROM filtered f
+  LEFT JOIN comp c ON f.doc_id = c.v
+  WHERE c.v IS NULL OR c.v = c.lbl
+),
+survivors AS (
+  SELECT f.doc_id, d.source, f.lang_pred, f.quality, d.n_chars
+  FROM filtered f
+  JOIN kept USING (doc_id)
+  JOIN documents d USING (doc_id)
+),
+capped AS (
+  SELECT doc_id, source, lang_pred, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM survivors
+  ) WHERE rk <= {CAP_PER_SOURCE}
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS} AS bucket
+  FROM capped
+)
+SELECT c.doc_id, c.source, c.lang_pred, c.quality,
+       CASE WHEN b.bucket < {TRAIN_PCT} THEN 'train'
+            WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM capped c JOIN b USING (doc_id)
 """,
     "corpus_source_stats": """
 SELECT source,
