@@ -97,6 +97,61 @@ def split_benchmark(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return docs.where(~is_bench), docs.where(is_bench)
 
 
+DECONTAM_N_PERM = 8  # 8 bands x 1 row: the RECALL-biased config
+
+
+def decontaminate_minhash(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Near-duplicate decontamination: training docs whose md5-MinHash
+    signature collides with a benchmark doc in ANY permutation —
+    catching light paraphrases the exact n-gram overlap misses.
+
+    Bands are 1 row wide (collide iff one permutation minimum matches)
+    — the high-recall end of the banded family, which is the right
+    posture for decontamination: a false positive costs one training
+    doc, a false negative leaks an eval item into pretraining.  The
+    exact-gram operator above and this one are the standard two-layer
+    hygiene: exact overlap for verbatim leaks, MinHash for mutated
+    ones.
+
+    Cross-corpus join (train bands x bench bands), never a self-join:
+    the benchmark side is eval-suite-sized, so its band table
+    BROADCASTS and the train side streams — no shuffle keyed on the
+    corpus.  md5 family -> the whole pipeline is value-checked by the
+    driver (same engine-portability argument as dedup_minhash_exact).
+
+    Output: (doc_id, n_bench_candidates) per flagged training doc."""
+    from .dedup import doc_shingles
+
+    def band_table(docs: DataFrame) -> DataFrame:
+        sh = doc_shingles(docs)
+        ex = (
+            sh.select("doc_id", F.explode_outer("sh").alias("s"))
+            .where(F.col("s").isNotNull())
+        )
+        sig = ex.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
+                for p in range(DECONTAM_N_PERM)
+            ]
+        )
+        return sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"m{p}") for p in range(DECONTAM_N_PERM)])
+            ).alias("band", "bh"),
+        )
+
+    tb = band_table(train)
+    bb = band_table(bench).select(
+        F.col("doc_id").alias("bench_id"), "band", "bh"
+    )
+    return (
+        tb.join(F.broadcast(bb), ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_candidates"))
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -106,11 +161,48 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench)
 
 
-QUERIES = {"corpus_decontaminate": _q_decontaminate}
+def _q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train, bench = split_benchmark(docs)
+    return decontaminate_minhash(train, bench)
+
+
+QUERIES = {
+    "corpus_decontaminate": _q_decontaminate,
+    "corpus_decontaminate_lsh": _q_decontaminate_minhash,
+}
 
 _GRAM_LIST = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
 
+_MD5_MINS = ", ".join(
+    f"min(md5('{p}|' || s)) AS m{p}" for p in range(DECONTAM_N_PERM)
+)
+_MD5_STACK = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {p} AS band, m{p} AS bh FROM sig" for p in range(DECONTAM_N_PERM)
+)
+
 ORACLES = {
+    "corpus_decontaminate_lsh": f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_MD5_MINS} FROM ex GROUP BY doc_id),
+st AS (
+  {_MD5_STACK}
+),
+bench AS (SELECT doc_id AS bench_id, band, bh FROM st WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, band, bh FROM st WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT t.doc_id, count(DISTINCT b.bench_id)::BIGINT AS n_bench_candidates
+FROM train t JOIN bench b ON t.band = b.band AND t.bh = b.bh
+GROUP BY t.doc_id
+""",
     "corpus_decontaminate": f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
