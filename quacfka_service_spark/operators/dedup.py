@@ -453,6 +453,88 @@ def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- md5-SimHash (engine-portable, exact-oracle) --------------------------
+
+
+def simhash_md5_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash with bits drawn from md5 hex digits — the
+    engine-portable sibling of simhash_fingerprints (same majority-
+    vote construction; the only difference is the hash family, exactly
+    as dedup_minhash_exact relates to dedup_minhash_lsh).  Bit j of a
+    word's hash = bit (j%4) of hex digit (j//4) of md5(word)'s first
+    16 chars; both engines parse the digit with their hex-cast and
+    shift identically.  One projection materializes the 16 digit
+    values so the 64 bit-sum aggregates reference columns, not 64
+    re-computed substr/conv chains."""
+    ex = (
+        docs.select("doc_id", F.explode_outer(_words(F.col("text"))).alias("t"))
+        .where(F.col("t").isNotNull())
+        .select("doc_id", F.md5("t").alias("h"))
+    )
+    vs = ex.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"v{d}")
+            for d in range(16)
+        ],
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = vs.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(64):
+        term = F.when(
+            F.col(f"b{j}") > 0,
+            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming<=3 pairs over the md5 SimHash — identical band-trick
+    join to simhash_pairs (4 x 16-bit bands, pigeonhole-complete), but
+    value-checkable end to end: fingerprints, band buckets, AND the
+    reported Hamming distances all hash-match the DuckDB oracle."""
+    fp = simhash_md5_fingerprints(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), bi * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+            )
+            for bi in range(4)
+        ]
+    )
+    buckets = fp.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # --- edit-distance near-dup (blocked Levenshtein) -------------------------
 
 EDIT_MAX_DIST = 5
@@ -536,6 +618,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_md5_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_md5_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +772,7 @@ QUERIES = {
     "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
     "dedup_minhash_exact": _q_minhash_md5,  # md5 family -> exact oracle
     "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
+    "dedup_simhash_exact": _q_simhash_md5,  # md5 family -> exact oracle
     "dedup_edit_distance": _q_edit_distance,
     "dedup_embedding": _q_embedding_neardup,
     "dedup_components": _q_components,
@@ -715,7 +802,43 @@ _MD5_STACK = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(MD5_N_BANDS)
 )
 
+# md5-SimHash oracle, generated from the same bit-layout constants as
+# simhash_md5_fingerprints so the two cannot drift.
+_SH_DIGITS = ", ".join(
+    f"('0x' || substr(h, {d + 1}, 1))::BIGINT AS v{d}" for d in range(16)
+)
+_SH_SUMS = ", ".join(
+    f"sum(CASE WHEN ((v{j // 4} >> {j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(64)
+)
+_SH_FP = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {(1 << j) if j < 63 else -(1 << 63)} ELSE 0 END)::BIGINT"
+    for j in range(64)
+)
+_SH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * 16}) & 65535 AS bv FROM fp"
+    for bi in range(4)
+)
+
 ORACLES = {
+    "dedup_simhash_exact": f"""
+WITH ex AS (
+  SELECT doc_id, md5(t) AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents
+  )
+),
+vs AS (SELECT doc_id, {_SH_DIGITS} FROM ex),
+agg AS (SELECT doc_id, {_SH_SUMS} FROM vs GROUP BY doc_id),
+fp AS (SELECT doc_id, {_SH_FP} AS simhash FROM agg),
+st AS (
+  {_SH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM st a JOIN st b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
     "dedup_minhash_exact": f"""
 WITH {_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
