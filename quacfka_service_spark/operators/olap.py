@@ -344,6 +344,49 @@ def basket_pairs(li: DataFrame, min_orders: int = BASKET_MIN_ORDERS) -> DataFram
     )
 
 
+def inter_arrival(ev: DataFrame) -> DataFrame:
+    """Per-type inter-event gap profile (the ops/monitoring query
+    behind rate alerting and session-gap tuning): seconds between
+    consecutive events of a type, summarized as count/min/max plus
+    exact p50/p90.  Gaps come from one lag window partitioned on
+    event_type with a deterministic (ts, event_id) order — ties
+    sequence identically in both engines, so the gap MULTISET is
+    engine-exact.  Gaps are epoch MILLIS (exact integers both
+    engines; whole seconds diverge — Spark unix_seconds floors while
+    DuckDB's epoch()::BIGINT cast rounds); they feed the same
+    exact-percentile +
+    6dp-DECIMAL pinning as events_quantiles.  One hash partition +
+    sort; the aggregate rides the same partitioning (no second
+    exchange)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.unix_millis(F.col("ts"))
+    gaps = (
+        ev.select("event_type", "ts", "event_id")
+        .select("event_type", (sec - F.lag(sec).over(w)).alias("gap"))
+        .where(F.col("gap").isNotNull())
+    )
+
+    def q(p: float, name: str):
+        return (
+            F.round(F.percentile("gap", F.lit(p)), 6)
+            .cast("decimal(18,6)").cast("string").alias(name)
+        )
+
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_gap_ms"),
+        F.max("gap").alias("max_gap_ms"),
+        q(0.5, "p50_gap_ms"),
+        q(0.9, "p90_gap_ms"),
+    )
+
+
+def _q_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inter_arrival(load_table(spark, sf_dir, "events"))
+
+
 RFM_RECENT_DAYS = 365
 RFM_FREQ_HI = 3
 RFM_MONEY_HI = 300_000
@@ -393,6 +436,7 @@ def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "basket_pairs": _q_basket_pairs,
     "orders_rfm": _q_rfm,
+    "events_inter_arrival": _q_inter_arrival,
     "events_rollup": _q_rollup,
     "events_cube": _q_cube,
     "events_grouping_sets": _q_grouping_sets,
@@ -414,6 +458,22 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
+    "events_inter_arrival": """
+WITH g AS (
+  SELECT event_type,
+         epoch_ms(ts)::BIGINT - lag(epoch_ms(ts)::BIGINT)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       count(gap)::BIGINT AS n_gaps,
+       min(gap)::BIGINT AS min_gap_ms,
+       max(gap)::BIGINT AS max_gap_ms,
+       round(quantile_cont(gap, 0.5), 6)::DECIMAL(18,6)::VARCHAR AS p50_gap_ms,
+       round(quantile_cont(gap, 0.9), 6)::DECIMAL(18,6)::VARCHAR AS p90_gap_ms
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+""",
     "orders_rfm": f"""
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -68,7 +68,7 @@ _MUST_BE_NONEMPTY = {
     "pii_stats_by_source", "basket_pairs", "corpus_datasheet", "orders_rfm",
     "multimodal_features", "multimodal_resize", "multimodal_frames",
     "skew_salted_join", "skew_salted_agg", "corpus_e2e_factory",
-    "corpus_decontaminate_lsh", "dedup_simhash_exact",
+    "corpus_decontaminate_lsh", "dedup_simhash_exact", "events_inter_arrival",
 }
 
 
