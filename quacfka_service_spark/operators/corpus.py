@@ -169,6 +169,75 @@ def corpus_pack_blocks(docs: DataFrame, block_tokens: int = BLOCK_TOKENS) -> Dat
     )
 
 
+PACK_CAPACITY = 512
+
+
+def corpus_pack_greedy(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """First-fit-decreasing bin packing per shard: assign whole
+    documents to fixed-capacity blocks minimizing padding WITHOUT
+    splitting any document — the "no cross-document attention" packing
+    layout (vs corpus_pack_blocks' concat-and-chunk, which cuts docs
+    at block boundaries).
+
+    Classic FFD per shard (``source``): docs sorted (n_tokens desc,
+    doc_id asc), each placed in the first open block it fits; docs
+    longer than ``capacity`` get a dedicated oversize block.  FFD is
+    inherently sequential WITHIN a shard (each placement depends on
+    every fill before it), so this is a textbook applyInPandas
+    operator: one hash shuffle on ``source``, then pure per-shard
+    Python — exactly the parallelism the data layout has, since
+    training shards are packed independently anyway.  Deterministic
+    (rows-only driver check is a determinism check); the pytest pin
+    replays FFD in pure Python and asserts capacity/oversize
+    invariants.
+
+    Output (source, block_id, doc_id, n_tokens, block_fill): block_id
+    is the per-shard open order; block_fill is the block's final token
+    total on every member row (fill <= capacity unless a singleton
+    oversize block)."""
+    d = docs.select(
+        "source", "doc_id", F.size(_words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+
+    def _ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n >= capacity:
+                assign.append(len(fills))
+                fills.append(n)
+                continue
+            for b, fill in enumerate(fills):
+                # oversize blocks stay singleton: fill >= capacity never fits
+                if fill + n <= capacity:
+                    assign.append(b)
+                    fills[b] = fill + n
+                    break
+            else:
+                assign.append(len(fills))
+                fills.append(n)
+        out = pd.DataFrame(
+            {
+                "source": pdf["source"],
+                "block_id": assign,
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "block_fill": [fills[b] for b in assign],
+            }
+        )
+        return out
+
+    return d.groupBy("source").applyInPandas(
+        _ffd, "source string, block_id long, doc_id long, n_tokens long, block_fill long"
+    )
+
+
 # Gopher-style dup-word gate: the sf0.01 fixture's dup_word_frac spans
 # 0–0.72 (p90 ≈ 0.68), so 0.65 discriminates; 0.9 never fired (vacuous).
 MAX_DUP_WORD_FRAC = 0.65
@@ -459,6 +528,10 @@ QUERIES = {
     ),
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
+    # FFD is sequential per shard -> not SQL-expressible; rows-only
+    "corpus_pack_greedy": lambda spark, sf_dir: corpus_pack_greedy(
+        load_table(spark, sf_dir, "documents")
+    ),
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
     "corpus_shuffle_order": _q_shuffle_order,
     "corpus_quality_gate": _q_quality_gate,

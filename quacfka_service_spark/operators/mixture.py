@@ -73,6 +73,56 @@ def corpus_mixture(
     )
 
 
+TEMP_B = 1_000  # granularity for the squared keep rule (headroom: B²·n_s < 2⁶³)
+
+
+def corpus_mixture_temperature(docs: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Temperature-scaled mixture (downsample-only): target proportion
+    p_s ∝ n_s^α with α = num/den (default α = ½, the multilingual-
+    sampling exponent) — big sources are damped, small sources kept
+    whole, without hand-written weights.
+
+    Downsample-only ⇒ keep fraction f_s = (n_min/n_s)^(1-α), binding
+    at the smallest source (kept in full).  The keep rule needs NO
+    root: raise both sides of ``bucket/B < (n_min/n_s)^(1-α)`` to the
+    ``den`` power —
+
+        bucket^den · n_s^(den-num)  <  B^den · n_min^(den-num)
+
+    — pure BIGINT multiplication, so the DuckDB oracle is bit-exact
+    and the sample is row-stable under repartitioning (same md5-bucket
+    rule as split.py).  Overflow bound: B^den · n_s^(den-num) must fit
+    int64 — with B=1000 and α=½ that allows n_s up to ~9·10¹²
+    docs per source.
+
+    100 TB shape: identical to corpus_mixture — one map-side-combined
+    per-source count, the count table and the 1-row minimum broadcast
+    back, keep filter at scan speed; the corpus itself never shuffles.
+    """
+    if not (0 < num < den):
+        raise ValueError("need 0 < num/den < 1 (a damping temperature)")
+    d = docs.select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("n_min"))
+
+    def _ipow(col: F.Column, k: int) -> F.Column:
+        out = F.lit(1).cast("long")
+        for _ in range(k):
+            out = out * col
+        return out
+
+    bucket = hash_bucket(F.col("doc_id"), TEMP_B)
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(nmin))
+        .where(
+            _ipow(bucket, den) * _ipow(F.col("n"), den - num)
+            < _ipow(F.lit(TEMP_B).cast("long"), den) * _ipow(F.col("n_min"), den - num)
+        )
+        .select("doc_id", "source")
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -80,7 +130,14 @@ def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mixture(load_table(spark, sf_dir, "documents"))
 
 
-QUERIES = {"corpus_mixture": _q_mixture}
+def _q_mixture_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mixture_temperature(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "corpus_mixture": _q_mixture,
+    "corpus_mixture_temperature": _q_mixture_temp,
+}
 
 _W_CASE = "CASE " + " ".join(
     f"WHEN source = '{s}' THEN {w}" for s, w in sorted(TARGET_WEIGHTS.items())
@@ -104,5 +161,20 @@ JOIN counts c ON d.source = c.source
 CROSS JOIN lim
 WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % {B}) * (w_lim * c.n)
       < {B} * (d.w * n_lim)
+""",
+    # α = 1/2: bucket²·n_s < B²·n_min (see corpus_mixture_temperature)
+    "corpus_mixture_temperature": f"""
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+),
+m AS (SELECT min(n)::BIGINT AS n_min FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN counts c ON d.source = c.source
+CROSS JOIN m
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % {TEMP_B})
+      * (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % {TEMP_B})
+      * c.n
+      < {TEMP_B}::BIGINT * {TEMP_B}::BIGINT * m.n_min
 """,
 }

@@ -136,6 +136,28 @@ def rolling_active_users(ev: DataFrame, window_days: int = ROLLING_WINDOW_DAYS) 
     )
 
 
+def event_transitions(ev: DataFrame) -> DataFrame:
+    """Markov transition counts: per user, order events by (ts,
+    event_id) and count each consecutive (prev_type -> next_type) step
+    — the behavioral-flow matrix behind path/journey analysis.
+
+    100 TB shape: ONE shuffle keyed on user_id for the per-user sort
+    (window lag), then a map-side-combined aggregate over a key space
+    bounded by |event_type|² (tens of rows) — the output never scales
+    with data.  Output (prev_type, next_type, n)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,14 +176,31 @@ def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(load_table(spark, sf_dir, "events"))
 
 
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_retention": _q_retention,
     "events_funnel": _q_funnel,
     "events_user_growth": _q_user_growth,
     "events_rolling_active_users": _q_rolling_active,
+    "events_transitions": _q_transitions,
 }
 
 ORACLES = {
+    "events_transitions": """
+WITH s AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
     "events_user_growth": """
 WITH first AS (
   SELECT user_id, min(datetrunc('day', ts)::DATE) AS d FROM events GROUP BY user_id

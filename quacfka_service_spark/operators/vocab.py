@@ -207,6 +207,17 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     COUNT, not any shuffle's size.  Production vocabularies (30k
     merges) would batch argmax selection (top-M compatible merges per
     round); the per-round plan is unchanged."""
+    merges, _ = _bpe_loop(docs, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, cnt long"
+    )
+
+
+def _bpe_loop(docs: DataFrame, n_merges: int):
+    """Shared BPE training loop: returns (merges list, final vocab DF
+    (tok, freq, syms)) — bpe_train reports the rules, bpe_encode uses
+    the trained symbol table itself."""
     vocab = (
         _doc_tokens(docs)
         .groupBy("tok")
@@ -271,10 +282,122 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
         )
         cur = cur.select("tok", "freq", merged_syms.alias("syms")).localCheckpoint()
 
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, merged string, cnt long"
+    return merges, cur
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """Tokenize the corpus with a just-trained BPE: per document, the
+    whitespace-token count and the BPE-symbol count after ``n_merges``
+    learned merges (the number every "tokens seen" training budget is
+    denominated in).
+
+    The encode itself is the classic distinct-word trick: training
+    already produced the encoded symbol sequence for every DISTINCT
+    word (vocab-cardinality rows, JVM-side aggregate-scan merges — no
+    Python in the loop), so encoding the corpus is one broadcast join
+    of the corpus token stream against ``(tok -> |syms|)`` plus a
+    per-doc sum.  Iterative training upstream ⇒ rows-only driver
+    check; the pytest pin compares against an independent pure-Python
+    BPE encoder end-to-end.
+
+    100 TB shape: corpus-sized work = the wordcount (training) + one
+    scan with a broadcast hash join (encoding); the hot Zipf head hits
+    the broadcast map, never a token-keyed shuffle.  Output (doc_id,
+    n_tokens, n_bpe_tokens)."""
+    _, encoded = _bpe_loop(docs, n_merges)
+    width = encoded.select("tok", F.size("syms").cast("long").alias("n_syms"))
+    toks = _doc_tokens(docs)
+    per_doc = (
+        toks.join(F.broadcast(width), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
     )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias("n_bpe_tokens"),
+        )
+    )
+
+
+def token_coverage(docs: DataFrame) -> DataFrame:
+    """Zipf coverage curve: for each decile of total token mass (10%,
+    20%, ... 90%), the smallest vocabulary size (most-frequent-first)
+    whose occurrences cover it — the curve that sizes a tokenizer's
+    vocab and quantifies corpus diversity.
+
+    Pure integers end to end: thresholds are ceil(total*k/10) via
+    integer division, and the partial class contributes
+    ceil(remaining/tf) tokens — no float ratios, so the DuckDB oracle
+    is bit-exact.  Ties inside a frequency class are immaterial
+    because any tokens of equal tf are interchangeable for coverage.
+
+    100 TB shape: the corpus-sized work is the one wordcount shuffle
+    (map-side combined).  Then the tf table COLLAPSES to frequency
+    CLASSES — group by tf — whose cardinality is bounded by the
+    distinct frequency values (≤ O(√total_mass), thousands at worst),
+    and the running-sum window plus the 9-row decile cross join run on
+    that class table: driver-trivial regardless of corpus size.  Same
+    histogram-collapse trick as corpus_length_deciles.
+
+    Output (pct, vocab_size, cum_tokens)."""
+    from pyspark.sql.window import Window
+
+    tf = _doc_tokens(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    classes = tf.groupBy("tf").agg(F.count(F.lit(1)).alias("n_toks"))
+    w = Window.orderBy(F.desc("tf")).rowsBetween(Window.unboundedPreceding, 0)
+    run = classes.select(
+        "tf",
+        "n_toks",
+        (F.col("tf") * F.col("n_toks")).alias("mass"),
+        F.sum(F.col("tf") * F.col("n_toks")).over(w).alias("cum_mass"),
+        F.sum("n_toks").over(w).alias("cum_vocab"),
+    ).select(
+        "tf",
+        "cum_mass",
+        "cum_vocab",
+        (F.col("cum_mass") - F.col("mass")).alias("prev_mass"),
+        (F.col("cum_vocab") - F.col("n_toks")).alias("prev_vocab"),
+    )
+    total = tf.agg(F.sum("tf").cast("long").alias("total"))
+    deciles = (
+        docs.sparkSession.range(1, 10)
+        .select((F.col("id") * 10).cast("long").alias("pct"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pct",
+            F.expr("(total * pct + 99) div 100").cast("long").alias("threshold"),
+        )
+    )
+    hit = (
+        run.crossJoin(F.broadcast(deciles))
+        .where(
+            (F.col("prev_mass") < F.col("threshold"))
+            & (F.col("threshold") <= F.col("cum_mass"))
+        )
+        .select(
+            "pct",
+            (
+                F.col("prev_vocab")
+                + F.expr("(threshold - prev_mass + tf - 1) div tf")
+            )
+            .cast("long")
+            .alias("vocab_size"),
+            (
+                F.col("prev_mass")
+                + F.expr("(threshold - prev_mass + tf - 1) div tf") * F.col("tf")
+            )
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+    return hit
 
 
 # --- queries()/oracle_sql() registrations ---------------------------------
@@ -298,14 +421,54 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_coverage(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 QUERIES = {
     "text_oov_score": _q_oov,
     "tokenizer_merges": _q_bpe,
     "text_rarity_score": _q_rarity,
     "tokenizer_bpe_train": _q_bpe_train,  # iterative -> rows-only
+    "tokenizer_bpe_encode": _q_bpe_encode,  # iterative upstream -> rows-only
+    "text_token_coverage": _q_coverage,
 }
 
 ORACLES = {
+    "text_token_coverage": """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT tok, count(*)::BIGINT AS tf FROM toks WHERE tok <> '' GROUP BY tok
+),
+classes AS (SELECT tf, count(*)::BIGINT AS n_toks FROM tf GROUP BY tf),
+run AS (
+  SELECT tf,
+         sum(tf * n_toks) OVER (ORDER BY tf DESC)::BIGINT AS cum_mass,
+         sum(n_toks) OVER (ORDER BY tf DESC)::BIGINT AS cum_vocab,
+         (sum(tf * n_toks) OVER (ORDER BY tf DESC) - tf * n_toks)::BIGINT AS prev_mass,
+         (sum(n_toks) OVER (ORDER BY tf DESC) - n_toks)::BIGINT AS prev_vocab
+  FROM classes
+),
+tot AS (SELECT sum(tf)::BIGINT AS total FROM tf),
+deciles AS (
+  SELECT (k * 10)::BIGINT AS pct, ((total * k * 10 + 99) // 100)::BIGINT AS threshold
+  FROM generate_series(1, 9) AS g(k), tot
+)
+SELECT pct,
+       (prev_vocab + (threshold - prev_mass + tf - 1) // tf)::BIGINT AS vocab_size,
+       (prev_mass + ((threshold - prev_mass + tf - 1) // tf) * tf)::BIGINT AS cum_tokens
+FROM run CROSS JOIN deciles
+WHERE prev_mass < threshold AND threshold <= cum_mass
+""",
     "text_rarity_score": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

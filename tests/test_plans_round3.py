@@ -10,6 +10,7 @@ from quacfka_service_spark.plans.inspect import (
     count_exchanges,
     formatted_plan,
     has_broadcast_join,
+    has_partial_aggregation,
     pushed_filters,
 )
 
@@ -159,3 +160,44 @@ def test_user_growth_windows_day_cardinality_only(spark):
     df = _q(spark, "events_user_growth")
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+# --- batch 6: chunking / transitions / coverage / temperature mix ---------
+
+def test_chunk_windows_zero_shuffle(spark):
+    """Chunking is pure map + bounded fan-out: the plan may contain NO
+    Exchange at all — tokenization, the sequence explode, and the
+    slice/join projection all stream through the scan."""
+    df = _q(spark, "corpus_chunk_windows")
+    assert count_exchanges(df) == 0
+    plan = formatted_plan(df)
+    assert "Generate" in plan  # the window-index explode
+
+
+def test_transitions_single_user_shuffle_then_tiny_agg(spark):
+    """One hash-partition on user_id for the lag window; the
+    transition count aggregate is map-side combined over a
+    |event_type|^2 key space."""
+    df = _q(spark, "events_transitions")
+    assert count_exchanges(df) == 2  # user window + final agg
+    assert has_partial_aggregation(df)
+
+
+def test_token_coverage_windows_class_cardinality_only(spark):
+    """The running-sum window must run on the frequency-CLASS table
+    (group by tf), never over the token table: wordcount agg +
+    class agg + single-partition window + broadcast decile join."""
+    df = _q(spark, "text_token_coverage")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final x (tf, classes)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mixture_temperature_no_corpus_shuffle(spark):
+    """Identical scan shape to corpus_mixture: per-source counts
+    broadcast back; the corpus itself never shuffles (no Exchange
+    below the join other than the tiny count aggregate's)."""
+    df = _q(spark, "corpus_mixture_temperature")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan

@@ -107,3 +107,81 @@ def test_bpe_train_matches_reference_implementation(spark):
     # iteration, not repeated unigram-pair counting): some rule's left
     # or right side is itself multi-character
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
+
+
+# --- BPE encode + Zipf coverage (round 3 batch 6) -------------------------
+
+def _reference_encode(word_freqs: dict[str, int], n_merges: int):
+    """Re-run _reference_bpe's loop keeping the final vocab: the
+    encoded symbol count per distinct word."""
+    vocab = {w: [c for c in w] for w in word_freqs}
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return {w: len(s) for w, s in vocab.items()}
+
+
+def test_bpe_encode_matches_reference(spark):
+    from quacfka_service_spark.operators.vocab import bpe_encode
+
+    words = ["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "hug bun")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_bpe_tokens)
+           for r in bpe_encode(docs, n_merges=6).collect()}
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    freqs["hug"] += 1
+    freqs["bun"] += 1
+    widths = _reference_encode(freqs, 6)
+    assert got[0] == (len(words), sum(widths[w] for w in words))
+    assert got[1] == (2, widths["hug"] + widths["bun"])
+    # merges really shrink the doc: encoded length strictly under chars
+    assert got[0][1] < sum(len(w) for w in words)
+
+
+def test_token_coverage_hand_computed(spark):
+    from quacfka_service_spark.operators.vocab import token_coverage
+
+    # corpus: 'a' x 60, 'b' x 30, 'c' x 10  (total 100)
+    text = " ".join(["a"] * 60 + ["b"] * 30 + ["c"] * 10)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.pct: (r.vocab_size, r.cum_tokens) for r in token_coverage(docs).collect()}
+    # thresholds k*10: vocab {a} covers 60 (pct<=60), {a,b} covers 90,
+    # {a,b,c} covers 100
+    for pct in (10, 20, 30, 40, 50, 60):
+        assert got[pct] == (1, 60), pct
+    for pct in (70, 80, 90):
+        assert got[pct] == (2, 90), pct
+
+
+def test_token_coverage_partial_class_split(spark):
+    from quacfka_service_spark.operators.vocab import token_coverage
+
+    # four tokens each tf=5 (one freq class, mass 20): 30% needs
+    # ceil(6/5)=2 tokens of the class, 50% needs 2 (mass 10), 60% ->3
+    text = " ".join(["a"] * 5 + ["b"] * 5 + ["c"] * 5 + ["d"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.pct: (r.vocab_size, r.cum_tokens) for r in token_coverage(docs).collect()}
+    assert got[30] == (2, 10)
+    assert got[50] == (2, 10)
+    assert got[60] == (3, 15)
+    assert got[90] == (4, 20)
