@@ -364,6 +364,65 @@ def corpus_shuffle_order(docs: DataFrame, salt: str = SHUFFLE_SALT) -> DataFrame
     )
 
 
+BUDGET_NUM, BUDGET_DEN = 1, 2  # keep half the corpus token mass
+
+
+def corpus_token_budget(
+    docs: DataFrame,
+    num: int = BUDGET_NUM,
+    den: int = BUDGET_DEN,
+    salt: str = SHUFFLE_SALT,
+) -> DataFrame:
+    """Token-budget sampling: keep a deterministic pseudo-random
+    prefix of the corpus whose token mass fits the budget — the "train
+    on N tokens" subset every scaling-law ablation needs.  Budget =
+    ``total_tokens * num div den`` (integer, computed in-query); docs
+    are taken in md5(salt‖doc_id) order (the corpus_shuffle_order
+    key), and a doc is kept iff its INCLUSIVE running token count fits
+    the budget — so the kept set is unbiased w.r.t. content, stable
+    across engines, and reshuffles with the salt.
+
+    100 TB shape: the naive form is a GLOBAL ordered cumsum (one
+    task).  Same fix as corpus_shuffle_order: the key's first byte
+    pre-shards the order, each shard cumsums independently (256-way
+    parallel window), and the global running total is intra-shard
+    cumsum + the broadcast 256-row running shard offset.  One corpus
+    shuffle total; the budget row broadcasts.
+
+    Output (doc_id, n_tokens, cum_tokens) for kept docs."""
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+        key.alias("k"),
+        F.substring(key, 1, 2).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = d.select(
+        "doc_id", "n_tokens", "shard", F.sum("n_tokens").over(w).alias("intra_cum")
+    )
+    shard_tot = d.groupBy("shard").agg(F.sum("n_tokens").alias("n"))
+    off_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard", F.coalesce(F.sum("n").over(off_w), F.lit(0).cast("long")).alias("off")
+    )
+    budget = shard_tot.agg(
+        F.expr(f"sum(n) * {num} div {den}").cast("long").alias("budget")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .crossJoin(F.broadcast(budget))
+        .where(F.col("off") + F.col("intra_cum") <= F.col("budget"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("off") + F.col("intra_cum")).cast("long").alias("cum_tokens"),
+        )
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -530,6 +589,9 @@ QUERIES = {
     "corpus_pack_blocks": _q_pack_blocks,
     # FFD is sequential per shard -> not SQL-expressible; rows-only
     "corpus_pack_greedy": lambda spark, sf_dir: corpus_pack_greedy(
+        load_table(spark, sf_dir, "documents")
+    ),
+    "corpus_token_budget": lambda spark, sf_dir: corpus_token_budget(
         load_table(spark, sf_dir, "documents")
     ),
     "corpus_curation_lsh": _q_curation_lsh,  # rows-only (engine hashes)
@@ -782,6 +844,23 @@ FROM verdict
 SELECT doc_id,
        (row_number() OVER (ORDER BY md5('{SHUFFLE_SALT}:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT AS order_idx
 FROM documents
+""",
+    "corpus_token_budget": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens,
+         md5('{SHUFFLE_SALT}:' || doc_id::VARCHAR) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY k, doc_id)::BIGINT AS cum_tokens
+  FROM t
+),
+b AS (SELECT (sum(n_tokens) * {BUDGET_NUM} // {BUDGET_DEN})::BIGINT AS budget FROM t)
+SELECT doc_id, n_tokens, cum_tokens
+FROM c CROSS JOIN b
+WHERE cum_tokens <= budget
 """,
     "corpus_pack_blocks": f"""
 WITH t AS (

@@ -68,6 +68,36 @@ def stratified_sample(df: DataFrame, stratum_col: str, rates_pct: dict[str, int]
     return df.where(b < rate)
 
 
+def split_group_safe(docs: DataFrame) -> DataFrame:
+    """Leakage-safe splitting: every near-duplicate CLUSTER lands in
+    one split.  Plain per-doc hashing puts two near-identical docs on
+    opposite sides of the train/test fence — the classic contamination
+    bug group-wise splitting (sklearn's GroupShuffleSplit idea)
+    prevents; here the group is the connected component of the
+    near-dup pair graph, and the split is the md5 bucket of the
+    component's canonical (minimum) doc_id, so the whole cluster moves
+    together and assignment stays row-stable on append.
+
+    Output (doc_id, group_id, split).
+
+    100 TB shape: pair emit + hash-to-min components are the proven
+    dedup shapes (pluggable to the LSH emitter exactly like
+    corpus_curation); the component map — only docs with ≥1 near-dup —
+    broadcasts into a left join, and the bucket rule is column algebra
+    at scan speed."""
+    from .dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    d = docs.select("doc_id").join(
+        F.broadcast(comp.select("doc_id", "component_id")), "doc_id", "left_outer"
+    )
+    group = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return assign_split(
+        d.select("doc_id", group.cast("long").alias("group_id")), "group_id"
+    ).select("doc_id", "group_id", "split")
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 SAMPLE_RATES = {"click": 10, "error": 50, "purchase": 100, "signup": 100, "view": 5}
@@ -83,9 +113,14 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(ev, "event_type", SAMPLE_RATES, id_col="event_id")
 
 
+def _q_split_group_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_group_safe(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "split_assign": _q_split_assign,
     "stratified_sample": _q_stratified_sample,
+    "split_group_safe": _q_split_group_safe,
 }
 
 _RATE_CASE = "CASE " + " ".join(
@@ -112,3 +147,54 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS}
       < {_RATE_CASE}
 """,
 }
+
+
+def _group_safe_oracle() -> str:
+    # composes dedup.py's verified recursive-closure CTE with the
+    # split bucket rule, bucketing on the component canonical id
+    from .dedup import _SHINGLE_CTE
+
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v, MIN(lbl) AS component_id FROM walk GROUP BY v),
+g AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id)::BIGINT AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+),
+b AS (
+  SELECT doc_id, group_id,
+         ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS} AS bucket
+  FROM g
+)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+ORACLES["split_group_safe"] = _group_safe_oracle()

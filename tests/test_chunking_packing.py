@@ -127,3 +127,60 @@ def test_event_transitions_tie_break_on_event_id(spark):
     ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "event_type")
     got = {(r.prev_type, r.next_type): r.n for r in event_transitions(ev).collect()}
     assert got == {("a", "b"): 1}
+
+
+# --- leakage-safe split + token budget (batch 6b) --------------------------
+
+def test_split_group_safe_never_splits_a_neardup_pair(spark):
+    from quacfka_service_spark.operators.dedup import ngram_jaccard_pairs
+    from quacfka_service_spark.operators.split import split_group_safe
+    from quacfka_service_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    split = split_group_safe(docs).select("doc_id", "split").toPandas()
+    assert len(split) == docs.count()
+    lookup = dict(zip(split.doc_id, split.split))
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").toPandas()
+    assert len(pairs) > 0  # non-vacuous: the fixture HAS near-dups
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert lookup[a] == lookup[b], (a, b)
+    # and it still produces more than one split overall
+    assert set(lookup.values()) >= {"train", "test"}
+
+
+def test_split_group_safe_vs_plain_split_disagree(spark):
+    """The operator must actually MOVE some docs relative to per-doc
+    hashing (otherwise the group logic is vacuous on the fixture)."""
+    from quacfka_service_spark.operators.split import assign_split, split_group_safe
+    from quacfka_service_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    grouped = split_group_safe(docs).select("doc_id", "split").toPandas()
+    plain = (
+        assign_split(docs.select("doc_id"), "doc_id")
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    merged = grouped.merge(plain, on="doc_id", suffixes=("_g", "_p"))
+    assert (merged.split_g != merged.split_p).any()
+
+
+def test_token_budget_prefix_semantics(spark):
+    from quacfka_service_spark.operators.corpus import corpus_token_budget
+    from quacfka_service_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = corpus_token_budget(docs).toPandas()
+    from quacfka_service_spark.operators.text import _words  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    total = docs.select(
+        F2.sum(F2.size(F2.split(F2.trim(F2.lower("text")), r"\s+")))
+    ).collect()[0][0]
+    budget = total // 2
+    assert kept.cum_tokens.max() <= budget
+    # greedy prefix: kept mass + the SMALLEST excluded doc would overflow
+    assert len(kept) > 0 and kept.cum_tokens.max() > budget * 0.9
+    # deterministic: second run identical
+    again = corpus_token_budget(docs).toPandas()
+    assert sorted(kept.doc_id) == sorted(again.doc_id)

@@ -70,7 +70,7 @@ _MUST_BE_NONEMPTY = {
     "skew_salted_join", "skew_salted_agg", "corpus_e2e_factory",
     "corpus_decontaminate_lsh", "dedup_simhash_exact", "events_inter_arrival",
     "corpus_chunk_windows", "events_transitions", "text_token_coverage",
-    "corpus_mixture_temperature",
+    "corpus_mixture_temperature", "split_group_safe", "corpus_token_budget",
 }
 
 
