@@ -140,3 +140,36 @@ def test_cap_per_source_over_streamed_lake_equals_batch(spark, tmp_path):
     assert streamed_cap.exceptAll(batch_cap).count() == 0
     assert batch_cap.exceptAll(streamed_cap).count() == 0
     assert streamed_cap.count() == batch_cap.count() > 0
+
+
+def test_chunk_windows_stream_equals_batch(spark, tmp_path):
+    """corpus_chunk_windows is per-row deterministic (pure map +
+    bounded fan-out, zero shuffles), so the union of per-micro-batch
+    chunk tables must equal the batch chunk table row-for-row — the
+    shape a streaming RAG indexer uses (chunk at ingest, embed
+    downstream)."""
+    from quacfka_service_spark.operators.chunking import chunk_windows
+
+    docs, stream = _stream_docs_in_batches(spark, tmp_path)
+    out = _run_foreach_batch(stream, tmp_path, chunk_windows, "chunks")
+    streamed = spark.read.parquet(out)
+    batch = chunk_windows(docs)
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_token_budget_over_streamed_lake_equals_batch(spark, tmp_path):
+    """corpus_token_budget needs the GLOBAL md5-ordered cumsum, so the
+    streaming contract is budget-at-epoch over the accumulated lake
+    (like mixture/cap).  The md5 order is arrival-order-free, so the
+    kept prefix must match the batch run exactly."""
+    from quacfka_service_spark.operators.corpus import corpus_token_budget
+
+    docs, stream = _stream_docs_in_batches(spark, tmp_path)
+    lake = _run_foreach_batch(stream, tmp_path, lambda b: b, "budgetlake")
+    streamed = corpus_token_budget(spark.read.parquet(lake))
+    batch = corpus_token_budget(docs)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.count() == batch.count() > 0
