@@ -530,6 +530,144 @@ class TxTable:
         most once; replays are detected in the log and dropped."""
         return self.append(df, partition_by, txn={"app_id": app_id, "epoch": epoch})
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Delta-style MERGE (whole-row upsert by key): source rows
+        whose key matches an existing row REPLACE it; the rest insert.
+
+        File-level surgery, the property that makes MERGE usable at
+        100 TB: only data files that actually CONTAIN a matched key are
+        rewritten — everything else stays live untouched.  Three
+        stages, all metadata-first:
+
+        1. candidate pruning: the source's key min/max (1-row agg)
+           prunes live files via manifest stats — zero file opens;
+        2. touched-file detection: candidates scan once with file
+           provenance (``_metadata.file_path``), a broadcast semi-join
+           against source keys marks files holding ≥1 match;
+        3. rewrite: touched rows anti-joined on the key, unioned with
+           the full source, staged, and committed as a ``rewrite``
+           removing exactly the touched files — so it never conflicts
+           with concurrent appends, and conflicts loudly
+           (``CommitConflict``) iff another commit removed one of the
+           touched files first (the write-write race MERGE must not
+           silently lose).
+
+        ``source`` must be key-unique (one surviving row per key is
+        the whole contract) — enforced, fail-loud.  Returns
+        {version, files_rewritten, updated, inserted}."""
+        from pyspark.sql import functions as F
+
+        if source.groupBy(*key_cols).count().where("count > 1").limit(1).count():
+            raise ValueError("merge source has duplicate keys")
+        snap = self.snapshot()
+        if not snap.files:
+            v = self.append(source, partition_by)
+            return {"version": v, "files_rewritten": 0, "updated": 0,
+                    "inserted": source.count()}
+        # stage 1: manifest-stats pruning on the first key column
+        lohi = source.agg(
+            F.min(key_cols[0]).alias("lo"), F.max(key_cols[0]).alias("hi")
+        ).collect()[0]
+        cand = self.live_files(
+            ranges={key_cols[0]: (lohi["lo"], lohi["hi"])}, _snap=snap
+        )
+        if partition_by is None:
+            any_part = next(iter(snap.files.values()))["partition"]
+            partition_by = sorted(any_part.keys())
+        keys = source.select(*key_cols).distinct()
+        if not cand:
+            v = self.append(source, partition_by)
+            return {"version": v, "files_rewritten": 0, "updated": 0,
+                    "inserted": source.count()}
+        # stage 2: which candidate files hold >= 1 matching key?
+        schema = None
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+        reader = spark.read.option("basePath", self._data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        cand_abs = {os.path.realpath(os.path.join(self.root, p)): p for p in cand}
+        cdf = reader.parquet(*[os.path.join(self.root, p) for p in cand]).select(
+            *([f.name for f in schema] if schema else ["*"]),
+            F.col("_metadata.file_path").alias("__file"),
+        )
+        touched_abs = [
+            r["__file"]
+            for r in cdf.join(F.broadcast(keys), key_cols, "left_semi")
+            .select("__file").distinct().collect()
+        ]
+        def _rel(uri: str) -> str:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            return cand_abs[os.path.realpath(path)]
+
+        touched = sorted(_rel(u) for u in touched_abs)
+        if not touched:
+            v = self.append(source, partition_by)
+            return {"version": v, "files_rewritten": 0, "updated": 0,
+                    "inserted": source.count()}
+        # stage 3: rewrite = (touched rows minus matched keys) + source
+        tdf = reader.parquet(*[os.path.join(self.root, p) for p in touched])
+        if schema is not None:
+            tdf = tdf.select(*[f.name for f in schema])
+        updated = tdf.join(F.broadcast(keys), key_cols, "left_semi").count()
+        survivors = tdf.join(F.broadcast(keys), key_cols, "left_anti")
+        new_data = survivors.unionByName(source.select(*tdf.columns))
+        adds = self._stage(new_data, partition_by)
+        v = self._commit_loop(
+            adds, "rewrite", new_data.schema.json(), rewrite_removes=touched
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(touched),
+            "updated": updated,
+            "inserted": source.count() - updated,
+        }
+
+    def restore(self, version: int, max_retries: int = 50) -> int:
+        """RESTORE TABLE TO VERSION AS OF: commit a new version whose
+        live set is exactly snapshot(version)'s — pure metadata (the
+        old files are RE-ADDED by path, no data is copied), so history
+        stays intact, time travel across the restore still works, and
+        vacuum keeps the restored files because they are live again.
+        The schema resets wholesale to the target snapshot's (same
+        contract as overwrite).  No staging is involved, so a lost
+        race never deletes anything — it just rebases and retries."""
+        target = self.snapshot(version)  # raises if vacuumed/unknown
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            removes = [
+                {"op": "remove", "file": p, "partition": meta["partition"]}
+                for p, meta in cur.files.items()
+                if p not in target.files
+            ]
+            adds = [
+                {"op": "add", "file": p, "rows": meta["rows"],
+                 "partition": meta["partition"], "stats": meta.get("stats", {})}
+                for p, meta in target.files.items()
+                if p not in cur.files
+            ]
+            new_version = cur.version + 1
+            record = {
+                "version": new_version,
+                "op_type": "restore",
+                "actions": removes + adds,
+                "schema_json": target.schema_json,
+                "txn": None,
+            }
+            if self._try_commit(new_version, record):
+                if new_version % self.checkpoint_interval == 0 and new_version > 0:
+                    self._write_checkpoint(new_version)
+                return new_version
+        raise CommitConflict(f"restore gave up after {max_retries} rebase attempts")
+
     def live_files(
         self,
         version: int | None = None,
@@ -630,8 +768,15 @@ class TxTable:
                 continue
             with open(self._commit_path(v)) as f:
                 rec = json.load(f)
-            if rec["op_type"] == "rewrite":
-                continue  # compaction rewrites carry no new rows
+            if rec["op_type"] in ("rewrite", "restore"):
+                # compaction rewrites carry no new rows; a restore
+                # re-ADDS old files by path — also not new data.
+                # (merge_upsert commits as 'rewrite': its inserted rows
+                # reach a change consumer via the post-merge snapshot,
+                # not the insert feed — documented CDF limitation, as
+                # in Delta without the explicit change-data-feed table
+                # property.)
+                continue
             added.extend(a["file"] for a in rec["actions"] if a["op"] == "add")
         from pyspark.sql.types import StructType
 
