@@ -542,6 +542,73 @@ def recall_report(emb: DataFrame) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
+def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Nearest-centroid classification agreement matrix: assign every
+    vector to its cosine-nearest label centroid and cross-tabulate
+    true label × assigned label — the label-quality / cluster-purity
+    dashboard (diagonal = self-consistent labels; off-diagonal mass =
+    mislabeled or overlapping classes), and exactly the assignment
+    step IVF-Flat's training loop iterates.
+
+    Engine-exactness: centroids use label_centroids' deterministic
+    vec_id-ordered sequential fold (bit-identical to the oracle's
+    list_reduce), and scoring reuses the sequential dot/norm idiom
+    every oracled cosine op here relies on; the per-vector argmax is a
+    row_number window with a (cos DESC, label ASC) tie-break on both
+    engines, so the integer matrix hash-matches.
+
+    100 TB shape: the centroid table is |labels| rows -> BROADCAST
+    into a scan-speed scoring pass (fan-out factor |labels|); the
+    argmax window keys on vec_id (one corpus-fan-out shuffle) and the
+    final matrix aggregate is map-side combined onto a |labels|²
+    key space."""
+    from pyspark.sql.window import Window
+
+    v = F.col("embedding").cast("array<double>")
+    g = (
+        emb.select("label", "vec_id", v.alias("v"))
+        .groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate("vs", F.lit(0.0), lambda acc, x: acc + F.get(x["v"], i))
+        / F.col("n"),
+    )
+    cnorm = F.sqrt(F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x * x))
+    cent = g.select(F.col("label").alias("cand_label"), cent_vec.alias("c")).select(
+        "cand_label", "c", cnorm.alias("cn")
+    )
+    d = emb.select("vec_id", "label", v.alias("v")).select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = d.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cand_label", (dot / (F.col("nrm") * F.col("cn"))).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
+    best = scored.select(
+        "vec_id", "label", "cand_label", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") == 1)
+    return best.groupBy("label", F.col("cand_label").alias("assigned_label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_assign(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_sq8(load_table(spark, sf_dir, "embeddings"))
 
@@ -553,6 +620,7 @@ def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
+    "embedding_centroid_assign": _q_centroid_assign,
     "embedding_quantize_sq8": _q_quantize,
     "similarity_recall_report": _q_recall_report,  # rows-only (approx paths)
     "similarity_topk": _q_topk,
@@ -607,6 +675,41 @@ SELECT label, (i - 1)::BIGINT AS dim,
        list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])),
                    (a, b) -> a + b) / n AS centroid
 FROM g, generate_series(1, {EMB_DIM}) AS t(i)
+""",
+    "embedding_centroid_assign": f"""
+WITH d AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+g AS (
+  SELECT label, list(v ORDER BY vec_id) AS vs, count(*)::BIGINT AS n
+  FROM d GROUP BY label
+),
+cent AS (
+  SELECT label AS cand_label,
+         list_transform(generate_series(1, {EMB_DIM}),
+           i -> list_reduce(list_prepend(0.0, list_transform(vs, x -> x[i])),
+                            (a, b) -> a + b) / n) AS c
+  FROM g
+),
+cent2 AS (
+  SELECT cand_label, c, sqrt(list_dot_product(c, c)) AS cn FROM cent
+),
+pts AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
+),
+scored AS (
+  SELECT p.vec_id, p.label, c.cand_label,
+         list_dot_product(p.v, c.c) / (p.nrm * c.cn) AS cos
+  FROM pts p CROSS JOIN cent2 c
+),
+best AS (
+  SELECT vec_id, label, cand_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_label ASC) AS rn
+  FROM scored
+)
+SELECT label, cand_label AS assigned_label, count(*)::BIGINT AS n
+FROM best WHERE rn = 1
+GROUP BY label, cand_label
 """,
     "similarity_range_search": f"""
 WITH d AS (

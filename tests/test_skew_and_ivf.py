@@ -106,3 +106,26 @@ def test_recall_report_echoes_pinned_floors(spark):
     assert set(rep) == {"lsh", "ivf"}
     assert rep["ivf"] >= 0.5, rep
     assert rep["lsh"] >= 0.4, rep
+
+
+def test_centroid_assign_planted_clusters(spark):
+    """Three tight planted clusters: every vector must be assigned to
+    its own label's centroid (pure diagonal matrix)."""
+    import random
+
+    from quacfka_service_spark.operators.similarity import centroid_assign
+
+    rng = random.Random(7)
+    rows = []
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0], 2: [0.0, 0.0, 1.0, 0.0]}
+    vid = 0
+    for lbl, b in base.items():
+        for _ in range(10):
+            rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in b], lbl))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {(r.label, r.assigned_label): r.n
+           for r in centroid_assign(emb, dim=4).collect()}
+    assert got == {(0, 0): 10, (1, 1): 10, (2, 2): 10}
