@@ -201,3 +201,13 @@ def test_mixture_temperature_no_corpus_shuffle(spark):
     plan = formatted_plan(df)
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    """The |labels|-row centroid table must broadcast into the scoring
+    pass — a shuffled join would key the corpus on nothing useful."""
+    df = _q(spark, "embedding_centroid_assign")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert has_partial_aggregation(df)  # the matrix agg map-side combines
