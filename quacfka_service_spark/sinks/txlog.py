@@ -536,6 +536,7 @@ class TxTable:
         source: DataFrame,
         key_cols: list[str],
         partition_by: list[str] | None = None,
+        txn: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Delta-style MERGE (whole-row upsert by key): source rows
         whose key matches an existing row REPLACE it; the rest insert.
@@ -559,15 +560,22 @@ class TxTable:
            silently lose).
 
         ``source`` must be key-unique (one surviving row per key is
-        the whole contract) — enforced, fail-loud.  Returns
-        {version, files_rewritten, updated, inserted}."""
+        the whole contract) — enforced, fail-loud.  ``txn`` =
+        {app_id, epoch} makes a replayed streaming merge epoch a true
+        no-op (checked up front, before any scan — and re-checked
+        inside the commit loop against the committed log), so
+        foreachBatch CDC upsert is exactly-once like the append sink.
+        Returns {version, files_rewritten, updated, inserted}."""
         from pyspark.sql import functions as F
 
+        snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "updated": 0, "inserted": 0, "replayed": True}
         if source.groupBy(*key_cols).count().where("count > 1").limit(1).count():
             raise ValueError("merge source has duplicate keys")
-        snap = self.snapshot()
         if not snap.files:
-            v = self.append(source, partition_by)
+            v = self.append(source, partition_by, txn=txn)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 1: manifest-stats pruning on the first key column
@@ -582,7 +590,7 @@ class TxTable:
             partition_by = sorted(any_part.keys())
         keys = source.select(*key_cols).distinct()
         if not cand:
-            v = self.append(source, partition_by)
+            v = self.append(source, partition_by, txn=txn)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 2: which candidate files hold >= 1 matching key?
@@ -610,7 +618,7 @@ class TxTable:
 
         touched = sorted(_rel(u) for u in touched_abs)
         if not touched:
-            v = self.append(source, partition_by)
+            v = self.append(source, partition_by, txn=txn)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 3: rewrite = (touched rows minus matched keys) + source
@@ -622,7 +630,8 @@ class TxTable:
         new_data = survivors.unionByName(source.select(*tdf.columns))
         adds = self._stage(new_data, partition_by)
         v = self._commit_loop(
-            adds, "rewrite", new_data.schema.json(), rewrite_removes=touched
+            adds, "rewrite", new_data.schema.json(), txn=txn,
+            rewrite_removes=touched
         )
         return {
             "version": v,

@@ -768,3 +768,26 @@ def test_restore_then_read_inserts_sees_no_phantom_rows(spark, tmp_path):
     # the restore commit re-adds v0's files; an incremental consumer
     # at v1 must NOT see those as new data
     assert t.read_inserts(spark, since_version=v2 - 1, to_version=v2).count() == 0
+
+
+def test_merge_upsert_epoch_replay_is_noop(spark, tmp_path):
+    """CDC upsert in foreachBatch: a replayed (app, epoch) merge must
+    change nothing — checked up front before any scan."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 50), partition_by=["p"])
+    src = spark.range(0, 5).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(-7).cast("long").alias("v")
+    )
+    s1 = t.merge_upsert(spark, src, ["id"], txn={"app_id": "cdc", "epoch": 3})
+    assert s1["updated"] == 5
+    v_after = t.latest_version()
+    s2 = t.merge_upsert(spark, src, ["id"], txn={"app_id": "cdc", "epoch": 3})
+    assert s2.get("replayed") is True
+    assert t.latest_version() == v_after
+    assert t.read(spark).where("v = -7").count() == 5
+    # a LATER epoch still applies
+    src2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(-8).cast("long").alias("v")
+    )
+    s3 = t.merge_upsert(spark, src2, ["id"], txn={"app_id": "cdc", "epoch": 4})
+    assert s3["updated"] == 3 and t.read(spark).where("v = -8").count() == 3
