@@ -82,6 +82,11 @@ class CommitConflict(Exception):
     rewrite); the caller must re-derive its write from fresh data."""
 
 
+class ConstraintViolation(Exception):
+    """A write contains rows failing a table CHECK constraint; nothing
+    was committed and no files were staged."""
+
+
 class SchemaEvolutionError(Exception):
     """The incoming write's schema is incompatible with the table's.
 
@@ -101,6 +106,7 @@ class _Snapshot:
     files: dict[str, dict[str, Any]]  # rel path -> {rows, partition}
     schema_json: str | None
     txns: dict[str, int]  # app_id -> highest committed epoch
+    constraints: dict[str, str] = None  # name -> boolean SQL expression
 
 
 @dataclass
@@ -147,7 +153,7 @@ class TxTable:
         if not commits:
             if version is not None and version >= 0:
                 raise ValueError(f"version {version} not in an empty log")
-            return _Snapshot(-1, {}, None, {})
+            return _Snapshot(-1, {}, None, {}, {})
         target = commits[-1] if version is None else version
         if target not in commits:
             raise ValueError(
@@ -157,6 +163,7 @@ class TxTable:
         files: dict[str, dict[str, Any]] = {}
         schema_json: str | None = None
         txns: dict[str, int] = {}
+        constraints: dict[str, str] = {}
         start = 0
         base = [c for c in checkpoints if c <= target]
         if base:
@@ -165,6 +172,7 @@ class TxTable:
             files = dict(ck["files"])
             schema_json = ck.get("schema_json")
             txns = dict(ck.get("txns", {}))
+            constraints = dict(ck.get("constraints", {}))
             start = base[-1] + 1
         for v in range(start, target + 1):
             if v not in commits:
@@ -184,7 +192,9 @@ class TxTable:
             if rec.get("txn"):
                 app, epoch = rec["txn"]["app_id"], rec["txn"]["epoch"]
                 txns[app] = max(txns.get(app, -1), epoch)
-        return _Snapshot(target, files, schema_json, txns)
+            if rec.get("constraints") is not None:
+                constraints = dict(rec["constraints"])
+        return _Snapshot(target, files, schema_json, txns, constraints)
 
     # --- write path ---
     @staticmethod
@@ -424,19 +434,76 @@ class TxTable:
         with os.fdopen(fd, "w") as f:
             json.dump(
                 {"version": version, "files": snap.files,
-                 "schema_json": snap.schema_json, "txns": snap.txns}, f,
+                 "schema_json": snap.schema_json, "txns": snap.txns,
+                 "constraints": snap.constraints}, f,
             )
             f.flush()
             os.fsync(f.fileno())  # a torn checkpoint would brick every read
         os.rename(tmp, self._checkpoint_path(version))  # last-writer-wins, identical content
 
+    # --- CHECK constraints (Delta-style write-time quality gates) ---
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Validate df against the table's CHECK constraints BEFORE any
+        staging — a violating write raises ConstraintViolation with the
+        first failing constraint named, and leaves zero artifacts.
+        Constraints are boolean SQL expressions over the row (NULL
+        counts as a violation, like SQL CHECK with enforced NOT NULL
+        semantics — a constraint you can dodge with a NULL is not a
+        gate).  Validated against the snapshot current at write time;
+        a concurrent set_constraint admits the same window every
+        optimistic-concurrency lake has."""
+        from pyspark.sql import functions as F
+
+        cons = self.snapshot().constraints
+        for name, expr in sorted(cons.items()):
+            bad = df.where(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"constraint {name!r} ({expr}) violated by incoming rows"
+                )
+
+    def set_constraint(self, name: str, expr: str, max_retries: int = 50) -> int:
+        """Add/replace a named CHECK constraint (boolean SQL over the
+        row); enforced on every subsequent append / overwrite /
+        replace_partitions / merge.  Metadata-only commit; constraints
+        ride the log and checkpoints like the schema, and restore()
+        resets them with the restored snapshot."""
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            cons = dict(cur.constraints)
+            cons[name] = expr
+            record = {
+                "version": cur.version + 1, "op_type": "set_constraint",
+                "actions": [], "schema_json": cur.schema_json,
+                "constraints": cons, "txn": None,
+            }
+            if self._try_commit(cur.version + 1, record):
+                return cur.version + 1
+        raise CommitConflict(f"set_constraint gave up after {max_retries} attempts")
+
+    def drop_constraint(self, name: str, max_retries: int = 50) -> int:
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            cons = dict(cur.constraints)
+            cons.pop(name, None)
+            record = {
+                "version": cur.version + 1, "op_type": "set_constraint",
+                "actions": [], "schema_json": cur.schema_json,
+                "constraints": cons, "txn": None,
+            }
+            if self._try_commit(cur.version + 1, record):
+                return cur.version + 1
+        raise CommitConflict(f"drop_constraint gave up after {max_retries} attempts")
+
     # --- public API ---
     def append(self, df: DataFrame, partition_by: list[str] | None = None,
                txn: dict[str, Any] | None = None) -> int:
+        self._check_constraints(df)
         adds = self._stage(df, partition_by or [])
         return self._commit_loop(adds, "append", df.schema.json(), txn=txn)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        self._check_constraints(df)
         adds = self._stage(df, partition_by or [])
         return self._commit_loop(adds, "overwrite", df.schema.json())
 
@@ -446,6 +513,7 @@ class TxTable:
         atomically swap exactly the partitions present in ``df``.
         ``txn`` = {app_id, epoch} makes a replayed streaming epoch a
         true no-op (same contract as append)."""
+        self._check_constraints(df)
         adds = self._stage(df, partition_by)
         return self._commit_loop(adds, "replace_partitions", df.schema.json(), txn=txn)
 
@@ -574,6 +642,7 @@ class TxTable:
                     "updated": 0, "inserted": 0, "replayed": True}
         if source.groupBy(*key_cols).count().where("count > 1").limit(1).count():
             raise ValueError("merge source has duplicate keys")
+        self._check_constraints(source)
         if not snap.files:
             v = self.append(source, partition_by, txn=txn)
             return {"version": v, "files_rewritten": 0, "updated": 0,
@@ -669,6 +738,7 @@ class TxTable:
                 "op_type": "restore",
                 "actions": removes + adds,
                 "schema_json": target.schema_json,
+                "constraints": target.constraints,
                 "txn": None,
             }
             if self._try_commit(new_version, record):

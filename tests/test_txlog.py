@@ -791,3 +791,82 @@ def test_merge_upsert_epoch_replay_is_noop(spark, tmp_path):
     )
     s3 = t.merge_upsert(spark, src2, ["id"], txn={"app_id": "cdc", "epoch": 4})
     assert s3["updated"] == 3 and t.read(spark).where("v = -8").count() == 3
+
+
+# --- CHECK constraints (round 3 late) -------------------------------------
+
+def test_constraint_blocks_violating_append_without_orphans(spark, tmp_path):
+    from quacfka_service_spark.sinks.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), partition_by=["p"])
+    t.set_constraint("v_nonneg", "v >= 0")
+    v_before = t.latest_version()
+    bad = spark.createDataFrame([(99, "a", -1)], "id long, p string, v long")
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        t.append(bad, partition_by=["p"])
+    assert t.latest_version() == v_before
+    assert t.read(spark).count() == 10
+    # no orphaned data files: everything under data/ is live
+    live = set(t.live_files())
+    on_disk = set()
+    for dirpath, _d, names in os.walk(os.path.join(str(tmp_path / "t"), "data")):
+        for n in names:
+            if n.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(dirpath, n), str(tmp_path / "t")))
+    assert on_disk == live
+
+
+def test_constraint_null_counts_as_violation_and_drop_unblocks(spark, tmp_path):
+    from quacfka_service_spark.sinks.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 5), partition_by=["p"])
+    t.set_constraint("v_nonneg", "v >= 0")
+    nullrow = spark.createDataFrame(
+        [(50, "a", None)], "id long, p string, v long"
+    )
+    with pytest.raises(ConstraintViolation):
+        t.append(nullrow, partition_by=["p"])
+    t.drop_constraint("v_nonneg")
+    t.append(nullrow, partition_by=["p"])
+    assert t.read(spark).count() == 6
+
+
+def test_constraint_survives_checkpoint_replay(spark, tmp_path):
+    from quacfka_service_spark.sinks.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"), checkpoint_interval=2)
+    t.append(_mk(spark, 0, 5), partition_by=["p"])
+    t.set_constraint("v_nonneg", "v >= 0")
+    for i in range(4):  # cross at least one checkpoint boundary
+        t.append(_mk(spark, 10 * (i + 1), 10 * (i + 1) + 2), partition_by=["p"])
+    t2 = TxTable(str(tmp_path / "t"))  # fresh handle: pure log replay
+    assert t2.snapshot().constraints == {"v_nonneg": "v >= 0"}
+    bad = spark.createDataFrame([(99, "a", -1)], "id long, p string, v long")
+    with pytest.raises(ConstraintViolation):
+        t2.append(bad, partition_by=["p"])
+
+
+def test_constraint_gates_merge_source(spark, tmp_path):
+    from quacfka_service_spark.sinks.txlog import ConstraintViolation
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 10), partition_by=["p"])
+    t.set_constraint("v_nonneg", "v >= 0")
+    bad_src = spark.createDataFrame([(1, "a", -5)], "id long, p string, v long")
+    with pytest.raises(ConstraintViolation):
+        t.merge_upsert(spark, bad_src, ["id"])
+    assert t.read(spark).where("v < 0").count() == 0
+
+
+def test_restore_resets_constraints(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    v0 = t.append(_mk(spark, 0, 5), partition_by=["p"])
+    t.set_constraint("v_nonneg", "v >= 0")
+    t.restore(v0)
+    # v0 predates the constraint -> restored table has none
+    assert t.snapshot().constraints == {}
+    neg = spark.createDataFrame([(9, "a", -1)], "id long, p string, v long")
+    t.append(neg, partition_by=["p"])  # no longer blocked
+    assert t.read(spark).where("v < 0").count() == 1
