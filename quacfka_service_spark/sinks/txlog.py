@@ -184,6 +184,7 @@ class TxTable:
                     files[act["file"]] = {
                         "rows": act["rows"], "partition": act["partition"],
                         "stats": act.get("stats", {}),
+                        **({"bloom": act["bloom"]} if act.get("bloom") else {}),
                     }
                 elif act["op"] == "remove":
                     files.pop(act["file"], None)
@@ -249,11 +250,60 @@ class TxTable:
                     stats[name][1] = max(stats[name][1], hi)
         return stats
 
-    def _stage(self, df: DataFrame, partition_by: list[str]) -> list[dict[str, Any]]:
+    # --- bloom filters (point-lookup file skipping) ---
+    BLOOM_M_BITS = 8 * 1024  # bits per file per column
+    BLOOM_K = 4
+
+    @staticmethod
+    def _bloom_hashes(value: Any, m: int, k: int) -> list[int]:
+        """k bit positions via double hashing over md5 of the value's
+        canonical string — deterministic across processes/engines."""
+        import hashlib
+
+        d = hashlib.md5(str(value).encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:16], "big") | 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    @classmethod
+    def _build_bloom(cls, values) -> str:
+        import base64
+
+        m, k = cls.BLOOM_M_BITS, cls.BLOOM_K
+        bits = bytearray(m // 8)
+        for v in values:
+            if v is None:
+                continue
+            for pos in cls._bloom_hashes(v, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        return base64.b64encode(bytes(bits)).decode()
+
+    @classmethod
+    def _bloom_maybe_contains(cls, b64: str, value: Any) -> bool:
+        import base64
+
+        bits = base64.b64decode(b64)
+        m, k = cls.BLOOM_M_BITS, cls.BLOOM_K
+        return all(
+            bits[pos >> 3] & (1 << (pos & 7)) for pos in cls._bloom_hashes(value, m, k)
+        )
+
+    def _stage(self, df: DataFrame, partition_by: list[str],
+               bloom_cols: list[str] | None = None) -> list[dict[str, Any]]:
         """Write df's files via Spark into a staging dir, rename them under
         data/, and return add-actions.  Row counts and per-column min/max
         come from parquet footers via pyarrow (metadata only, no data
-        read) — the stats feed manifest-side data skipping in read()."""
+        read) — the stats feed manifest-side data skipping in read().
+
+        ``bloom_cols``: additionally build a per-file bloom filter over
+        each named column (single columnar read of the freshly-staged
+        local file).  min/max stats cannot prune POINT lookups on
+        high-cardinality keys (every file's [min,max] spans the space);
+        the bloom skips files that provably lack a key — the pruning
+        that makes merge_upsert cost ~matched-files on id-like keys.
+        1 KiB per column per file in the manifest; at 10⁵ files that is
+        ~100 MB driver metadata, the documented ceiling (production
+        would shard the manifest, as Delta does its checkpoint parts)."""
         import pyarrow.parquet as pq
 
         stage = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
@@ -279,10 +329,19 @@ class TxTable:
                 dst = os.path.join(self.root, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(os.path.join(dirpath, n), dst)
-                adds.append({
+                add = {
                     "op": "add", "file": rel, "rows": md.num_rows,
                     "partition": partition, "stats": self._file_stats(md),
-                })
+                }
+                if bloom_cols:
+                    import pyarrow.parquet as _pq
+
+                    tbl = _pq.read_table(dst, columns=list(bloom_cols))
+                    add["bloom"] = {
+                        c: self._build_bloom(tbl.column(c).to_pylist())
+                        for c in bloom_cols
+                    }
+                adds.append(add)
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -497,9 +556,10 @@ class TxTable:
 
     # --- public API ---
     def append(self, df: DataFrame, partition_by: list[str] | None = None,
-               txn: dict[str, Any] | None = None) -> int:
+               txn: dict[str, Any] | None = None,
+               bloom_cols: list[str] | None = None) -> int:
         self._check_constraints(df)
-        adds = self._stage(df, partition_by or [])
+        adds = self._stage(df, partition_by or [], bloom_cols=bloom_cols)
         return self._commit_loop(adds, "append", df.schema.json(), txn=txn)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
@@ -605,6 +665,7 @@ class TxTable:
         key_cols: list[str],
         partition_by: list[str] | None = None,
         txn: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[str, Any]:
         """Delta-style MERGE (whole-row upsert by key): source rows
         whose key matches an existing row REPLACE it; the rest insert.
@@ -644,7 +705,7 @@ class TxTable:
             raise ValueError("merge source has duplicate keys")
         self._check_constraints(source)
         if not snap.files:
-            v = self.append(source, partition_by, txn=txn)
+            v = self.append(source, partition_by, txn=txn, bloom_cols=bloom_cols)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 1: manifest-stats pruning on the first key column
@@ -658,8 +719,26 @@ class TxTable:
             any_part = next(iter(snap.files.values()))["partition"]
             partition_by = sorted(any_part.keys())
         keys = source.select(*key_cols).distinct()
+        # stage 1b: bloom pruning — on id-like keys every file's
+        # [min,max] spans the space and stats prune nothing; a per-file
+        # bloom (written by append/merge with bloom_cols) skips files
+        # that provably contain NO source key.  Bounded: collect the
+        # key set only when it is micro-batch-sized.
+        k0 = key_cols[0]
+        if cand and any(snap.files[p].get("bloom", {}).get(k0) for p in cand):
+            krows = keys.select(k0).limit(100_001).collect()
+            if len(krows) <= 100_000:
+                kvals = [r[0] for r in krows]
+                kept = []
+                for pth in cand:
+                    b = snap.files[pth].get("bloom", {}).get(k0)
+                    if b is None or any(
+                        self._bloom_maybe_contains(b, v) for v in kvals
+                    ):
+                        kept.append(pth)
+                cand = kept
         if not cand:
-            v = self.append(source, partition_by, txn=txn)
+            v = self.append(source, partition_by, txn=txn, bloom_cols=bloom_cols)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 2: which candidate files hold >= 1 matching key?
@@ -687,7 +766,7 @@ class TxTable:
 
         touched = sorted(_rel(u) for u in touched_abs)
         if not touched:
-            v = self.append(source, partition_by, txn=txn)
+            v = self.append(source, partition_by, txn=txn, bloom_cols=bloom_cols)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 3: rewrite = (touched rows minus matched keys) + source
@@ -697,7 +776,7 @@ class TxTable:
         updated = tdf.join(F.broadcast(keys), key_cols, "left_semi").count()
         survivors = tdf.join(F.broadcast(keys), key_cols, "left_anti")
         new_data = survivors.unionByName(source.select(*tdf.columns))
-        adds = self._stage(new_data, partition_by)
+        adds = self._stage(new_data, partition_by, bloom_cols=bloom_cols)
         v = self._commit_loop(
             adds, "rewrite", new_data.schema.json(), txn=txn,
             rewrite_removes=touched
@@ -752,18 +831,30 @@ class TxTable:
         version: int | None = None,
         where: dict[str, str] | None = None,
         ranges: dict[str, tuple[Any, Any]] | None = None,
+        point: dict[str, Any] | None = None,
         _snap: _Snapshot | None = None,
     ) -> list[str]:
         """Relative paths of live files in the snapshot, pruned by
-        partition equality (``where``) and per-file column min/max
-        (``ranges``: col -> (lo, hi), either bound None for open).  A
-        file lacking a stat for a ranged column is kept (safe).  All
+        partition equality (``where``), per-file column min/max
+        (``ranges``: col -> (lo, hi), either bound None for open), and
+        per-file bloom filters (``point``: col -> exact value; a file
+        whose bloom provably lacks the value is skipped).  A file
+        lacking a stat/bloom for a pruned column is kept (safe).  All
         pruning is driver-side manifest metadata — zero file opens."""
         snap = _snap if _snap is not None else self.snapshot(version)
         out = []
         for p, meta in sorted(snap.files.items()):
             if where and not all(meta["partition"].get(k) == v for k, v in where.items()):
                 continue
+            if point:
+                miss = False
+                for col, val in point.items():
+                    b = meta.get("bloom", {}).get(col)
+                    if b is not None and not self._bloom_maybe_contains(b, val):
+                        miss = True
+                        break
+                if miss:
+                    continue
             if ranges:
                 skip = False
                 for col, (lo, hi) in ranges.items():
@@ -784,7 +875,8 @@ class TxTable:
 
     def read(self, spark: SparkSession, version: int | None = None,
              where: dict[str, str] | None = None,
-             ranges: dict[str, tuple[Any, Any]] | None = None) -> DataFrame:
+             ranges: dict[str, tuple[Any, Any]] | None = None,
+             point: dict[str, Any] | None = None) -> DataFrame:
         """Snapshot read, optionally time-travelled and manifest-pruned.
 
         ``where`` filters on partition values, ``ranges`` on per-file
@@ -796,7 +888,7 @@ class TxTable:
         snap = self.snapshot(version)
         paths = [
             os.path.join(self.root, p)
-            for p in self.live_files(version, where, ranges, _snap=snap)
+            for p in self.live_files(version, where, ranges, point, _snap=snap)
         ]
         from pyspark.sql.types import StructType
 

@@ -870,3 +870,56 @@ def test_restore_resets_constraints(spark, tmp_path):
     neg = spark.createDataFrame([(9, "a", -1)], "id long, p string, v long")
     t.append(neg, partition_by=["p"])  # no longer blocked
     assert t.read(spark).where("v < 0").count() == 1
+
+
+# --- bloom-filter file skipping (round 3 late) ----------------------------
+
+def test_bloom_point_pruning_skips_files_without_the_key(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    # three appends with disjoint id ranges, blooms on id
+    for lo in (0, 1000, 2000):
+        t.append(_mk(spark, lo, lo + 100).coalesce(1), partition_by=["p"],
+                 bloom_cols=["id"])
+    assert len(t.live_files()) == 3
+    hit = t.live_files(point={"id": 1050})
+    assert len(hit) == 1  # only the file that can contain 1050
+    # the pruned read still returns the right row
+    assert t.read(spark, point={"id": 1050}).where("id = 1050").count() == 1
+    # never a false NEGATIVE: every present id's file survives pruning
+    for probe in (0, 1099, 2050):
+        assert len(t.live_files(point={"id": probe})) >= 1
+        assert t.read(spark, point={"id": probe}).where(f"id = {probe}").count() == 1
+
+
+def test_bloom_absent_files_are_kept_safe(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 50).coalesce(1), partition_by=["p"])  # no bloom
+    t.append(_mk(spark, 1000, 1050).coalesce(1), partition_by=["p"],
+             bloom_cols=["id"])
+    # bloom-less file must be KEPT (safe) even for a key it lacks
+    assert len(t.live_files(point={"id": 1010})) == 2 - 0  # bloomless + hit
+    got = t.live_files(point={"id": 9999999})
+    # bloomless file kept; bloomed file skipped
+    assert len(got) == 1
+
+
+def test_merge_upsert_bloom_prunes_candidates(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    # ids interleaved so min/max stats CANNOT separate the files:
+    # file A = even ids, file B = odd ids, same [0, 99] span
+    a = spark.range(0, 100, 2).select(
+        F.col("id"), F.lit("a").alias("p"), (F.col("id") * 2).alias("v"))
+    b = spark.range(1, 100, 2).select(
+        F.col("id"), F.lit("a").alias("p"), (F.col("id") * 2).alias("v"))
+    t.append(a.coalesce(1), partition_by=["p"], bloom_cols=["id"])
+    t.append(b.coalesce(1), partition_by=["p"], bloom_cols=["id"])
+    # source touches only EVEN ids -> stats overlap both files, bloom
+    # must confine the rewrite to the even file
+    src = spark.range(0, 20, 2).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(-1).cast("long").alias("v"))
+    stats = t.merge_upsert(spark, src, ["id"], bloom_cols=["id"])
+    assert stats["updated"] == 10 and stats["files_rewritten"] == 1
+    assert t.read(spark).count() == 100
+    assert t.read(spark).where("v = -1").count() == 10
+    # odd-id file untouched on disk
+    assert t.read(spark).where("id % 2 = 1 AND v < 0").count() == 0
