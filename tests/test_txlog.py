@@ -923,3 +923,60 @@ def test_merge_upsert_bloom_prunes_candidates(spark, tmp_path):
     assert t.read(spark).where("v = -1").count() == 10
     # odd-id file untouched on disk
     assert t.read(spark).where("id % 2 = 1 AND v < 0").count() == 0
+
+
+def test_streaming_cdc_upsert_foreachbatch(spark, tmp_path):
+    """End-to-end CDC: a stream of keyed change batches applied with
+    foreachBatch + merge_upsert(txn=epoch) must land last-writer-wins
+    per key, exactly once, regardless of micro-batching."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 40), partition_by=["p"])
+    # change feed: 3 files -> 3 micro-batches, overlapping keys;
+    # change_seq makes intra-stream order deterministic per key
+    changes = spark.createDataFrame(
+        [(i % 60, "a", 10_000 + i, i) for i in range(90)],
+        "id long, p string, v long, change_seq long",
+    )
+    src_dir = str(tmp_path / "changes")
+    changes.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def _apply(batch_df, epoch_id):
+        # collapse the batch to one row per key (latest change_seq wins)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("id").orderBy(F.desc("change_seq"))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1").drop("_rn", "change_seq")
+        )
+        t.merge_upsert(spark, latest, ["id"],
+                       txn={"app_id": "cdc-e2e", "epoch": epoch_id})
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    back = t.read(spark)
+    # keys 0..59 were all upserted at least once -> v reflects SOME
+    # change (>= 10000); keys never in the feed keep their base value
+    assert back.count() == 60  # 40 base ∪ 60 upserted keys = 60 total
+    assert back.where("id < 60 AND v < 10000").count() == 0
+    # exactly-once: replaying the drained stream (fresh query, same
+    # checkpoint) commits nothing new
+    v_before = t.latest_version()
+    q2 = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert t.latest_version() == v_before
