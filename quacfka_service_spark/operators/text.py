@@ -159,6 +159,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+HASH_DIM = 64
+
+
+def hash_features(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """The feature-hashing trick: each document becomes a fixed-``dim``
+    sparse count vector — token t lands in dimension md5(t) % dim —
+    the classic no-vocabulary text featurizer (hashing a stream into a
+    bounded space; what Vowpal-style linear models and cheap dedup /
+    clustering baselines run on).  No vocabulary table, no fit step,
+    so NEW tokens at inference hash to the same dims — the property
+    that makes it streaming-safe.
+
+    Output (doc_id, dim, weight): sparse nonzero entries, integer
+    counts — bit-exact cross-engine (the md5 bucket is split.py's
+    idiom applied to the token string).
+
+    100 TB shape: one explode + ONE map-side-combined count agg on
+    (doc_id, dim) — the key carries doc_id, so Zipf-hot tokens spread
+    across documents instead of hot-spotting a reducer; output is at
+    most ``dim`` rows per doc."""
+    toks = docs.select(
+        "doc_id", F.explode_outer(_words(F.col("text"))).alias("tok")
+    ).where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    d = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    return (
+        toks.select("doc_id", d.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def text_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Web-corpus text normalization: strip HTML-ish tags, drop control
     characters, collapse runs of whitespace, trim.  Emits the cleaned
@@ -224,6 +258,10 @@ def _q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_clean(_dirty(load_table(spark, sf_dir, "documents")))
 
 
+def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_features(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "text_lang_id": _q_lang_id,
@@ -232,6 +270,7 @@ QUERIES = {
     "text_rolling_fp": _q_rolling_fp,
     "text_top_bigrams": _q_top_bigrams,
     "text_clean": _q_text_clean,
+    "text_hash_features": _q_hash_features,
 }
 
 
@@ -254,6 +293,17 @@ for _i, _lg in enumerate(_LANG_ORDER):
 _LANG_CASE += "END"
 
 ORACLES = {
+    "text_hash_features": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       (('0x' || substr(md5(tok), 1, 8))::BIGINT % {HASH_DIM}) AS dim,
+       count(*)::BIGINT AS weight
+FROM toks WHERE tok IS NOT NULL AND tok <> ''
+GROUP BY 1, 2
+""",
     "text_clean": r"""
 WITH dirty AS (
   SELECT doc_id,

@@ -71,7 +71,7 @@ _MUST_BE_NONEMPTY = {
     "corpus_decontaminate_lsh", "dedup_simhash_exact", "events_inter_arrival",
     "corpus_chunk_windows", "events_transitions", "text_token_coverage",
     "corpus_mixture_temperature", "split_group_safe", "corpus_token_budget",
-    "embedding_centroid_assign",
+    "embedding_centroid_assign", "text_hash_features",
 }
 
 

@@ -39,3 +39,25 @@ def test_corpus_ops_survive_degenerate_docs(spark):
     assert corpus_pack_blocks(docs).count() == 4
     # nothing passes the quality gate here; the point is no crash
     assert corpus_curation(docs).count() == 0
+
+
+def test_hash_features_semantics(spark):
+    from quacfka_service_spark.operators.text import hash_features
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = hash_features(docs, dim=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.dim] = r.weight
+    # same token -> same dim across docs; weights are counts
+    dog_dim = next(iter(by_doc[2]))
+    assert by_doc[2][dog_dim] == 1
+    assert by_doc[1][dog_dim] == 1  # one 'dog' in doc 1
+    cat_dims = [d for d, w in by_doc[1].items() if w == 2]
+    assert len(cat_dims) == 1  # 'cat' counted twice in one dim
+    assert 3 not in by_doc  # whitespace-only doc has no features
+    # all dims within range
+    assert all(0 <= r.dim < 16 for r in out)
