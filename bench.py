@@ -272,6 +272,43 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", adaptive_old)
     big.unpersist()
 
+    # lake-layer demo — the txlog's scale claims as NUMBERS (merge cost
+    # tracks matched files; blooms prune what min/max can't).  Table =
+    # the events fact keyed on event_id (ids interleave across files, so
+    # stats ranges overlap completely — the adversarial case for
+    # min/max and exactly where blooms matter).
+    from quacfka_service_spark.sinks.txlog import TxTable
+
+    lake_demo = {}
+    t0 = time.perf_counter()
+    tx = TxTable(tempfile.mkdtemp(prefix="bench_txlog_") + "/t")
+    ev_keyed = ev.select("event_id", "user_id", "event_type", "value")
+    n_append_files = 8
+    for i in range(n_append_files):
+        tx.append(
+            ev_keyed.where(Fn.pmod("event_id", Fn.lit(n_append_files)) == i).coalesce(1),
+            bloom_cols=["event_id"],
+        )
+    lake_demo["append_sec"] = round(time.perf_counter() - t0, 3)
+    n_files = len(tx.live_files())
+    lake_demo["n_files"] = n_files
+    # point lookup: manifest pruning via bloom vs full file list
+    probe = ev_keyed.limit(1).collect()[0]["event_id"]
+    lake_demo["point_files_no_bloom"] = n_files
+    lake_demo["point_files_bloom"] = len(tx.live_files(point={"event_id": int(probe)}))
+    # merge 10k updates hitting keys of ONE residue class -> blooms must
+    # confine the rewrite to ~1 file despite fully-overlapping ranges
+    upd = (
+        ev_keyed.where(Fn.pmod("event_id", Fn.lit(n_append_files)) == 0)
+        .limit(10_000)
+        .withColumn("value", Fn.lit(-1.0))
+    )
+    t0 = time.perf_counter()
+    mstats = tx.merge_upsert(spark, upd, ["event_id"], bloom_cols=["event_id"])
+    lake_demo["merge_sec"] = round(time.perf_counter() - t0, 3)
+    lake_demo["merge_files_rewritten"] = mstats["files_rewritten"]
+    lake_demo["merge_updated"] = mstats["updated"]
+
     # self-audit vs DuckDB (judge r1 measured this by hand; now the
     # bench emits it): run each timed query's own oracle_sql() in DuckDB
     # (threads=CPUS, UTC) over the same parquet, best of 2 via fetchall.
@@ -342,6 +379,7 @@ def main() -> None:
             "min-of-3 since r3; SPARK_GRAFT_BENCH_KEYS reruns any subset."
         ),
         "skew_demo": skew,
+        "lake_demo": lake_demo,
         "duckdb_oracle_sec": duck,
         "duckdb_total_sec": round(oracled_duck, 3),
         "spark_vs_duckdb_oracled": (
