@@ -251,7 +251,19 @@ class TxTable:
         return stats
 
     # --- bloom filters (point-lookup file skipping) ---
-    BLOOM_M_BITS = 8 * 1024  # bits per file per column
+    # Adaptive sizing: ~16 bits per distinct value (k=4 -> ~0.24% FP),
+    # rounded up to a power of two, floor 8 Kib.  A FIXED size is a
+    # trap the bench caught at sf0.1: 8 Kib saturates above ~2k keys
+    # per file and prunes nothing.  The bitset lives in a SIDECAR file
+    # beside the data file (`<file>.bloom.<col>`), not in the JSON
+    # manifest — the manifest records only {m, k, sidecar}, so 10⁵
+    # files cost ~100 bytes each of metadata regardless of bloom size
+    # (the reason parquet/Delta keep blooms in footers, not logs).
+    # Sidecars are read lazily during pruning with a per-handle cache,
+    # share their data file's lifecycle (staged/dropped/vacuumed with
+    # it), and pruning degrades to keep-the-file if one is missing.
+    BLOOM_BITS_PER_KEY = 16
+    BLOOM_MIN_BITS = 8 * 1024
     BLOOM_K = 4
 
     @staticmethod
@@ -266,26 +278,46 @@ class TxTable:
         return [(h1 + i * h2) % m for i in range(k)]
 
     @classmethod
-    def _build_bloom(cls, values) -> str:
-        import base64
-
-        m, k = cls.BLOOM_M_BITS, cls.BLOOM_K
+    def _build_bloom_bytes(cls, values) -> tuple[bytes, int]:
+        vals = {str(v) for v in values if v is not None}
+        m = cls.BLOOM_MIN_BITS
+        while m < cls.BLOOM_BITS_PER_KEY * max(1, len(vals)):
+            m *= 2
         bits = bytearray(m // 8)
-        for v in values:
-            if v is None:
-                continue
+        k = cls.BLOOM_K
+        for v in vals:
             for pos in cls._bloom_hashes(v, m, k):
                 bits[pos >> 3] |= 1 << (pos & 7)
-        return base64.b64encode(bytes(bits)).decode()
+        return bytes(bits), m
 
-    @classmethod
-    def _bloom_maybe_contains(cls, b64: str, value: Any) -> bool:
+    def _bloom_sidecar_bytes(self, meta: dict[str, Any]) -> bytes | None:
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_bloom_cache", cache)
+        rel = meta["sidecar"]
+        if rel not in cache:
+            try:
+                with open(os.path.join(self.root, rel), "rb") as f:
+                    cache[rel] = f.read()
+            except FileNotFoundError:
+                cache[rel] = None  # vanished sidecar -> no pruning
+        return cache[rel]
+
+    def _bloom_maybe_contains(self, meta: Any, value: Any) -> bool:
         import base64
 
-        bits = base64.b64decode(b64)
-        m, k = cls.BLOOM_M_BITS, cls.BLOOM_K
+        if isinstance(meta, str):  # legacy inline-b64 format
+            bits = base64.b64decode(meta)
+            m, k = len(bits) * 8, self.BLOOM_K
+        else:
+            bits = self._bloom_sidecar_bytes(meta)
+            if bits is None:
+                return True  # keep the file (safe)
+            m, k = meta["m"], meta["k"]
         return all(
-            bits[pos >> 3] & (1 << (pos & 7)) for pos in cls._bloom_hashes(value, m, k)
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in self._bloom_hashes(value, m, k)
         )
 
     def _stage(self, df: DataFrame, partition_by: list[str],
@@ -337,10 +369,14 @@ class TxTable:
                     import pyarrow.parquet as _pq
 
                     tbl = _pq.read_table(dst, columns=list(bloom_cols))
-                    add["bloom"] = {
-                        c: self._build_bloom(tbl.column(c).to_pylist())
-                        for c in bloom_cols
-                    }
+                    blooms = {}
+                    for c in bloom_cols:
+                        raw, m = self._build_bloom_bytes(tbl.column(c).to_pylist())
+                        side_rel = rel + f".bloom.{c}"
+                        with open(os.path.join(self.root, side_rel), "wb") as bf:
+                            bf.write(raw)
+                        blooms[c] = {"m": m, "k": self.BLOOM_K, "sidecar": side_rel}
+                    add["bloom"] = blooms
                 adds.append(add)
         shutil.rmtree(stage, ignore_errors=True)
         return adds
@@ -486,6 +522,12 @@ class TxTable:
                 os.unlink(os.path.join(self.root, a["file"]))
             except FileNotFoundError:
                 pass
+            for b in (a.get("bloom") or {}).values():
+                if isinstance(b, dict) and b.get("sidecar"):
+                    try:
+                        os.unlink(os.path.join(self.root, b["sidecar"]))
+                    except FileNotFoundError:
+                        pass
 
     def _write_checkpoint(self, version: int) -> None:
         snap = self.snapshot(version)
@@ -807,7 +849,8 @@ class TxTable:
             ]
             adds = [
                 {"op": "add", "file": p, "rows": meta["rows"],
-                 "partition": meta["partition"], "stats": meta.get("stats", {})}
+                 "partition": meta["partition"], "stats": meta.get("stats", {}),
+                 **({"bloom": meta["bloom"]} if meta.get("bloom") else {})}
                 for p, meta in target.files.items()
                 if p not in cur.files
             ]
@@ -1013,7 +1056,14 @@ class TxTable:
             for n in names:
                 rel = os.path.relpath(os.path.join(dirpath, n), self.root)
                 all_files.add(rel)
-        for rel in sorted(all_files - live):
+        def _is_live(rel: str) -> bool:
+            if rel in live:
+                return True
+            # bloom sidecars (`<file>.bloom.<col>`) ride their data file
+            base = rel.split(".bloom.", 1)[0]
+            return ".bloom." in rel and base in live
+
+        for rel in sorted(r for r in all_files if not _is_live(r)):
             path = os.path.join(self.root, rel)
             try:
                 if now - os.path.getmtime(path) < grace_seconds:

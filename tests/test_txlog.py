@@ -980,3 +980,41 @@ def test_streaming_cdc_upsert_foreachbatch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert t.latest_version() == v_before
+
+
+def test_bloom_adaptive_sizing_prunes_at_high_ndv(spark, tmp_path):
+    """The fixed-size trap the bench caught at sf0.1: with ~50k distinct
+    keys per file an 8 Kib bloom saturates and prunes nothing; adaptive
+    sizing must keep point pruning effective."""
+    t = TxTable(str(tmp_path / "t"))
+    for lo in (0, 100_000):
+        t.append(
+            spark.range(lo, lo + 50_000).select(
+                F.col("id"), F.lit("a").alias("p"), F.col("id").alias("v")
+            ).coalesce(1),
+            partition_by=["p"], bloom_cols=["id"],
+        )
+    assert len(t.live_files(point={"id": 123})) == 1
+    assert len(t.live_files(point={"id": 100_123})) == 1
+    # sidecar, not manifest: the bloom bitset lives beside the data file
+    meta = next(iter(t.snapshot().files.values()))
+    side = meta["bloom"]["id"]["sidecar"]
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), side))
+    assert meta["bloom"]["id"]["m"] >= 16 * 50_000  # adaptive bits
+
+
+def test_bloom_sidecars_follow_vacuum_lifecycle(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 100).coalesce(1), partition_by=["p"], bloom_cols=["id"])
+    t.overwrite(_mk(spark, 500, 510).coalesce(1), partition_by=["p"])
+    root = str(tmp_path / "t")
+    sidecars = lambda: [
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(os.path.join(root, "data"))
+        for n in ns if ".bloom." in n
+    ]
+    assert len(sidecars()) == 1  # the overwritten file's bloom still on disk
+    t.vacuum(retain_versions=0, grace_seconds=0.0)
+    # dead data file AND its sidecar both removed
+    assert sidecars() == []
+    assert t.read(spark).count() == 10
