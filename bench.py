@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_edit_distance",
     "corpus_chunk_windows",
     "corpus_token_budget",
+    "embedding_centroid_assign",
+    "text_hash_features",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.
@@ -344,7 +346,8 @@ def main() -> None:
     # counterparts are sub-second), so also emit the ratio over the
     # r2-era query set — THAT number is comparable to BENCH_r02's 0.66.
     _R3_NEW = {"similarity_knn_join", "dedup_minhash_exact", "dedup_edit_distance",
-               "corpus_chunk_windows", "corpus_token_budget"}
+               "corpus_chunk_windows", "corpus_token_budget",
+               "embedding_centroid_assign", "text_hash_features"}
     r2_spark = sum(v for k, v in timings.items() if k in duck and k not in _R3_NEW)
     r2_duck = sum(v for k, v in duck.items() if k not in _R3_NEW)
 
