@@ -364,14 +364,22 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # array-filter barrier: .where(cos >= t) on the projected column
+    # would re-inline the 64-dim dot into the filter (2x per pair) —
+    # see edit_distance_pairs for the measured variant of this trap.
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    kept = F.filter(
+        F.array(F.struct(cos.alias("cos"))), lambda x: x["cos"] >= F.lit(threshold)
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+            F.explode_outer(kept).alias("s"),
         )
-        .where(F.col("cos") >= F.lit(threshold))
+        .where(F.col("s").isNotNull())
+        .select("id_a", "id_b", F.col("s.cos").alias("cos"))
     )
 
 
@@ -573,6 +581,23 @@ def edit_distance_pairs(
         F.substring("text", 1, prefix).alias("pfx"),
     )
     a, b = d.alias("a"), d.alias("b")
+    # threshold= switches Spark to the banded DP — O(len*k) instead of
+    # O(len^2), returning -1 past the bound; the result set is
+    # identical to an unbounded lev <= k.
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"), threshold=max_dist)
+    # The dist filter must NOT be a plain .where() on the projected
+    # column: Catalyst's projection collapse + filter pushdown inline
+    # the levenshtein into the filter's two comparisons AND the
+    # projection — 3+ evaluations per pair, measured 0.7 s -> 4.2 s at
+    # sf0.1.  The single-element-array filter barrier evaluates lev
+    # exactly once (it appears once in the whole expression tree);
+    # explode_outer + isNotNull (not plain explode) keeps
+    # InferFiltersFromGenerate from re-inlining it into a pushed
+    # size()>0 filter — the same trap documented for the shingle ops.
+    kept = F.filter(
+        F.array(F.struct(lev.alias("dist"))),
+        lambda x: (x["dist"] >= 0) & (x["dist"] <= max_dist),
+    )
     return (
         a.join(
             b,
@@ -583,14 +608,10 @@ def edit_distance_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            # threshold= switches Spark to the banded DP — O(len*k)
-            # instead of O(len^2), returning -1 past the bound
-            # (measured 6.4 s -> sub-second on the sf0.1 block join);
-            # the result set is identical to an unbounded lev <= k.
-            F.levenshtein(F.col("a.text"), F.col("b.text"), threshold=max_dist)
-            .cast("long").alias("dist"),
+            F.explode_outer(kept).alias("s"),
         )
-        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .where(F.col("s").isNotNull())
+        .select("doc_a", "doc_b", F.col("s.dist").cast("long").alias("dist"))
     )
 
 
