@@ -46,9 +46,12 @@ def main() -> int:
             print(f"{key} rows-only {len(s)}", flush=True)
             continue
         d = con.execute(oracles[key]).fetchdf()
-        sm = set(map(tuple, s[sorted(s.columns)].astype(str).values.tolist()))
-        dm = set(map(tuple, d[sorted(d.columns)].astype(str).values.tolist()))
-        ok = sm == dm and len(s) == len(d)
+        # True multiset comparison (sorted row lists): engines that agree on
+        # distinct rows but disagree on duplicate multiplicities must FAIL
+        # (VERDICT r3 "what's wrong" #1 — set() was multiplicity-blind).
+        sm = sorted(map(tuple, s[sorted(s.columns)].astype(str).values.tolist()))
+        dm = sorted(map(tuple, d[sorted(d.columns)].astype(str).values.tolist()))
+        ok = sm == dm
         bad += 0 if ok else 1
         print(f"{key} {'OK' if ok else f'MISMATCH {len(s)}/{len(d)}'}", flush=True)
     print(f"TOTAL KEYS: {len(keys)} MISMATCHES: {bad}")
