@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_table
 from .dedup import (
+    _JACCARD_CTES,
     connected_components,
     minhash_lsh_pairs,
     neardup_keep_canonical,
@@ -687,19 +688,7 @@ sh AS (
                 ELSE [] END) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM filtered)
 ),
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
-),
+{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION
@@ -751,19 +740,7 @@ sh AS (
                 ELSE [] END) AS sh
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM filtered)
 ),
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
-),
+{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION

@@ -126,31 +126,61 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+NGRAM_MAX_DF = 1000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, max_df: int = NGRAM_MAX_DF
+) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
-    >=1 shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts,
-    so the double division is bit-identical across engines.
+    >=1 retained shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer
+    counts, so the double division is bit-identical across engines.
+
+    Document-frequency ceiling (VERDICT r3 item #4, CCNet-style):
+    shingles appearing in more than ``max_df`` documents are dropped
+    from the shingle UNIVERSE before the self-join — sizes and
+    intersections both count retained shingles only, so the result is
+    the exact Jaccard over the filtered universe.  A boilerplate
+    shingle (cookie banner, license header) shared by d documents
+    contributes d^2/2 join rows while carrying no dedup signal; the cap
+    bounds every shingle block at max_df^2/2 regardless of corpus
+    adversarialness.  The hot-shingle set is SMALL by construction
+    (<= total shingle occurrences / max_df), so it broadcasts: the cap
+    costs one partial-aggregated groupBy over the exploded shingles +
+    a broadcast anti-join — no new shuffle of the corpus.
 
     Caches one shingle table per session (evicting any previous dedup
     invocation's) — see the CACHE CONTRACT note at `_track_persist`."""
-    # Persist the shingle table: it feeds BOTH sides of the self-join
-    # plus the two size lookups — without the persist the regex
-    # split + shingle transform over the whole corpus runs four times
-    # (measured 2x wall on the pair join at sf0.1).  MEMORY_AND_DISK:
-    # shingle arrays are ~10x the text, don't OOM executors at scale.
-    # _track_persist bounds the cache footprint to ONE shingle table:
-    # the function returns a lazy plan, so it can't unpersist its own
-    # cache — instead each new invocation evicts the previous one (a
-    # caller re-executing an older returned plan just recomputes).
+    # Persist the shingle table: it feeds the df-census, BOTH sides of
+    # the self-join, and the size lookups — without the persist the
+    # regex split + shingle transform over the whole corpus runs five
+    # times (measured 2x wall on the pair join at sf0.1).
+    # MEMORY_AND_DISK: shingle arrays are ~10x the text, don't OOM
+    # executors at scale.  _track_persist bounds the cache footprint to
+    # ONE shingle table: the function returns a lazy plan, so it can't
+    # unpersist its own cache — instead each new invocation evicts the
+    # previous one (a caller re-executing an older returned plan just
+    # recomputes).
     from pyspark import StorageLevel
 
     sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
-    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
     # explode_outer + post-filter: see minhash_signatures for why.
-    ex = (
+    ex_all = (
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
+    # Boilerplate census: shingles with df > max_df.  Shingles are
+    # distinct per doc (list_distinct), so count(*) == document
+    # frequency.  Partial aggregation combines map-side; the survivors
+    # are few enough to broadcast by the pigeonhole bound above.
+    hot = (
+        ex_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
+    )
+    ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -548,6 +578,7 @@ def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 EDIT_MAX_DIST = 5
 EDIT_LEN_BUCKET = 20
 EDIT_PREFIX = 8
+EDIT_MAX_BLOCK = 1000
 
 
 def edit_distance_pairs(
@@ -556,6 +587,7 @@ def edit_distance_pairs(
     max_dist: int = EDIT_MAX_DIST,
     len_bucket: int = EDIT_LEN_BUCKET,
     prefix: int = EDIT_PREFIX,
+    max_block: int = EDIT_MAX_BLOCK,
 ) -> DataFrame:
     """Near-dup pairs by bounded Levenshtein distance — the
     byte-accurate verifier family (catches single-character edits that
@@ -573,13 +605,30 @@ def edit_distance_pairs(
     Blocking is recall-bounded, not exact: a pair straddling a bucket
     boundary or differing inside the prefix is missed (documented
     contract, same family as every LSH variant here — but unlike LSH
-    the MEASURED pairs carry an exact, engine-checkable distance)."""
-    d = docs.select(
+    the MEASURED pairs carry an exact, engine-checkable distance).
+
+    Block-size ceiling (VERDICT r3 item #4): a block with more than
+    ``max_block`` docs (templated boilerplate sharing length bucket AND
+    opening bytes) would run max_block^2/2 DP kernels for no dedup
+    signal — such blocks are SKIPPED wholesale (skip-with-counter
+    semantics; the dropped blocks are observable as the hot-key census
+    below, and the predicate is pure SQL so the oracle reproduces it).
+    Pair count is thus bounded by n_blocks * max_block^2/2 on ANY
+    corpus.  Hot blocks are few by pigeonhole (<= n_docs / max_block),
+    so the census broadcasts — no new shuffle of the doc table."""
+    d0 = docs.select(
         "doc_id",
         "text",
         (F.floor(F.col("n_chars") / len_bucket)).alias("lb"),
         F.substring("text", 1, prefix).alias("pfx"),
     )
+    hot_blocks = (
+        d0.groupBy("lb", "pfx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_block)
+        .select("lb", "pfx")
+    )
+    d = d0.join(F.broadcast(hot_blocks), ["lb", "pfx"], "left_anti")
     a, b = d.alias("a"), d.alias("b")
     # threshold= switches Spark to the banded DP — O(len*k) instead of
     # O(len^2), returning -1 past the bound; the result set is
@@ -812,6 +861,29 @@ sh AS (
 )
 """
 
+# df-capped shingle universe + exact-Jaccard pair CTEs, shared verbatim by
+# every oracle that reproduces ngram_jaccard_pairs (dedup / corpus / split)
+# so the document-frequency ceiling cannot drift between engines.  QUALIFY
+# count(*) OVER (PARTITION BY s) <= max_df is DuckDB's form of the Spark
+# hot-shingle broadcast anti-join; sizes count RETAINED shingles so the
+# jaccard is the exact Jaccard over the filtered universe on both sides.
+_JACCARD_CTES = f"""ex AS (
+  SELECT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+  QUALIFY count(*) OVER (PARTITION BY s) <= {NGRAM_MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+)"""
+
 # the same md5 permutation/band construction as minhash_md5_pairs,
 # interpolated from the same module constants so the two can't drift.
 _MD5_MINS = ", ".join(f"min(md5('{p}|' || s)) AS m{p}" for p in range(MD5_N_PERM))
@@ -872,10 +944,14 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM st a JOIN st b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """,
     "dedup_edit_distance": f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, text, n_chars // {EDIT_LEN_BUCKET} AS lb,
          substr(text, 1, {EDIT_PREFIX}) AS pfx
   FROM documents
+),
+d AS (
+  SELECT doc_id, text, lb, pfx FROM d0
+  QUALIFY count(*) OVER (PARTITION BY lb, pfx) <= {EDIT_MAX_BLOCK}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.text, b.text)::BIGINT AS dist
@@ -904,13 +980,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """,
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+{_JACCARD_CTES}
 SELECT doc_a, doc_b,
        CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) AS jaccard
 FROM inter
@@ -925,19 +995,7 @@ WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
     # converges to.
     "dedup_components": f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
-),
+{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION
@@ -952,19 +1010,7 @@ SELECT v AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY v
 """,
     "dedup_component_stats": f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
-),
+{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION
@@ -982,19 +1028,7 @@ SELECT component_size, count(*)::BIGINT AS n_components FROM (
 """,
     "dedup_near_keep": f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
-),
+{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION

@@ -152,23 +152,11 @@ WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS}
 def _group_safe_oracle() -> str:
     # composes dedup.py's verified recursive-closure CTE with the
     # split bucket rule, bucketing on the component canonical id
-    from .dedup import _SHINGLE_CTE
+    from .dedup import _JACCARD_CTES, _SHINGLE_CTE
 
     return f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM sh),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
-),
+{_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION
