@@ -333,9 +333,11 @@ class TxTable:
         high-cardinality keys (every file's [min,max] spans the space);
         the bloom skips files that provably lack a key — the pruning
         that makes merge_upsert cost ~matched-files on id-like keys.
-        1 KiB per column per file in the manifest; at 10⁵ files that is
-        ~100 MB driver metadata, the documented ceiling (production
-        would shard the manifest, as Delta does its checkpoint parts)."""
+        Bloom BITS live in a sidecar file next to the data file
+        (``<file>.bloom.<col>``, ~16 bits/NDV, read lazily on first
+        probe); the manifest carries only {m, k, sidecar} (~100 B per
+        column per file), so manifest size stays metadata-shaped at
+        10⁵ files."""
         import pyarrow.parquet as pq
 
         stage = os.path.join(self.root, f"_staged-{uuid.uuid4().hex}")
@@ -439,9 +441,23 @@ class TxTable:
         txn: dict[str, Any] | None = None,
         max_retries: int = 50,
         rewrite_removes: list[str] | None = None,
+        conflict_keys: dict[str, Any] | None = None,
     ) -> int:
         """Optimistic commit: build remove-actions against the current
-        snapshot, attempt put-if-absent, rebase on loss."""
+        snapshot, attempt put-if-absent, rebase on loss.
+
+        ``conflict_keys`` (merge_upsert only): WriteSerializable-style
+        guard — {col, lo, hi, known_files}.  On every (re)base, any file
+        that entered the snapshot after the merge planned (absent from
+        ``known_files``) whose ``col`` stats range may overlap [lo, hi]
+        aborts with CommitConflict: a concurrent append could have
+        inserted a key the merge also inserts/updates, and committing
+        the rewrite would leave silent duplicate keys.  Missing stats
+        count as overlap (cannot prove disjoint -> fail loud).  This is
+        deliberately conservative: a concurrent compaction of an
+        overlapping-but-unmatched key range also trips it — the caller
+        re-derives the merge from fresh data, same as Delta's
+        WriteSerializable conflict rule."""
         for _ in range(max_retries):
             snap = self.snapshot()  # empty log -> _Snapshot(-1, {}, ...)
             try:
@@ -453,6 +469,28 @@ class TxTable:
                 # replayed streaming epoch: already committed, drop our files
                 self._drop_staged(adds)
                 return snap.version
+            if op_type == "rewrite" and conflict_keys is not None:
+                known = set(conflict_keys["known_files"])
+                col, lo, hi = (
+                    conflict_keys["col"], conflict_keys["lo"], conflict_keys["hi"]
+                )
+                for p, meta in snap.files.items():
+                    if p in known:
+                        continue
+                    st = (meta.get("stats") or {}).get(col)
+                    overlap = True  # no stats -> cannot prove disjoint
+                    if st is not None and lo is not None and hi is not None:
+                        try:
+                            overlap = not (st[1] < lo or st[0] > hi)
+                        except TypeError:
+                            overlap = True
+                    if overlap:
+                        self._drop_staged(adds)
+                        raise CommitConflict(
+                            f"concurrent commit added {p} whose '{col}' range "
+                            f"may overlap the merge keys [{lo}, {hi}]; "
+                            f"re-derive the merge from fresh table state"
+                        )
             removes: list[dict[str, Any]] = []
             if op_type == "rewrite":
                 # compaction: remove exactly the input files that were
@@ -724,11 +762,15 @@ class TxTable:
            against source keys marks files holding ≥1 match;
         3. rewrite: touched rows anti-joined on the key, unioned with
            the full source, staged, and committed as a ``rewrite``
-           removing exactly the touched files — so it never conflicts
-           with concurrent appends, and conflicts loudly
-           (``CommitConflict``) iff another commit removed one of the
-           touched files first (the write-write race MERGE must not
-           silently lose).
+           removing exactly the touched files.  Conflicts loudly
+           (``CommitConflict``) iff (a) another commit removed one of
+           the touched files first (write-write race on the same
+           rows), or (b) a concurrent commit ADDED a file whose key
+           stats may overlap the merge key range — a concurrent append
+           inserting a key this merge also writes would otherwise
+           leave silent duplicate keys (WriteSerializable anomaly;
+           guard is stats-conservative, see ``_commit_loop``).
+           Disjoint-key concurrent appends commit freely.
 
         ``source`` must be key-unique (one surviving row per key is
         the whole contract) — enforced, fail-loud.  ``txn`` =
@@ -743,6 +785,16 @@ class TxTable:
         if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
             return {"version": snap.version, "files_rewritten": 0,
                     "updated": 0, "inserted": 0, "replayed": True}
+        # Materialize the source ONCE before any derived action: the
+        # merge evaluates it many times (dup-key check, key min/max,
+        # key collect for bloom pruning, broadcast semi/anti joins,
+        # staging, final count).  A non-deterministic source — rand(),
+        # limit() over unordered data, a query over mutating state —
+        # could otherwise yield DIFFERENT rows across those
+        # evaluations, silently losing updates or pruning files by
+        # keys that were never staged.  Delta materializes
+        # non-deterministic MERGE sources for exactly this reason.
+        source = source.localCheckpoint()
         if source.groupBy(*key_cols).count().where("count > 1").limit(1).count():
             raise ValueError("merge source has duplicate keys")
         self._check_constraints(source)
@@ -815,13 +867,23 @@ class TxTable:
         tdf = reader.parquet(*[os.path.join(self.root, p) for p in touched])
         if schema is not None:
             tdf = tdf.select(*[f.name for f in schema])
-        updated = tdf.join(F.broadcast(keys), key_cols, "left_semi").count()
+        # matched DISTINCT source keys — not matched table rows: if the
+        # table already holds duplicate keys (appends never enforce
+        # uniqueness), a row-count here would exceed the matched source
+        # keys and drive `inserted` negative (ADVICE r3 #4).
+        updated = keys.join(tdf, key_cols, "left_semi").count()
         survivors = tdf.join(F.broadcast(keys), key_cols, "left_anti")
         new_data = survivors.unionByName(source.select(*tdf.columns))
         adds = self._stage(new_data, partition_by, bloom_cols=bloom_cols)
         v = self._commit_loop(
             adds, "rewrite", new_data.schema.json(), txn=txn,
-            rewrite_removes=touched
+            rewrite_removes=touched,
+            conflict_keys={
+                "col": k0,
+                "lo": lohi["lo"],
+                "hi": lohi["hi"],
+                "known_files": sorted(snap.files),
+            },
         )
         return {
             "version": v,

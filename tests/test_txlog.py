@@ -1018,3 +1018,99 @@ def test_bloom_sidecars_follow_vacuum_lifecycle(spark, tmp_path):
     # dead data file AND its sidecar both removed
     assert sidecars() == []
     assert t.read(spark).count() == 10
+
+
+# --- round 4: merge WriteSerializable guard + source materialization ------
+
+def test_merge_conflicts_on_concurrent_overlapping_append(spark, tmp_path):
+    """ADVICE r3 #2: an append landing between merge planning and commit
+    that inserts a key inside the merge's key range must raise
+    CommitConflict — committing would leave silent duplicate keys."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 100).coalesce(1), partition_by=["p"])
+
+    class _RacingAppend(TxTable):
+        def _commit_loop(self, adds, op_type, schema_json, **kw):
+            if op_type == "rewrite" and not getattr(self, "_raced", False):
+                self._raced = True
+                # rival append INSERTS key 5 — inside the merge's range
+                TxTable(self.root).append(
+                    _mk(spark, 5, 6).coalesce(1), partition_by=["p"]
+                )
+            return super()._commit_loop(adds, op_type, schema_json, **kw)
+
+    rt = _RacingAppend(str(tmp_path / "t"))
+    src = spark.range(0, 10).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(-1).cast("long").alias("v")
+    )
+    with pytest.raises(CommitConflict, match="may overlap the merge keys"):
+        rt.merge_upsert(spark, src, ["id"])
+    # loser staged nothing live; rival's row is present exactly once more
+    assert t.read(spark).where("id = 5").count() == 2
+
+
+def test_merge_commits_past_concurrent_disjoint_append(spark, tmp_path):
+    """Disjoint-key concurrent appends must NOT trip the guard: the
+    merge rebases and commits; no duplicate keys result."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 100).coalesce(1), partition_by=["p"])
+
+    class _RacingAppend(TxTable):
+        def _commit_loop(self, adds, op_type, schema_json, **kw):
+            if op_type == "rewrite" and not getattr(self, "_raced", False):
+                self._raced = True
+                # rival append far outside the merge key range [0, 10)
+                TxTable(self.root).append(
+                    _mk(spark, 5000, 5010).coalesce(1), partition_by=["p"]
+                )
+            return super()._commit_loop(adds, op_type, schema_json, **kw)
+
+    rt = _RacingAppend(str(tmp_path / "t"))
+    src = spark.range(0, 10).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(-1).cast("long").alias("v")
+    )
+    stats = rt.merge_upsert(spark, src, ["id"])
+    assert stats["updated"] == 10
+    got = t.read(spark)
+    assert got.count() == 110
+    assert got.groupBy("id").count().where("count > 1").count() == 0
+    assert got.where("v = -1").count() == 10
+
+
+def test_merge_stats_with_preexisting_duplicate_table_keys(spark, tmp_path):
+    """ADVICE r3 #4: appends never enforce key uniqueness, so a table can
+    hold duplicate keys; `updated` must count matched DISTINCT source
+    keys (not matched table rows) and `inserted` must stay >= 0."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 5).coalesce(1), partition_by=["p"])
+    t.append(_mk(spark, 0, 5).coalesce(1), partition_by=["p"])  # dup keys 0-4
+    src = spark.range(0, 6).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(-9).cast("long").alias("v")
+    )
+    stats = t.merge_upsert(spark, src, ["id"])
+    assert stats["updated"] == 5          # 5 distinct matched keys, not 10 rows
+    assert stats["inserted"] == 1         # key 5; never negative
+    got = t.read(spark)
+    # merge collapsed the duplicates: one surviving row per key
+    assert got.groupBy("id").count().where("count > 1").count() == 0
+    assert _rows(got.select("id", "v")) == [(i, -9) for i in range(6)]
+
+
+def test_merge_materializes_nondeterministic_source(spark, tmp_path):
+    """ADVICE r3 #1: a non-deterministic source (rand-filtered) must be
+    evaluated exactly once — the staged rows, matched keys, and stats
+    all describe the SAME row set, so the table ends key-unique with
+    updated+inserted == |source| whatever the sampling did."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 200).coalesce(1), partition_by=["p"])
+    src = (
+        spark.range(0, 400)
+        .where(F.rand(seed=None) < 0.5)          # different rows per evaluation
+        .select(F.col("id"), F.lit("a").alias("p"), F.lit(-3).cast("long").alias("v"))
+    )
+    stats = t.merge_upsert(spark, src, ["id"])
+    got = t.read(spark)
+    assert got.groupBy("id").count().where("count > 1").count() == 0
+    n_new = got.where("v = -3").count()
+    assert stats["updated"] + stats["inserted"] == n_new
+    assert got.count() == 200 + stats["inserted"]
