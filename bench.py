@@ -370,7 +370,14 @@ def main() -> None:
             "decode+normalize (the reference's consume->decode->insert "
             "analog); ingest_query_mb_per_sec = old r1/r2 chain incl. "
             "hourly agg (that agg is the reference's per-rotation QUERY, "
-            "~1/3 of the old number's wall at sf0.1)"
+            "~1/3 of the old number's wall at sf0.1). r4: columnar-"
+            "accumulator decoders (proto/columnar.py) — per-leaf list "
+            "appends + one bottom-up Arrow assembly per batch, lazy utf8 "
+            "via binary->string cast; 1.18x single-thread decode in the "
+            "controlled microbench (min-of-9 interleaved), end-to-end "
+            "within machine noise at sf0.1 task sizes (decode is ~24us/"
+            "1.1KB record; 32-way local runs are scheduling-bound). "
+            "SPARK_GRAFT_DICT_DECODE=1 selects the r3 dict path for A/B."
         ),
         "shared_set_note": (
             "r3 bisect of the r2 +20% shared-set drift: r1's 22-query subset "

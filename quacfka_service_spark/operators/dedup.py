@@ -420,6 +420,23 @@ MD5_N_BANDS = 4
 MD5_ROWS_PER_BAND = MD5_N_PERM // MD5_N_BANDS
 
 
+def minhash_md5_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7): the md5 MinHash signature — min over shingles
+    of md5('p|' || shingle) per permutation p.  One explode + one
+    groupBy computing all 8 minima in a single pass."""
+    sh = doc_shingles(docs)
+    ex = (
+        sh.select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
+            for p in range(MD5_N_PERM)
+        ]
+    )
+
+
 def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
     """Banded-MinHash candidate pairs with md5 as the hash family —
     the engine-portable sibling of ``minhash_lsh_pairs``.
@@ -440,17 +457,7 @@ def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
     keyed on (band, band_hash) (the bucket join).  Hot buckets are
     real duplicates by construction — the join fans out exactly where
     duplicate mass exists."""
-    sh = doc_shingles(docs)
-    ex = (
-        sh.select("doc_id", F.explode_outer("sh").alias("s"))
-        .where(F.col("s").isNotNull())
-    )
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
-            for p in range(MD5_N_PERM)
-        ]
-    )
+    sig = minhash_md5_signatures(docs)
     bands = sig.select(
         "doc_id",
         *[
@@ -488,6 +495,88 @@ def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_estimate(docs: DataFrame) -> DataFrame:
+    """Estimator-quality report: for every banded-LSH candidate pair,
+    the MinHash Jaccard ESTIMATE (fraction of the 8 md5 permutation
+    minima that agree — the unbiased estimator LSH systems threshold
+    on) next to the TRUE shingle Jaccard.  The continuously-verified
+    form of "how good is our sketch" — the same role
+    similarity_recall_report plays for ANN, here with an exact oracle
+    because the md5 family is engine-portable end to end.
+
+    est = (# agreeing minima)/8.0 and true jaccard are both integer
+    ratios — bit-identical across engines.
+
+    100 TB shape: signatures are one explode + groupBy pass; the
+    candidate set is LSH-bounded (cost tracks near-duplicates, not
+    corpus²); the true-Jaccard join touches candidates only."""
+    sig = minhash_md5_signatures(docs)
+    pairs = minhash_md5_pairs(docs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.m{p}") == F.col(f"b.m{p}"), 1).otherwise(0)
+        for p in range(MD5_N_PERM)
+    )
+    est = (
+        pairs.join(a, pairs["doc_a"] == F.col("a.doc_id"))
+        .join(b, pairs["doc_b"] == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(MD5_N_PERM))).alias("est_jaccard"),
+        )
+    )
+    true_j = ngram_jaccard_pairs(docs, threshold=0.0).withColumnRenamed(
+        "jaccard", "true_jaccard"
+    )
+    # banded candidates share >= 1 full band => >= 1 common shingle =>
+    # the true-jaccard pair exists: inner join is lossless
+    return est.join(true_j, ["doc_a", "doc_b"])
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST occurrence (min doc_id order) is this
+    doc — the memorization/boilerplate dial a curation pipeline reads
+    before keeping late near-copies (novelty ~0 = the doc restates
+    earlier corpus content even if no single pair crosses a dedup
+    threshold).
+
+    Integer counts and an int/int double division — engine-exact.
+    Docs with < 3 words have no shingles and are absent (same contract
+    as the pair emitters).
+
+    100 TB shape: one explode + one partial-agg min per shingle, one
+    shingle-keyed join back (the same key the pair emitters shuffle
+    on), one doc-keyed aggregate.  Linear in corpus tokens — no pair
+    join at all."""
+    ex = (
+        doc_shingles(docs)
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    firsts = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
     )
 
 
@@ -833,6 +922,14 @@ def _q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_estimate(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_component_stats": _q_component_stats,
     "dedup_exact": _q_dedup_exact,
@@ -841,12 +938,14 @@ QUERIES = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
     "dedup_minhash_exact": _q_minhash_md5,  # md5 family -> exact oracle
+    "dedup_minhash_estimate": _q_minhash_estimate,
     "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
     "dedup_simhash_exact": _q_simhash_md5,  # md5 family -> exact oracle
     "dedup_edit_distance": _q_edit_distance,
     "dedup_embedding": _q_embedding_neardup,
     "dedup_components": _q_components,
     "dedup_near_keep": _q_near_keep,
+    "dedup_ngram_novelty": _q_ngram_novelty,
 }
 
 _SHINGLE_CTE = """
@@ -1054,5 +1153,42 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
 FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
+    # minhash on the FULL shingle universe (exm); true jaccard over the
+    # df-capped universe (_JACCARD_CTES) — mirrors the Spark op exactly
+    "dedup_minhash_estimate": f"""
+WITH {_SHINGLE_CTE},
+{_JACCARD_CTES},
+exm AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (SELECT doc_id, {_MD5_MINS} FROM exm GROUP BY doc_id),
+bands AS (SELECT doc_id, {_MD5_BANDS} FROM sig),
+st AS (
+  {_MD5_STACK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM st a JOIN st b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ({" + ".join(f"(CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END)" for p in range(MD5_N_PERM))})::DOUBLE
+         / {MD5_N_PERM}.0 AS est_jaccard,
+       CAST(i.inter AS BIGINT) / CAST(za.sz + zb.sz - i.inter AS BIGINT) AS true_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+""",
+    "dedup_ngram_novelty": f"""
+WITH {_SHINGLE_CTE},
+ex2 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM ex2 GROUP BY 1)
+SELECT e.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS novelty
+FROM ex2 e JOIN firsts f USING (s) GROUP BY 1
 """,
 }

@@ -314,6 +314,134 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"))
 
 
+ZSCORE_MIN_HOURS = 2
+
+
+def anomaly_zscore(ev: DataFrame, min_hours: int = ZSCORE_MIN_HOURS) -> DataFrame:
+    """Hourly volume z-scores per event_type — the statistical spike
+    detector beside ``spike_hours``' cross-multiplication rule: every
+    (type, hour) bucket scored as (cnt - mean) / stddev of that type's
+    hourly counts.
+
+    Engine-exactness: mean and variance are DERIVED from BIGINT sums
+    (sum, sum of squares, count) with the identical IEEE expression
+    tree on both engines — never the engines' own stddev aggregates,
+    whose Welford partial-merge order differs run to run.  Integer
+    squares are summed as BIGINT (hourly counts bounded by
+    ~4e9-per-hour before s*s approaches overflow; cast to DOUBLE in
+    the mean/var expressions only).
+
+    100 TB shape: the event stream collapses to (type x hour)
+    cardinality in the first partial-agg groupBy; the per-type stats
+    table is |types| rows and broadcasts back onto the hourly table —
+    no second shuffle of anything data-sized."""
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.count(F.lit(1)).alias("nh"),
+    )
+    s, ss, nh = (F.col(c).cast("double") for c in ("s", "ss", "nh"))
+    mean = s / nh
+    var = (ss - s * s / nh) / (nh - F.lit(1.0))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(F.col("nh") >= min_hours)
+        .select(
+            "event_type",
+            F.col("hour").cast("string").alias("hour"),
+            "cnt",
+            mean.alias("mean_cnt"),
+            F.when(var > 0, (F.col("cnt") - mean) / F.sqrt(var))
+            .otherwise(F.lit(0.0))
+            .alias("zscore"),
+        )
+    )
+
+
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+def user_entropy(ev: DataFrame) -> DataFrame:
+    """Per-user behavioral entropy over the event_type distribution —
+    the bot/power-user discriminator (H=0: single-action users; high H:
+    uniform mixers).  H = -Σ p log2 p over the user's event types.
+
+    Engine-exactness: the per-user fold runs over the event types in
+    SORTED order via collect_list + F.aggregate (DuckDB: list(... ORDER
+    BY) + list_reduce with a prepended 0 seed), so the double
+    accumulation order is pinned on both engines; p = n/total divides
+    BIGINTs into identical doubles.  log2 itself is a TRANSCENDENTAL —
+    JVM Math.log and libm disagree in the last ulp on ~1/6 of inputs
+    (measured) — so the emitted entropy is rounded to 9 decimals on
+    both engines; ``acc - p*log2(p)`` keeps H at exactly +0.0 for
+    single-type users.
+
+    100 TB shape: one partial-agg groupBy to (user, type) cardinality,
+    one groupBy to user cardinality with a |types|-bounded list per
+    user — both combiner-friendly; no window, no join."""
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = per_ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "n"))).alias("xs"),
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    p = lambda x: x["n"].cast("double") / F.col("total").cast("double")  # noqa: E731
+    h = F.aggregate(
+        "xs", F.lit(0.0), lambda acc, x: acc - p(x) * F.log2(p(x))
+    )
+    return g.select("user_id", "total", "n_types", F.round(h, 9).alias("entropy"))
+
+
+def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_entropy(load_table(spark, sf_dir, "events"))
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Classic cohort lifetime-value matrix: customers grouped by their
+    FIRST-order month, revenue and order counts per (cohort month,
+    months since first order).  The retention/LTV curve every
+    subscription/commerce dashboard starts from.
+
+    Engine-exactness: months are integer indexes (year*12 + month);
+    revenue sums are exact DECIMAL(12,2) (o_totalprice is a double in
+    the fixture — cast BEFORE the sum on both engines, the q1 idiom),
+    emitted as strings.
+
+    100 TB shape: the first-order table is one partial-agg min per
+    customer; it joins back customer-keyed (the fact's natural key) and
+    the final matrix aggregate collapses to (months x months)
+    cardinality map-side."""
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min(midx).alias("m0"))
+    return (
+        orders.select("o_custkey", midx.alias("m"), "o_totalprice")
+        .join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month_idx"),
+            (F.col("m") - F.col("m0")).alias("months_since"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("revenue"),
+        )
+    )
+
+
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
 BASKET_MIN_ORDERS = 2
 
 
@@ -450,6 +578,9 @@ QUERIES = {
     "events_window_analytics": _q_window_analytics,
     "events_spike_hours": _q_spike_hours,
     "events_histogram": _q_histogram,
+    "events_anomaly_zscore": _q_anomaly_zscore,
+    "events_user_entropy": _q_user_entropy,
+    "orders_cohort_ltv": _q_cohort_ltv,
 }
 
 _DAY = "datetrunc('day', ts)::DATE::VARCHAR"
@@ -611,5 +742,64 @@ FROM (SELECT event_id, user_id, ts, value, extract('hour' FROM ts) AS hr FROM ev
 WINDOW
   w_unique AS (PARTITION BY user_id ORDER BY ts, event_id),
   w_tied   AS (PARTITION BY user_id ORDER BY hr)
+""",
+    # mean/var derived from BIGINT sums with the SAME IEEE expression
+    # tree as the Spark op — never the engine stddev aggregate
+    "events_anomaly_zscore": f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, sum(cnt)::BIGINT AS s, sum(cnt * cnt)::BIGINT AS ss,
+         count(*)::BIGINT AS nh
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour::VARCHAR AS hour, h.cnt,
+       s::DOUBLE / nh::DOUBLE AS mean_cnt,
+       CASE WHEN (ss::DOUBLE - s::DOUBLE * s::DOUBLE / nh::DOUBLE) / (nh::DOUBLE - 1.0) > 0
+            THEN (h.cnt - s::DOUBLE / nh::DOUBLE)
+                 / sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / nh::DOUBLE) / (nh::DOUBLE - 1.0))
+            ELSE 0.0 END AS zscore
+FROM hourly h JOIN stats USING (event_type)
+WHERE nh >= {ZSCORE_MIN_HOURS}
+""",
+    # sorted-list fold (list(... ORDER BY) + list_reduce with prepended
+    # 0.0 seed) pins the double accumulation order to Spark's
+    # sort_array + F.aggregate
+    "events_user_entropy": """
+WITH per_ut AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT user_id,
+         list(n ORDER BY event_type) AS ns,
+         sum(n)::BIGINT AS total,
+         count(*)::BIGINT AS n_types
+  FROM per_ut GROUP BY 1
+)
+SELECT user_id, total, n_types,
+       round(list_reduce(
+         list_prepend(0.0, list_transform(ns, n ->
+           -(n::DOUBLE / total::DOUBLE) * log2(n::DOUBLE / total::DOUBLE))),
+         (acc, x) -> acc + x
+       ), 9) AS entropy
+FROM g
+""",
+    "orders_cohort_ltv": """
+WITH m AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+         o_totalprice
+  FROM orders
+),
+first AS (SELECT o_custkey, min(m) AS m0 FROM m GROUP BY 1)
+SELECT m0 AS cohort_month_idx, (m - m0)::BIGINT AS months_since,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       sum(o_totalprice::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR AS revenue
+FROM m JOIN first USING (o_custkey)
+GROUP BY 1, 2
 """,
 }

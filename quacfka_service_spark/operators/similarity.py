@@ -196,70 +196,49 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-def ivf_topk(
-    emb: DataFrame,
-    k: int = TOP_K,
-    query_mod: int = QUERY_MOD,
-    n_cells: int = N_CELLS,
-    n_probe: int = N_PROBE,
-    kmeans: bool = False,
-) -> DataFrame:
-    """IVF-Flat ANN: coarse-quantize the corpus into cells, probe only
-    the ``n_probe`` cells nearest each query.
-
-    Default centroids are deterministic seed vectors (every
-    corpus_size/n_cells-th vector) so results are reproducible
-    run-to-run with no training job; ``kmeans=True`` swaps in
-    KMeans-trained centroids (pyspark.ml, fixed seed).  At scale prefer
-    ``kmeans=True``: seed vectors from a single orderBy.limit are
-    corpus-order-biased (driver collects only n_cells rows either way,
-    so neither path collects data proportional to corpus size).
-
-    Scale shape: the corpus is partitioned by cell (one shuffle at
-    index-build), each query probes n_probe/n_cells of the data, and
-    the per-cell scan is an equi-join on cell id — no corpus x query
-    cross product.
-    """
+def seed_centroids(
+    emb: DataFrame, n_cells: int = N_CELLS, query_mod: int = QUERY_MOD
+) -> list[list[float]]:
+    """Deterministic IVF seed centroids: the first ``n_cells`` vectors
+    with vec_id ≡ 1 (mod query_mod) — never query vectors (those are
+    ≡ 0) and uniform over the corpus.  Shared by batch ``ivf_topk`` and
+    the streaming ``IncrementalIVFIndex`` so both quantize with the
+    same coarse codebook."""
     d = _with_norm(emb)
+    seeds = (
+        d.where(F.col("vec_id") % query_mod == 1)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["v"]) for r in seeds]
 
-    if kmeans:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
 
-        feat = d.select("vec_id", array_to_vector(F.col("v")).alias("features"))
-        model = KMeans(k=n_cells, seed=42, maxIter=5).fit(feat)
-        cents = [list(c) for c in model.clusterCenters()]
-    else:
-        # deterministic spread: vec_id ≡ 1 (mod query_mod) are never
-        # query vectors (those are ≡ 0) and are uniform over the corpus
-        seeds = (
-            d.where(F.col("vec_id") % query_mod == 1)
-            .orderBy("vec_id")
-            .limit(n_cells)
-            .collect()
-        )
-        cents = [list(r["v"]) for r in seeds]
+def _cent_arrs(cents: list[list[float]]) -> list:
+    return [F.array(*[F.lit(x) for x in c]) for c in cents]
 
-    cent_arrs = [F.array(*[F.lit(x) for x in c]) for c in cents]
 
-    def nearest_cells(vcol, n: int):
-        """array of the n cell-ids with highest dot(v, centroid)
-        (cosine order for unit-ish centroids)."""
-        scored = F.array(*[
-            F.struct(_dot(vcol, arr).alias("s"), F.lit(i).alias("c"))
-            for i, arr in enumerate(cent_arrs)
-        ])
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n)["c"]
+def _nearest_cells(vcol, cent_arrs: list, n: int):
+    """array of the n cell-ids with highest dot(v, centroid)
+    (cosine order for unit-ish centroids)."""
+    scored = F.array(*[
+        F.struct(_dot(vcol, arr).alias("s"), F.lit(i).alias("c"))
+        for i, arr in enumerate(cent_arrs)
+    ])
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n)["c"]
 
-    corpus = d.withColumn("cell", nearest_cells(F.col("v"), 1)[0])
-    q = (
-        d.where(F.col("vec_id") % query_mod == 0)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            F.explode(nearest_cells(F.col("v"), n_probe)).alias("cell"),
-        )
+
+def _ivf_probe(
+    corpus: DataFrame, queries: DataFrame, cent_arrs: list, k: int, n_probe: int
+) -> DataFrame:
+    """Shared IVF probe tail: ``corpus`` carries (vec_id, v, nrm, cell);
+    ``queries`` carries (q_id, qv, qn).  Queries broadcast, fan out to
+    their n_probe nearest cells, equi-join on cell id, windowed rank."""
+    q = queries.select(
+        "q_id",
+        "qv",
+        "qn",
+        F.explode(_nearest_cells(F.col("qv"), cent_arrs, n_probe)).alias("cell"),
     )
     scored = (
         corpus.join(F.broadcast(q), "cell")
@@ -276,6 +255,57 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    kmeans: bool = False,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into cells, probe only
+    the ``n_probe`` cells nearest each query.
+
+    Default centroids are deterministic seed vectors (every
+    corpus_size/n_cells-th vector) so results are reproducible
+    run-to-run with no training job; ``kmeans=True`` swaps in
+    KMeans-trained centroids (pyspark.ml, fixed seed).  At scale prefer
+    ``kmeans=True``: seed vectors from a single orderBy.limit are
+    corpus-order-biased (driver collects only n_cells rows either way,
+    so neither path collects data proportional to corpus size).
+    ``centroids`` pins an explicit codebook (the streaming index
+    equality tests use this).
+
+    Scale shape: the corpus is partitioned by cell (one shuffle at
+    index-build), each query probes n_probe/n_cells of the data, and
+    the per-cell scan is an equi-join on cell id — no corpus x query
+    cross product.
+    """
+    d = _with_norm(emb)
+
+    if centroids is not None:
+        cents = centroids
+    elif kmeans:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = d.select("vec_id", array_to_vector(F.col("v")).alias("features"))
+        model = KMeans(k=n_cells, seed=42, maxIter=5).fit(feat)
+        cents = [list(c) for c in model.clusterCenters()]
+    else:
+        cents = seed_centroids(emb, n_cells, query_mod)
+
+    arrs = _cent_arrs(cents)
+    corpus = d.withColumn("cell", _nearest_cells(F.col("v"), arrs, 1)[0])
+    queries = d.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    return _ivf_probe(corpus, queries, arrs, k, n_probe)
 
 
 def norm_stats(emb: DataFrame) -> DataFrame:

@@ -157,6 +157,67 @@ def decode_bidrequests(
 
     def _decode_batches(batches):
         import gc
+        import os
+        import struct
+
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        if os.environ.get("SPARK_GRAFT_DICT_DECODE"):
+            # debugging/A-B fallback: per-record dicts + from_pylist
+            yield from _decode_batches_dict(batches)
+            return
+
+        from .columnar import columnar_decoder_for
+
+        # Columnar-accumulator decoder (columnar.py): appends each field
+        # straight into per-leaf lists, Arrow arrays assembled once per
+        # batch — no per-record dict graph + from_pylist re-walk
+        # (measured ~1.2x the dict path on realistic frames).  Lazy
+        # strings (bytes + one C-side utf8-validating cast per column)
+        # only when NOT permissive: permissive must fail per record so
+        # append_record's rollback drops exactly the bad frame.
+        dec = columnar_decoder_for(proj_key, eager_strings=permissive)
+        read_ts = struct.Struct("<Q").unpack_from
+        arrow_schema = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType)) for f in out_schema.fields]
+        )
+        # decoder covers the payload fields; event_tm rides beside
+        payload_struct = pa.struct([f for f in arrow_schema if f.name != "event_tm"])
+        for batch in batches:
+            vals = batch.column("value").to_pylist()
+            names = batch.schema.names
+            ts_list = batch.column("_ts_ms").to_pylist() if "_ts_ms" in names else None
+            gc_was_on = gc.isenabled()
+            gc.disable()
+            try:
+                append = dec.append_record
+                tms = []
+                for i, raw in enumerate(vals):
+                    b = raw if isinstance(raw, bytes) else bytes(raw)
+                    try:
+                        if ts_suffix:
+                            e = len(b) - 8
+                            ms = read_ts(b, e)[0]
+                            append(b, 0, e)
+                        else:
+                            ms = int(ts_list[i]) if ts_list is not None else 0
+                            append(b, 0, len(b))
+                    except Exception:
+                        if permissive:
+                            continue  # drop the malformed record (rolled back)
+                        raise
+                    tms.append(ms)
+                arrays = dec.finish(payload_struct)
+                arrays.append(pa.array(tms, type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+            finally:
+                if gc_was_on:
+                    gc.enable()
+
+    def _decode_batches_dict(batches):
+        import gc
         import struct
 
         import pyarrow as pa
@@ -165,12 +226,7 @@ def decode_bidrequests(
 
         from .fastdecode import decoder_for
 
-        decode_fast = decoder_for(proj_key)
-        # raw (buf, pos, end) entry point: skips the wrapper call per
-        # record, and for ts-suffixed frames decodes a WINDOW of the
-        # payload instead of slicing off the last 8 bytes (which copied
-        # every ~1.1 KB record)
-        decode_raw = decode_fast.raw
+        decode_raw = decoder_for(proj_key).raw
         read_ts = struct.Struct("<Q").unpack_from
         arrow_schema = pa.schema(
             [pa.field(f.name, to_arrow_type(f.dataType)) for f in out_schema.fields]
@@ -195,7 +251,7 @@ def decode_bidrequests(
                             rec = decode_raw(b, 0, len(b))
                     except Exception:
                         if permissive:
-                            continue  # drop the malformed record
+                            continue
                         raise
                     rec["event_tm"] = ms
                     recs.append(rec)

@@ -72,6 +72,9 @@ _MUST_BE_NONEMPTY = {
     "corpus_chunk_windows", "events_transitions", "text_token_coverage",
     "corpus_mixture_temperature", "split_group_safe", "corpus_token_budget",
     "embedding_centroid_assign", "text_hash_features",
+    # round 4
+    "events_anomaly_zscore", "events_user_entropy", "orders_cohort_ltv",
+    "dedup_minhash_estimate", "dedup_ngram_novelty",
 }
 
 
