@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from ..session import load_table
 from .dedup import (
     _JACCARD_CTES,
+    _SHINGLE_CTE,
     connected_components,
     minhash_lsh_pairs,
     neardup_keep_canonical,
@@ -576,7 +577,48 @@ def _q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_length_deciles(load_table(spark, sf_dir, "documents"))
 
 
+def keep_best_quality(docs: DataFrame) -> DataFrame:
+    """Near-dup survivor selection by QUALITY: within each near-dup
+    component keep the HIGHEST-quality doc (tie -> lowest doc_id), plus
+    every unpaired doc — the curation rule production pipelines
+    actually want (neardup_keep_canonical's min-id rule keeps whichever
+    near-dup happened to be crawled first; this one keeps the best
+    copy).  Output (doc_id, quality) for every surviving doc.
+
+    Engine-exactness: quality values are the oracle-verified
+    text_quality expression (hash-matched raw doubles in r3), so
+    ordering by them is deterministic; the window tie-break is
+    (quality DESC, doc_id ASC) on both engines.
+
+    100 TB shape: the component map covers only docs WITH a near-dup
+    (small by construction) and broadcasts; the window partitions by
+    component_id — component-bounded, never corpus-wide; unpaired docs
+    take a broadcast anti-join, no shuffle."""
+    comp = connected_components(
+        ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    )
+    q = text_quality(docs).select("doc_id", "quality")
+    in_comp = q.join(comp, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    best = (
+        in_comp.select(
+            "doc_id", "quality", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
+    singles = q.join(comp.select("doc_id"), "doc_id", "left_anti")
+    return best.unionByName(singles)
+
+
+def _q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keep_best_quality(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "corpus_keep_best_quality": _q_keep_best_quality,
     "corpus_cap_per_source": _q_cap_per_source,
     "corpus_lang_source_matrix": _q_lang_source_matrix,
     "corpus_length_deciles": _q_length_deciles,
@@ -858,4 +900,37 @@ SELECT source, doc_id, n_tokens,
        (cum_prev + greatest(n_tokens, 1) - 1) // {BLOCK_TOKENS} AS end_block
 FROM c
 """,
+    # composes dedup.py's verified recursive-closure CTEs (df-capped
+    # pair universe) with text.py's verified quality expression
+    "corpus_keep_best_quality": f"""
+WITH RECURSIVE {{shingle}},
+{{jaccard}},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY v),
+wq AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM wq),
+ranked AS (
+  SELECT c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT doc_id, quality FROM ranked WHERE rn = 1
+UNION ALL
+SELECT q.doc_id, q.quality
+FROM qual q LEFT JOIN comp c USING (doc_id)
+WHERE c.doc_id IS NULL
+""".replace("{shingle}", _SHINGLE_CTE).replace("{jaccard}", _JACCARD_CTES),
 }

@@ -167,9 +167,62 @@ def _q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_minhash(train, bench)
 
 
+def contamination_score(
+    train: DataFrame, bench: DataFrame, n: int = NGRAM_N
+) -> DataFrame:
+    """Graded decontamination: per training doc, the FRACTION of its
+    distinct n-grams that appear in the benchmark set — the score a
+    pipeline thresholds instead of the boolean drop (`decontaminate`
+    emits hit docs only; this ranks partial overlaps so borderline docs
+    can be audited rather than silently kept or killed).
+
+    Integer gram counts + an int/int double division — engine-exact.
+    Docs with < n words have no grams and are absent (same contract as
+    the emitters).
+
+    100 TB shape: identical to `decontaminate` — the benchmark gram set
+    is eval-suite-sized and BROADCASTS; the train side is one explode +
+    broadcast join + per-doc agg.  The zero-hit docs never join: their
+    n_hit comes from a left join of the per-doc gram counts (also
+    map-side combined), so the wide side is touched twice linearly,
+    never quadratically."""
+    bench_grams = (
+        doc_ngrams(bench, n)
+        .select(F.explode_outer("g").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+    )
+    tg = (
+        doc_ngrams(train, n)
+        .select("doc_id", F.explode_outer("g").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    per = tg.groupBy("doc_id").agg(F.countDistinct("s").alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hit"))
+    )
+    return per.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("contamination"),
+    )
+
+
+def _q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, bench = split_benchmark(load_table(spark, sf_dir, "documents"))
+    return contamination_score(train, bench)
+
+
 QUERIES = {
     "corpus_decontaminate": _q_decontaminate,
     "corpus_decontaminate_lsh": _q_decontaminate_minhash,
+    "corpus_contamination_score": _q_contamination_score,
 }
 
 _GRAM_LIST = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
@@ -227,5 +280,34 @@ SELECT t.doc_id, COUNT(DISTINCT t.s) AS n_hit
 FROM train t
 JOIN bench b ON t.s = b.s
 GROUP BY t.doc_id
+""",
+    "corpus_contamination_score": f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= {NGRAM_N}
+                THEN list_transform(generate_series(1, len(w) - {NGRAM_N - 1}),
+                                    i -> {_GRAM_LIST})
+                ELSE [] END) AS g
+  FROM w
+),
+bench AS (
+  SELECT DISTINCT unnest(g) AS s FROM g WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(g) AS s FROM g WHERE doc_id % {BENCH_MOD} <> 0
+),
+per AS (SELECT doc_id, count(DISTINCT s)::BIGINT AS n_grams FROM train GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, count(DISTINCT t.s)::BIGINT AS n_hit
+  FROM train t JOIN bench b ON t.s = b.s GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       coalesce(h.n_hit, 0)::DOUBLE / p.n_grams::DOUBLE AS contamination
+FROM per p LEFT JOIN hits h USING (doc_id)
 """,
 }

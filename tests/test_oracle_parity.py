@@ -75,6 +75,7 @@ _MUST_BE_NONEMPTY = {
     # round 4
     "events_anomaly_zscore", "events_user_entropy", "orders_cohort_ltv",
     "dedup_minhash_estimate", "dedup_ngram_novelty",
+    "corpus_contamination_score", "corpus_keep_best_quality",
 }
 
 
