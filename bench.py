@@ -66,6 +66,12 @@ HEADLINE = [
     "corpus_token_budget",
     "embedding_centroid_assign",
     "text_hash_features",
+    # round-4 additions (same non-comparability caveat)
+    "dedup_ngram_novelty",
+    "dedup_minhash_estimate",
+    "corpus_keep_best_quality",
+    "corpus_contamination_score",
+    "events_user_entropy",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.
