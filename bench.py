@@ -71,7 +71,6 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "corpus_keep_best_quality",
     "corpus_contamination_score",
-    "events_user_entropy",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.

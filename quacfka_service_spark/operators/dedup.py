@@ -510,28 +510,121 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
     est = (# agreeing minima)/8.0 and true jaccard are both integer
     ratios — bit-identical across engines.
 
+    Self-contained caching: composing minhash_md5_pairs +
+    ngram_jaccard_pairs naively would have each evict the other's
+    _track_persist cache mid-plan (the one-cache-per-session contract)
+    and recompute the shingle explode 6x — measured 2.9 s vs 1.5 s for
+    the standalone ops at sf0.1.  Instead ONE tracked cache holds the
+    exploded shingles; the signature table (|docs| x 8 hex strings —
+    signature-sized at any corpus) is localCheckpoint'd lazily so its
+    four consumers (both band-stack join sides, both est join sides)
+    materialize it once without touching the tracker.
+
     100 TB shape: signatures are one explode + groupBy pass; the
     candidate set is LSH-bounded (cost tracks near-duplicates, not
     corpus²); the true-Jaccard join touches candidates only."""
-    sig = minhash_md5_signatures(docs)
-    pairs = minhash_md5_pairs(docs)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    from pyspark import StorageLevel
+
+    ex = _track_persist(
+        doc_shingles(docs)
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
+            for p in range(MD5_N_PERM)
+        ]
+    ).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"m{b * MD5_ROWS_PER_BAND + r}") for r in range(MD5_ROWS_PER_BAND)]
+                )
+            ).alias(f"b{b}")
+            for b in range(MD5_N_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(MD5_N_BANDS)])).alias(
+            "band", "bh"
+        ),
+    )
+    sa, sb = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        sa.join(
+            sb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        # candidate-pair-sized; feeds the est join AND the cand_ids
+        # semi-filter below — checkpoint so the band self-join runs once
+        .localCheckpoint(eager=False)
+    )
+    a = sig.alias("sa")
+    b = sig.alias("sb")
     agree = sum(
-        F.when(F.col(f"a.m{p}") == F.col(f"b.m{p}"), 1).otherwise(0)
+        F.when(F.col(f"sa.m{p}") == F.col(f"sb.m{p}"), 1).otherwise(0)
         for p in range(MD5_N_PERM)
     )
     est = (
-        pairs.join(a, pairs["doc_a"] == F.col("a.doc_id"))
-        .join(b, pairs["doc_b"] == F.col("b.doc_id"))
+        pairs.join(a, pairs["doc_a"] == F.col("sa.doc_id"))
+        .join(b, pairs["doc_b"] == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             (agree.cast("double") / F.lit(float(MD5_N_PERM))).alias("est_jaccard"),
         )
     )
-    true_j = ngram_jaccard_pairs(docs, threshold=0.0).withColumnRenamed(
-        "jaccard", "true_jaccard"
+    # true jaccard over the df-capped universe, from the SAME cached ex,
+    # computed ONLY among candidate docs: inter/size of a pair involve
+    # just its two docs, so semi-joining the exploded shingles down to
+    # the (LSH-bounded, broadcastable) candidate id set first gives the
+    # identical values at a fraction of the self-join — the oracle
+    # computes the full-corpus jaccard and joins, same result (measured
+    # 5.9 s -> ~2 s at sf0.1; threshold-0 all-pairs jaccard emits every
+    # co-shingle pair before pruning).
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > NGRAM_MAX_DF)
+        .select("s")
+    )
+    exf = (
+        ex.join(F.broadcast(hot), "s", "left_anti")
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    )
+    sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ja, jb = exf.alias("ja"), exf.alias("jb")
+    inter = (
+        ja.join(
+            jb,
+            (F.col("ja.s") == F.col("jb.s"))
+            & (F.col("ja.doc_id") < F.col("jb.doc_id")),
+        )
+        .groupBy(F.col("ja.doc_id").alias("doc_a"), F.col("jb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    true_j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("true_jaccard"),
+        )
     )
     # banded candidates share >= 1 full band => >= 1 common shingle =>
     # the true-jaccard pair exists: inner join is lossless
