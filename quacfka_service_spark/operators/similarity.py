@@ -689,7 +689,92 @@ def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(load_table(spark, sf_dir, "embeddings"))
 
 
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+
+
+def mmr_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_candidates: int = MMR_CANDIDATES,
+    lam: float = MMR_LAMBDA,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: per query,
+    greedily select k results maximizing
+    ``lam * cos(q, c) - (1 - lam) * max_{s in selected} cos(c, s)`` —
+    the standard RAG-context diversifier (plain top-k hands the LLM k
+    near-copies of the same passage; MMR trades a little relevance for
+    coverage).
+
+    Two stages: (1) exact top-``n_candidates`` per query (the verified
+    ``brute_force_topk`` plan — at 100 TB swap in ``ivf_topk`` for the
+    candidate pass, the greedy stage is identical), then (2) the greedy
+    selection per query over its own candidate set in applyInPandas —
+    per-group work is an n_candidates² numpy kernel (bounded, tiny),
+    never corpus-sized.  Deterministic: ties break on neighbor_id; the
+    iterative argmax makes it non-SQL-expressible (rows-only driver
+    check; tests/test_skew_and_ivf.py pins equality with an independent
+    pure-Python MMR on the fixture)."""
+    import numpy as np
+    import pandas as pd
+
+    cand = brute_force_topk(emb, k=n_candidates, query_mod=query_mod)
+    vecs = _with_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+    )
+    with_vec = cand.join(vecs, "neighbor_id").select(
+        "q_id", "neighbor_id", "cos", "v", "nrm"
+    )
+    kk, ll = k, float(lam)
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel = pdf["cos"].to_numpy(dtype=np.float64)
+        V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        # candidate-candidate cosine matrix (n_candidates², bounded)
+        sim = (V @ V.T) / np.outer(nr, nr)
+        n = len(ids)
+        selected: list[int] = []
+        out_rows = []
+        remaining = np.ones(n, dtype=bool)
+        for rank in range(1, min(kk, n) + 1):
+            if selected:
+                div = sim[:, selected].max(axis=1)
+            else:
+                div = np.zeros(n)
+            score = ll * rel - (1.0 - ll) * div
+            score[~remaining] = -np.inf
+            # deterministic argmax: best score, then lowest neighbor_id
+            best = int(
+                np.lexsort((ids, -score))[0]
+            )
+            selected.append(best)
+            remaining[best] = False
+            out_rows.append(
+                (int(pdf["q_id"].iloc[0]), int(ids[best]), float(rel[best]),
+                 float(score[best]), rank)
+            )
+        return pd.DataFrame(
+            out_rows,
+            columns=["q_id", "neighbor_id", "relevance", "mmr_score", "mmr_rank"],
+        )
+
+    return with_vec.groupBy("q_id").applyInPandas(
+        select_group,
+        schema="q_id long, neighbor_id long, relevance double, "
+        "mmr_score double, mmr_rank long",
+    )
+
+
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mmr_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "similarity_mmr_topk": _q_mmr_topk,  # rows-only (iterative argmax)
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
     "embedding_centroid_assign": _q_centroid_assign,

@@ -146,3 +146,66 @@ def test_knn_join_tiling_invariant(spark):
     assert len(single) == len(tiled) > 0
     for a, b in zip(single, tiled):
         assert a == b  # includes exact float equality on cos
+
+
+def test_mmr_topk_matches_pure_python_reference(spark):
+    """MMR greedy selection pinned against an independent pure-Python
+    implementation over the same exact candidate sets: same picks, same
+    order, same scores — and the diversity term actually fires (at
+    least one query's MMR order differs from plain relevance order)."""
+    import math
+
+    from quacfka_service_spark.operators.similarity import (
+        MMR_CANDIDATES,
+        MMR_LAMBDA,
+        TOP_K,
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        (r["q_id"], r["mmr_rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in mmr_topk(emb).collect()
+    }
+
+    # independent reference: collect candidates + vectors, greedy in python
+    cand = brute_force_topk(emb, k=MMR_CANDIDATES).collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_q = {}
+    for r in cand:
+        by_q.setdefault(r["q_id"], []).append((r["neighbor_id"], r["cos"]))
+    order_differs = 0
+    for q, items in by_q.items():
+        items = sorted(items)  # by neighbor_id, like the kernel
+        ids = [i for i, _ in items]
+        rel = {i: c for i, c in items}
+        selected = []
+        for rank in range(1, min(TOP_K, len(ids)) + 1):
+            best, best_score = None, None
+            for i in ids:
+                if i in selected:
+                    continue
+                div = max(
+                    (cos(vecs[i], vecs[s]) for s in selected), default=0.0
+                )
+                score = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * div
+                if best is None or score > best_score + 1e-12 or (
+                    abs(score - best_score) <= 1e-12 and i < best
+                ):
+                    best, best_score = i, score
+            selected.append(best)
+            g_id, g_score = got[(q, rank)]
+            assert g_id == best, f"q={q} rank={rank}: {g_id} != {best}"
+            assert abs(g_score - best_score) < 1e-9
+        plain = [i for i, _ in sorted(items, key=lambda t: (-t[1], t[0]))][: len(selected)]
+        if plain != selected:
+            order_differs += 1
+    assert order_differs > 0, "diversity term never fired (vacuous test)"
