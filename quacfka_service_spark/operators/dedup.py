@@ -498,6 +498,64 @@ def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|, |B|) over the
+    df-capped shingle universe — the doc-IN-doc signal Jaccard
+    structurally misses (a page quoting a whole shorter page has
+    containment ~1 but Jaccard ~|B|/|A|, far below any pair threshold;
+    the Broder resemblance/containment distinction).  Integer counts
+    and an int/int double division — engine-exact.
+
+    Same universe, same self-join, same df ceiling, and the SAME
+    tracked shingle cache as ``ngram_jaccard_pairs`` (see the CACHE
+    CONTRACT note at `_track_persist`); only the final ratio differs,
+    so the 100 TB shape is identical: hot-shingle census broadcast
+    anti-join, pair blocks bounded at max_df^2/2."""
+    from pyspark import StorageLevel
+
+    sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    ex_all = (
+        sh.select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    hot = (
+        ex_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
+    )
+    ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            (F.col("inter").cast("double") / F.least("sz_a", "sz_b").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+    )
+
+
 def minhash_estimate(docs: DataFrame) -> DataFrame:
     """Estimator-quality report: for every banded-LSH candidate pair,
     the MinHash Jaccard ESTIMATE (fraction of the 8 md5 permutation
@@ -1023,6 +1081,10 @@ def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_component_stats": _q_component_stats,
     "dedup_exact": _q_dedup_exact,
@@ -1039,6 +1101,7 @@ QUERIES = {
     "dedup_components": _q_components,
     "dedup_near_keep": _q_near_keep,
     "dedup_ngram_novelty": _q_ngram_novelty,
+    "dedup_containment": _q_containment,
 }
 
 _SHINGLE_CTE = """
@@ -1272,6 +1335,16 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
+""",
+    "dedup_containment": f"""
+WITH {_SHINGLE_CTE},
+{_JACCARD_CTES}
+SELECT i.doc_a, i.doc_b, sa.sz AS sz_a, sb.sz AS sz_b,
+       i.inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter::DOUBLE / least(sa.sz, sb.sz)::DOUBLE >= {CONTAINMENT_THRESHOLD}
 """,
     "dedup_ngram_novelty": f"""
 WITH {_SHINGLE_CTE},
