@@ -83,6 +83,54 @@ def funnel(ev: DataFrame, steps: list[str] | None = None) -> DataFrame:
     return res
 
 
+FUNNEL_WINDOW_HOURS = 24
+
+
+def funnel_windowed(
+    ev: DataFrame,
+    steps: list[str] | None = None,
+    window_hours: int = FUNNEL_WINDOW_HOURS,
+) -> DataFrame:
+    """Time-bounded funnel: step k converts only with an event of type
+    steps[k] within ``window_hours`` AFTER the step k-1 conversion —
+    the form product analytics actually reports ("purchased within 24h
+    of clicking"), where the unbounded funnel overcounts stragglers.
+    Interval arithmetic on timestamps is exact integer micros on both
+    engines.  Same shape as ``funnel``: chained shrinking min-ts
+    aggregates, every exchange keyed on user_id.
+
+    Output: (step_idx long, step string, n_users long)."""
+    steps = steps or FUNNEL_STEPS
+    ev = ev.select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {int(window_hours)} HOURS")
+    prev: DataFrame | None = None
+    out: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        stage = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").where(
+                (F.col("ts") >= F.col("_prev_ts"))
+                & (F.col("ts") <= F.col("_prev_ts") + win)
+            )
+        cur = stage.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+        out.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def _q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_windowed(load_table(spark, sf_dir, "events"))
+
+
 def user_growth(ev: DataFrame) -> DataFrame:
     """Cumulative-user growth curve: per day, how many users appeared
     for the FIRST time, and the running total.  The running distinct
@@ -183,6 +231,7 @@ def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_retention": _q_retention,
     "events_funnel": _q_funnel,
+    "events_funnel_windowed": _q_funnel_windowed,
     "events_user_growth": _q_user_growth,
     "events_rolling_active_users": _q_rolling_active,
     "events_transitions": _q_transitions,
@@ -240,6 +289,29 @@ FROM (
 ) a
 WHERE a.day_offset BETWEEN 0 AND {RETENTION_MAX_OFFSET}
 GROUP BY a.cohort_day, a.day_offset
+""",
+    "events_funnel_windowed": f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS pts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1.pts
+    AND e.ts <= t1.pts + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.pts
+    AND e.ts <= t2.pts + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS step_idx, 'view' AS step, count(*) AS n_users FROM t1
+UNION ALL
+SELECT 2::BIGINT, 'click', count(*) FROM t2
+UNION ALL
+SELECT 3::BIGINT, 'purchase', count(*) FROM t3
 """,
     "events_funnel": """
 WITH t1 AS (

@@ -76,7 +76,7 @@ _MUST_BE_NONEMPTY = {
     "events_anomaly_zscore", "events_user_entropy", "orders_cohort_ltv",
     "dedup_minhash_estimate", "dedup_ngram_novelty",
     "corpus_contamination_score", "corpus_keep_best_quality",
-    "dedup_containment",
+    "dedup_containment", "events_funnel_windowed",
 }
 
 
