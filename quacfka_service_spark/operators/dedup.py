@@ -429,11 +429,18 @@ def minhash_md5_signatures(docs: DataFrame) -> DataFrame:
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
-    return ex.groupBy("doc_id").agg(
+    # md5 in a pre-projection, min on plain columns: hashing inside the
+    # partial-agg update path defeats codegen batching (measured ~35%
+    # slower at sf0.1 than projecting the 8 digests first).
+    pre = ex.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
+            F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
             for p in range(MD5_N_PERM)
-        ]
+        ],
+    )
+    return pre.groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(MD5_N_PERM)]
     )
 
 
@@ -589,12 +596,20 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
         .where(F.col("s").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"m{p}")
-            for p in range(MD5_N_PERM)
-        ]
-    ).localCheckpoint(eager=False)
+    # md5 pre-projection before the min aggregate — same rationale
+    # (and measurement) as minhash_md5_signatures.
+    sig = (
+        ex.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
+                for p in range(MD5_N_PERM)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(MD5_N_PERM)])
+        .localCheckpoint(eager=False)
+    )
     bands = sig.select(
         "doc_id",
         *[
@@ -642,13 +657,17 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
         )
     )
     # true jaccard over the df-capped universe, from the SAME cached ex,
-    # computed ONLY among candidate docs: inter/size of a pair involve
-    # just its two docs, so semi-joining the exploded shingles down to
-    # the (LSH-bounded, broadcastable) candidate id set first gives the
-    # identical values at a fraction of the self-join — the oracle
-    # computes the full-corpus jaccard and joins, same result (measured
-    # 5.9 s -> ~2 s at sf0.1; threshold-0 all-pairs jaccard emits every
-    # co-shingle pair before pruning).
+    # computed ONLY for the LSH candidate PAIRS: probe the exploded
+    # shingles with `pairs` on doc_a, then match side b on (doc_b, s) —
+    # intersection rows materialize solely for pairs we will emit,
+    # where the candidate-doc-scoped SELF-join also emitted every
+    # co-shingle pair among candidate docs (35k doc-pairs for 907
+    # candidates at sf0.1; measured 1.44 s -> 1.12 s min-of-3 for the
+    # full op with this + the md5 pre-projection).  The oracle computes
+    # the full-corpus jaccard and joins, same values.  AQE broadcasts
+    # the pair probe at bench scale; at 100 TB the pair table is
+    # bounded by duplicate mass, not corpus size, and both joins
+    # degrade gracefully to shuffles on (doc_a) / (doc_b, s).
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -665,14 +684,12 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(cand_ids), "doc_id", "left_semi")
     )
     sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    ja, jb = exf.alias("ja"), exf.alias("jb")
+    lhs = pairs.join(exf.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
+        "doc_a", "doc_b", "s"
+    )
     inter = (
-        ja.join(
-            jb,
-            (F.col("ja.s") == F.col("jb.s"))
-            & (F.col("ja.doc_id") < F.col("jb.doc_id")),
-        )
-        .groupBy(F.col("ja.doc_id").alias("doc_a"), F.col("jb.doc_id").alias("doc_b"))
+        lhs.join(exf.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     true_j = (
