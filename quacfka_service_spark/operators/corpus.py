@@ -511,6 +511,118 @@ def corpus_length_deciles(docs: DataFrame, n: int = N_DECILES) -> DataFrame:
     )
 
 
+PROFILE_PREFIX_LEN = 32
+
+
+def corpus_field_profile(docs: DataFrame) -> DataFrame:
+    """Per-column validation profile — the schema-drift / data-quality
+    gate a pipeline runs before admitting a new corpus drop: one row
+    per column with row count, null count, exact distinct count, and
+    the (truncated) lexicographic min/max.  The reference delegates
+    this to ad-hoc DuckDB SQL; here it is one declarative pass.
+
+    100 TB shape: a single scan.  The five exact countDistinct
+    aggregates compile to one Expand (5x row multiplication into a
+    partial aggregate) — one job, no per-column re-scan; at extreme
+    scale swap in approx_count_distinct per column (the rows-only
+    variant) if the Expand shuffle dominates.  min/max are truncated
+    to PROFILE_PREFIX_LEN chars AFTER aggregation, so full values
+    never leave the executors."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def _mm(c, fn):
+        return F.substring(
+            F.coalesce(fn(F.col(c)).cast("string"), F.lit("")),
+            1,
+            PROFILE_PREFIX_LEN,
+        )
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            _mm(c, F.min).alias(f"{c}__min"),
+            _mm(c, F.max).alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__distinct"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return one.select(
+        "n_rows",
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_nulls", "n_distinct", "min_prefix", "max_prefix"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_prefix", "max_prefix")
+
+
+INTERLEAVE_SALT = "interleave"
+
+
+def corpus_interleave_shards(docs: DataFrame, salt: str = INTERLEAVE_SALT) -> DataFrame:
+    """(doc_id, source, round_idx, order_idx): source-interleaved
+    training order — round 1 takes one doc from every source (source
+    name order), then round 2, ... so no source ever streams in a
+    block (the curriculum failure mode source-sequential training
+    data has).  Within a source, round assignment follows the
+    deterministic md5(salt:doc_id) shuffle key (reshuffle = new salt,
+    any worker recomputes any position; same key family as
+    corpus_shuffle_order).
+
+    100 TB shape: the naive global position is row_number() over a
+    GLOBAL (round, source) sort — one task.  Instead the closed form
+    needs only the per-source doc counts (a broadcast row per source):
+
+      order_idx = sum_s min(round-1, n_s)            docs in earlier rounds
+                + #{s' < source : n_s' >= round}     earlier sources this round
+
+    computed as array algebra over the collected (source, n) list —
+    map-only after the per-source row_number window (parallel across
+    sources, skew bounded by the largest single source)."""
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    ranked = (
+        docs.select("doc_id", "source", key.alias("k"))
+        .select("doc_id", "source", F.row_number().over(w).cast("long").alias("round_idx"))
+    )
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("source").alias("s"), F.col("n")))
+            ).alias("cs")
+        )
+    )
+    earlier_rounds = F.aggregate(
+        "cs",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.least(F.col("round_idx") - 1, x["n"]),
+    )
+    this_round = F.size(
+        F.filter(
+            "cs",
+            lambda x: (x["s"] < F.col("source")) & (x["n"] >= F.col("round_idx")),
+        )
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .select(
+            "doc_id",
+            "source",
+            "round_idx",
+            (earlier_rounds + this_round).alias("order_idx"),
+        )
+    )
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_curation(load_table(spark, sf_dir, "documents"))
 
@@ -618,6 +730,12 @@ def _q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_field_profile": lambda spark, sf_dir: corpus_field_profile(
+        load_table(spark, sf_dir, "documents")
+    ),
+    "corpus_interleave_shards": lambda spark, sf_dir: corpus_interleave_shards(
+        load_table(spark, sf_dir, "documents")
+    ),
     "corpus_keep_best_quality": _q_keep_best_quality,
     "corpus_cap_per_source": _q_cap_per_source,
     "corpus_lang_source_matrix": _q_lang_source_matrix,
@@ -661,6 +779,55 @@ _QUALITY_EXPR = (
 _LANGS_IN = ", ".join(f"'{lg}'" for lg in KEEP_LANGS)
 
 ORACLES = {
+    "corpus_field_profile": f"""
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS doc_id__nulls,
+         count(DISTINCT doc_id)::BIGINT AS doc_id__distinct,
+         substr(coalesce(min(doc_id)::VARCHAR, ''), 1, {PROFILE_PREFIX_LEN}) AS doc_id__min,
+         substr(coalesce(max(doc_id)::VARCHAR, ''), 1, {PROFILE_PREFIX_LEN}) AS doc_id__max,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS text__nulls,
+         count(DISTINCT text)::BIGINT AS text__distinct,
+         substr(coalesce(min(text), ''), 1, {PROFILE_PREFIX_LEN}) AS text__min,
+         substr(coalesce(max(text), ''), 1, {PROFILE_PREFIX_LEN}) AS text__max,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang__nulls,
+         count(DISTINCT lang)::BIGINT AS lang__distinct,
+         substr(coalesce(min(lang), ''), 1, {PROFILE_PREFIX_LEN}) AS lang__min,
+         substr(coalesce(max(lang), ''), 1, {PROFILE_PREFIX_LEN}) AS lang__max,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS source__nulls,
+         count(DISTINCT source)::BIGINT AS source__distinct,
+         substr(coalesce(min(source), ''), 1, {PROFILE_PREFIX_LEN}) AS source__min,
+         substr(coalesce(max(source), ''), 1, {PROFILE_PREFIX_LEN}) AS source__max,
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_chars__nulls,
+         count(DISTINCT n_chars)::BIGINT AS n_chars__distinct,
+         substr(coalesce(min(n_chars)::VARCHAR, ''), 1, {PROFILE_PREFIX_LEN}) AS n_chars__min,
+         substr(coalesce(max(n_chars)::VARCHAR, ''), 1, {PROFILE_PREFIX_LEN}) AS n_chars__max
+  FROM documents
+)
+SELECT 'doc_id' AS "column", n_rows, doc_id__nulls AS n_nulls,
+       doc_id__distinct AS n_distinct, doc_id__min AS min_prefix, doc_id__max AS max_prefix FROM agg
+UNION ALL
+SELECT 'text', n_rows, text__nulls, text__distinct, text__min, text__max FROM agg
+UNION ALL
+SELECT 'lang', n_rows, lang__nulls, lang__distinct, lang__min, lang__max FROM agg
+UNION ALL
+SELECT 'source', n_rows, source__nulls, source__distinct, source__min, source__max FROM agg
+UNION ALL
+SELECT 'n_chars', n_rows, n_chars__nulls, n_chars__distinct, n_chars__min, n_chars__max FROM agg
+""",
+    "corpus_interleave_shards": """
+WITH k AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('interleave:' || doc_id::VARCHAR), doc_id
+         )::BIGINT AS round_idx
+  FROM documents
+)
+SELECT doc_id, source, round_idx,
+       (row_number() OVER (ORDER BY round_idx, source, doc_id) - 1)::BIGINT AS order_idx
+FROM k
+""",
     "corpus_datasheet": """
 WITH w AS (
   SELECT source, lang, md5(text) AS h,
