@@ -154,6 +154,27 @@ def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact binary-content dedup over the opaque payload — the
+    multimodal analog of ``dedup_exact``: identical bytes collapse to
+    the lowest media_id per (media_type, digest) group.  Runs BEFORE
+    any decode (bytes are compared, not pixels), so it needs no codec
+    and stays entirely JVM-side: md5 over the binary column, one
+    map-side-combined shuffle on (media_type, digest) — the exact
+    shape that holds at 100 TB, where payload bytes never move (only
+    16-byte digests shuffle)."""
+    return (
+        media.groupBy(
+            "media_type", F.md5(F.col("payload")).alias("payload_md5")
+        )
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sum("n_bytes").cast("long").alias("dup_bytes"),
+        )
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(as_media(docs))
@@ -177,10 +198,16 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_dedup(as_media(docs))
+
+
 QUERIES = {
     "multimodal_features": _q_multimodal,
     "multimodal_resize": _q_multimodal_resize,
     "multimodal_frames": _q_multimodal_frames,
+    "multimodal_dedup": _q_multimodal_dedup,
 }
 
 # The decode is a stub, but a DETERMINISTIC one over the utf-8 payload
@@ -214,6 +241,15 @@ SELECT media_id, media_type, 64::INTEGER AS out_w, 64::INTEGER AS out_h,
        least((n + greatest(1, n // 4096) - 1) // greatest(1, n // 4096),
              4096)::BIGINT AS payload_bytes
 FROM m
+""",
+    "multimodal_dedup": """
+SELECT ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INTEGER + 1] AS media_type,
+       md5(text) AS payload_md5,
+       min(doc_id)::BIGINT AS canonical_media_id,
+       count(*)::BIGINT AS dup_count,
+       sum(len(text))::BIGINT AS dup_bytes
+FROM documents
+GROUP BY 1, 2
 """,
     "multimodal_frames": """
 WITH v AS (
