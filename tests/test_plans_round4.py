@@ -95,3 +95,48 @@ def test_incremental_ivf_probe_prunes_cells(spark, tmp_path):
     # partition column: filtering on it must NOT appear as a data filter
     plan = formatted_plan(store.where(F.col("cell") == 0))
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_field_profile_single_scan_single_expand(spark):
+    """The five exact countDistincts must compile to ONE Expand over
+    ONE scan of documents — per-column re-scans (5 file reads) or
+    per-distinct jobs would multiply the 100 TB cost by the column
+    count."""
+    import re
+
+    df = _q(spark, "corpus_field_profile")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_interleave_shards_no_global_sort(spark):
+    """order_idx comes from the closed form over the broadcast
+    per-source count list — the plan must contain NO single-partition
+    global Sort feeding a Window (the naive row_number() OVER (ORDER
+    BY ...) shape).  The only Window is the per-source row_number,
+    partitioned by source; the counts side reaches the docs via
+    broadcast."""
+    import re
+
+    df = _q(spark, "corpus_interleave_shards")
+    plan = formatted_plan(df)
+    # exactly ONE Window — the per-source row_number.  The naive shape
+    # has a SECOND window (global row_number over ORDER BY round_idx,
+    # source) whose sort runs on one task.
+    windows = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert any("source" in w for w in windows)
+    # the counts list reaches every doc row via broadcast (1-row table)
+    assert "BroadcastExchange" in plan
+
+
+def test_multimodal_dedup_digest_shuffle_only(spark):
+    """Payload bytes must never shuffle: the aggregate keys on
+    (media_type, md5) with map-side partial aggregation, and the
+    exchange carries digests, not binary payloads."""
+    df = _q(spark, "multimodal_dedup")
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "payload" not in plan.split("Exchange", 1)[1].split("\n")[0]
