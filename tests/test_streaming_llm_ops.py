@@ -173,3 +173,21 @@ def test_token_budget_over_streamed_lake_equals_batch(spark, tmp_path):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.count() == batch.count() > 0
+
+
+def test_field_profile_over_streamed_lake_equals_batch(spark, tmp_path):
+    """corpus_field_profile's distinct counts and min/max are GLOBAL
+    (partials from per-batch profiles cannot merge: distinct is not
+    summable), so like mixture the streaming contract is
+    profile-at-epoch over the accumulated lake — the validation gate a
+    pipeline runs when a drop finishes landing, not per micro-batch.
+    Arrival order must not change a single profile cell."""
+    from quacfka_service_spark.operators.corpus import corpus_field_profile
+
+    docs, stream = _stream_docs_in_batches(spark, tmp_path)
+    lake = _run_foreach_batch(stream, tmp_path, lambda b: b, "proflake")
+    streamed = corpus_field_profile(spark.read.parquet(lake))
+    batch = corpus_field_profile(docs)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.count() == 5
