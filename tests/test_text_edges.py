@@ -61,3 +61,31 @@ def test_hash_features_semantics(spark):
     assert 3 not in by_doc  # whitespace-only doc has no features
     # all dims within range
     assert all(0 <= r.dim < 16 for r in out)
+
+
+def test_round4_ops_survive_degenerate_and_empty(spark):
+    """field_profile / interleave_shards / multimodal_dedup on the
+    degenerate fixture AND the fully-empty corpus: profile always
+    emits its 5 column rows (n_rows=0, min_prefix='' when empty — a
+    gate that crashes on an empty drop is useless); the other two
+    return cleanly empty results."""
+    from quacfka_service_spark.operators.corpus import (
+        corpus_field_profile,
+        corpus_interleave_shards,
+    )
+    from quacfka_service_spark.operators.multimodal import as_media, media_dedup
+
+    docs = _edge_docs(spark)
+    prof = {r["column"]: r for r in corpus_field_profile(docs).collect()}
+    assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert prof["text"]["n_nulls"] == 1 and prof["text"]["n_rows"] == 4
+    assert corpus_interleave_shards(docs).count() == 4
+    # NULL text -> NULL payload row survives md5 (NULL group)
+    assert media_dedup(as_media(docs)).count() == 4
+
+    empty = docs.where("doc_id < 0")
+    eprof = corpus_field_profile(empty).collect()
+    assert len(eprof) == 5
+    assert all(r["n_rows"] == 0 and r["min_prefix"] == "" for r in eprof)
+    assert corpus_interleave_shards(empty).count() == 0
+    assert media_dedup(as_media(empty)).count() == 0
