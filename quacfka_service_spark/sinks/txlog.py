@@ -657,6 +657,46 @@ class TxTable:
         adds = self._stage(df, partition_by)
         return self._commit_loop(adds, "replace_partitions", df.schema.json(), txn=txn)
 
+    @staticmethod
+    def _zorder_key(df: DataFrame, cols: list[str], bits: int):
+        """Morton (Z-order) key column over ``cols``: each column maps
+        to a ``2^bits``-bucket RANK (approxQuantile cut points, so
+        buckets are equi-populated regardless of value skew), and the
+        bucket bits interleave column-alternating from the top —
+        locality on EVERY zorder column, not just the leading one.
+
+        Scale shape: the cut points are one approxQuantile pass
+        (driver holds 2^bits floats per column); the key itself is
+        pure codegen arithmetic (array-rank + shift/and/or), map-only.
+        Numeric columns only — string zorder needs a rank join, and
+        linear cluster_by already covers the common
+        string-prefix-locality case."""
+        from pyspark.sql import functions as F
+
+        n = len(cols)
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        buckets = []
+        for c in cols:
+            try:
+                cuts = df.approxQuantile(c, probs, 0.01)
+            except Exception as exc:  # non-numeric column
+                raise TypeError(
+                    f"zorder_by column {c!r} must be numeric "
+                    f"(use cluster_by for strings): {exc}"
+                ) from exc
+            arr = F.array(*[F.lit(float(v)) for v in cuts])
+            buckets.append(
+                F.size(F.filter(arr, lambda t: t < F.col(c).cast("double")))
+            )
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for ci, b in enumerate(buckets):
+                z = z + F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"),
+                    i * n + (n - 1 - ci),
+                )
+        return z
+
     def optimize(
         self,
         spark: SparkSession,
@@ -665,6 +705,8 @@ class TxTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         where: dict[str, str] | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> dict[str, Any]:
         """Bin-pack small files: for every partition (optionally
         restricted by ``where``) holding >= ``min_files`` files, rewrite
@@ -674,9 +716,17 @@ class TxTable:
         standard repair (Delta OPTIMIZE / Iceberg rewrite_data_files).
 
         ``cluster_by`` additionally range-sorts the rewrite on the
-        given columns (Delta ZORDER-by-one-dim / Iceberg sort-order
-        analog) so per-file min/max stats become disjoint and
-        ``live_files(ranges=...)`` skipping turns selective.
+        given columns (Iceberg sort-order analog) so per-file min/max
+        stats become disjoint and ``live_files(ranges=...)`` skipping
+        turns selective — on the LEADING column; trailing columns only
+        gain locality within leading-column ties.
+
+        ``zorder_by`` (Delta OPTIMIZE ZORDER analog, mutually exclusive
+        with cluster_by) range-clusters on a Morton-interleaved bucket
+        key instead, so min/max stats tighten on EVERY listed column at
+        once: a query filtering only the second column still prunes
+        ~sqrt-fraction of files, where linear clustering prunes
+        nothing.  Numeric columns only (see ``_zorder_key``).
 
         Safe alongside writers: concurrent *appends* never conflict
         (their files are untouched); a concurrent commit that removed
@@ -705,7 +755,20 @@ class TxTable:
 
                 reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
             df = reader.parquet(*abs_paths)
-            if cluster_by:
+            if zorder_by:
+                if cluster_by:
+                    raise ValueError("pass cluster_by OR zorder_by, not both")
+                # Morton key computed once per rewrite group; output
+                # files own disjoint z-ranges, which project to tight
+                # min/max rectangles on every zorder column.
+                zk = self._zorder_key(df, list(zorder_by), zorder_bits)
+                df = (
+                    df.withColumn("__zkey", zk)
+                    .repartitionByRange(int(n_out), *(part_cols + ["__zkey"]))
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            elif cluster_by:
                 # Range-cluster so each output file owns a disjoint
                 # slice of the cluster column: per-file min/max stats
                 # become selective and live_files(ranges=...) pruning

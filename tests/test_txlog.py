@@ -1114,3 +1114,53 @@ def test_merge_materializes_nondeterministic_source(spark, tmp_path):
     n_new = got.where("v = -3").count()
     assert stats["updated"] + stats["inserted"] == n_new
     assert got.count() == 200 + stats["inserted"]
+
+
+def test_optimize_zorder_prunes_on_every_zorder_column(spark, tmp_path):
+    """Multi-column skipping: linear cluster_by=['x','y'] gives
+    disjoint per-file ranges on x only — a y-only query still keeps
+    every file.  zorder_by=['x','y'] interleaves bucket bits, so BOTH
+    single-column range queries prune to strict subsets, and reads
+    stay row-identical."""
+    import pyspark.sql.functions as F
+
+    def mk():
+        # x, y decorrelated uniform over 0..63 (37 coprime with 64)
+        return spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") * 37) % 64).alias("y"),
+            F.lit("a").alias("p"),
+        )
+
+    def striped_table(name):
+        t = TxTable(str(tmp_path / name))
+        for i in range(4):  # every file spans the full x and y domains
+            t.append(mk().where(F.col("id") % 4 == i).coalesce(1), ["p"])
+        return t
+
+    lin, zo = striped_table("lin"), striped_table("zo")
+    for t in (lin, zo):
+        assert len(t.live_files(ranges={"y": (10, 12)})) == len(t.live_files())
+
+    lin.optimize(spark, cluster_by=["x", "y"], target_file_bytes=512)
+    res = zo.optimize(spark, zorder_by=["x", "y"], zorder_bits=4,
+                      target_file_bytes=512)
+    assert res["new_files"] >= 4
+
+    # linear: leading column prunes, trailing column cannot
+    assert len(lin.live_files(ranges={"x": (10, 12)})) < len(lin.live_files())
+    assert len(lin.live_files(ranges={"y": (10, 12)})) == len(lin.live_files())
+    # zorder: BOTH columns prune
+    assert len(zo.live_files(ranges={"x": (10, 12)})) < len(zo.live_files())
+    assert len(zo.live_files(ranges={"y": (10, 12)})) < len(zo.live_files())
+    # correctness: pruned read + predicate == exact answer; full read intact
+    got = zo.read(spark, ranges={"y": (10, 10)}).where("y = 10")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in mk().where("y = 10").collect()
+    )
+    assert _rows(zo.read(spark)) == _rows(mk())
+
+    with pytest.raises(ValueError):
+        zo.optimize(spark, cluster_by=["x"], zorder_by=["y"])
+    with pytest.raises(TypeError):
+        zo.optimize(spark, zorder_by=["p"])  # string column
