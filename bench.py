@@ -335,6 +335,35 @@ def main() -> None:
     lake_demo["merge_sec"] = round(time.perf_counter() - t0, 3)
     lake_demo["merge_files_rewritten"] = mstats["files_rewritten"]
     lake_demo["merge_updated"] = mstats["updated"]
+    # ZORDER demo: residue-striped appends give every file full-domain
+    # (event_id, user_id) ranges, so range pruning on EITHER column
+    # keeps everything.  optimize(zorder_by=both) must make BOTH
+    # single-column range queries selective — measured file counts.
+    zt = TxTable(tempfile.mkdtemp(prefix="bench_zorder_") + "/t")
+    for i in range(n_append_files):
+        zt.append(
+            ev_keyed.where(Fn.pmod("event_id", Fn.lit(n_append_files)) == i).coalesce(1)
+        )
+    n_ev = ev_keyed.count()
+    eid_probe = (int(probe) // 100 * 100, int(probe) // 100 * 100 + 99)
+    uid_probe = (100, 199)
+    lake_demo["zorder_files_before"] = len(zt.live_files())
+    lake_demo["zorder_eid_range_before"] = len(zt.live_files(ranges={"event_id": eid_probe}))
+    lake_demo["zorder_uid_range_before"] = len(zt.live_files(ranges={"user_id": uid_probe}))
+    t0 = time.perf_counter()
+    total_bytes = sum(
+        os.path.getsize(os.path.join(zt.root, f)) for f in zt.live_files()
+    )
+    zt.optimize(
+        spark,
+        zorder_by=["event_id", "user_id"],
+        target_file_bytes=max(1, total_bytes // n_append_files),
+    )
+    lake_demo["zorder_optimize_sec"] = round(time.perf_counter() - t0, 3)
+    lake_demo["zorder_files_after"] = len(zt.live_files())
+    lake_demo["zorder_eid_range_after"] = len(zt.live_files(ranges={"event_id": eid_probe}))
+    lake_demo["zorder_uid_range_after"] = len(zt.live_files(ranges={"user_id": uid_probe}))
+    lake_demo["zorder_rows"] = n_ev
 
     # self-audit vs DuckDB (judge r1 measured this by hand; now the
     # bench emits it): run each timed query's own oracle_sql() in DuckDB
