@@ -773,7 +773,172 @@ def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+# --- product quantization (PQ) --------------------------------------------
+
+PQ_M = 8                     # subquantizers
+PQ_K = 16                    # codes per subquantizer (4-bit codes)
+PQ_SUB = EMB_DIM // PQ_M     # dims per subvector
+
+
+def _pq_unit(emb: DataFrame) -> DataFrame:
+    """(vec_id, v): L2-NORMALIZED vectors.  PQ ranks by squared L2; on
+    unit vectors ||q-x||^2 = 2 - 2*cos, so ADC order is cosine order
+    (how PQ serves cosine retrieval in practice).  Unnormalized
+    encoding measured recall@10 = 0 against the cosine exact top-k on
+    this corpus — normalization is load-bearing, not cosmetic."""
+    v = F.col("embedding").cast("array<double>")
+    d = emb.select("vec_id", v.alias("raw"))
+    nrm = F.sqrt(_dot(F.col("raw"), F.col("raw")))
+    return d.select(
+        "vec_id", F.transform("raw", lambda x: x / nrm).alias("v")
+    )
+
+
+def _pq_subrows(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sv): every normalized vector split into PQ_M contiguous
+    subvectors via one posexplode — map-only, no shuffle."""
+    return _pq_unit(emb).select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_codebook_df(emb: DataFrame, query_mod: int = QUERY_MOD) -> DataFrame:
+    """(m, code, c): the PQ codebook — subvectors of the first PQ_K
+    corpus vectors with vec_id % query_mod == 1 (the seed_centroids
+    family: deterministic, never query vectors).  Production PQ trains
+    these with per-subspace k-means; the seeded variant keeps every
+    downstream stage (encode, LUT, ADC) identical while making the
+    codes integer-exact against the oracle — the same honesty
+    trade-off ivf_topk's seeded cells take, with KMeans named as the
+    production swap-in.  PQ_M x PQ_K rows — broadcast-sized always."""
+    seeds = (
+        _pq_unit(emb)
+        .where(F.col("vec_id") % query_mod == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"), "v"
+        )
+    )
+    return seeds.select(
+        "code",
+        F.posexplode(
+            F.array(*[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+        ).alias("m", "c"),
+    ).select("m", "code", "c")
+
+
+def _sq_l2(a, b):
+    """Sequential-fold squared L2 — same float order as the oracle's
+    list_reduce(list_prepend(0.0, ...))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(emb: DataFrame, query_mod: int = QUERY_MOD) -> DataFrame:
+    """(vec_id, m, code): 4-bit-per-subvector PQ codes — 64 doubles
+    (512 B) compress to 8 codes (4 B at bit-packing, 128x).  Each
+    subvector takes the code of its squared-L2-nearest codebook entry
+    (tie -> lowest code).
+
+    100 TB shape: the codebook broadcasts (PQ_M x PQ_K rows), encode
+    is a map-side fan-out of PQ_K per subrow + a per-(vec_id, m)
+    argmin window — one corpus shuffle keyed on vec_id, nothing
+    quadratic.  Integer output, exact oracle."""
+    sub = _pq_subrows(emb)
+    cb = _pq_codebook_df(emb, query_mod)
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", _sq_l2(F.col("sv"), F.col("c")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.select("vec_id", "m", "code", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("m").cast("long").alias("m"),
+                F.col("code").cast("long").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """PQ retrieval by Asymmetric Distance Computation: queries stay
+    full-precision, the corpus is its 8-code sketch.  Each query
+    precomputes a PQ_M x PQ_K lookup table of subvector->centroid
+    squared distances; a corpus vector's approximate distance is the
+    sum of 8 table hits — the Jegou et al. PQ search everybody ships.
+
+    100 TB shape: the LUT is (n_queries x PQ_M x PQ_K) rows —
+    broadcast; the scan touches CODES only (the 128x-compressed
+    table), fans out once per (m, code) hit, and re-aggregates keyed
+    on (q_id, vec_id).  Exactness: the per-pair sum folds the 8 LUT
+    hits in m-order via sort_array + sequential aggregate (a bare
+    SUM() would re-associate floats nondeterministically across
+    partials); rank ties break on neighbor_id.
+
+    What the sketch can and cannot rank (measured, test-pinned): PQ
+    resolves structure COARSER than its code granularity.  On a
+    clustered fixture it routes 100% of retrievals into the query's
+    cluster (in-cluster precision 1.0; recall@5 0.46 only because
+    within-cluster order collapses to tied codes — inherent to PQ,
+    re-rank survivors with exact distances for order).  On the
+    driver's synthetic embeddings — isotropic noise, max query cosine
+    ~0.37 — recall vs the exact top-k is ~chance for ANY codebook
+    (k-means-refined 64-code A/B included): there is no low-rank
+    structure to compress.  The driver key therefore verifies
+    ENGINE-EXACTNESS of the machinery; retrieval value is pinned on
+    the structured fixture in tests/test_skew_and_ivf.py."""
+    codes = pq_encode(emb, query_mod)
+    qsub = _pq_subrows(
+        emb.where(F.col("vec_id") % query_mod == 0)
+    ).withColumnRenamed("vec_id", "q_id")
+    cb = _pq_codebook_df(emb, query_mod)
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "q_id", "m", "code", _sq_l2(F.col("sv"), F.col("c")).alias("d")
+    )
+    hits = codes.join(F.broadcast(lut), ["m", "code"]).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    per_pair = (
+        hits.groupBy("q_id", "vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "d"))).alias("ds"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                "ds", F.lit(0.0), lambda acc, x: acc + x["d"]
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        per_pair.select(
+            "q_id", "neighbor_id", "adist", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
+    "embedding_pq_encode": _q_pq_encode,
+    "similarity_pq_adc_topk": _q_pq_adc_topk,
     "similarity_mmr_topk": _q_mmr_topk,  # rows-only (iterative argmax)
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
@@ -788,7 +953,75 @@ QUERIES = {
     "embedding_norm_stats": _q_norm_stats,
 }
 
+_PQ_CTES = f"""
+v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM v WHERE vec_id % {QUERY_MOD} = 1 ORDER BY vec_id LIMIT {PQ_K}
+),
+cb AS (
+  SELECT t.m, code,
+         list_transform(generate_series(1, {PQ_SUB}), i -> v[m * {PQ_SUB} + i]) AS c
+  FROM seeds, generate_series(0, {PQ_M} - 1) AS t(m)
+),
+sub AS (
+  SELECT vec_id, t.m,
+         list_transform(generate_series(1, {PQ_SUB}), i -> v[m * {PQ_SUB} + i]) AS sv
+  FROM v, generate_series(0, {PQ_M} - 1) AS t(m)
+),
+dists AS (
+  SELECT vec_id, sub.m, code,
+         list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, {PQ_SUB}),
+                                            i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+           (acc, x) -> acc + x) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+"""
+
 ORACLES = {
+    "embedding_pq_encode": f"""
+WITH {_PQ_CTES}
+SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code FROM enc
+""",
+    "similarity_pq_adc_topk": f"""
+WITH {_PQ_CTES},
+lut AS (
+  SELECT sub.vec_id AS q_id, sub.m, code,
+         list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, {PQ_SUB}),
+                                            i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+           (acc, x) -> acc + x) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+  WHERE sub.vec_id % {QUERY_MOD} = 0
+),
+pair AS (
+  SELECT q_id, enc.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0, list(d ORDER BY enc.m)),
+                     (acc, x) -> acc + x) AS adist
+  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+  WHERE enc.vec_id <> lut.q_id
+  GROUP BY q_id, enc.vec_id
+)
+SELECT q_id, neighbor_id, adist, rank::BIGINT AS rank FROM (
+  SELECT q_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank
+  FROM pair
+) WHERE rank <= {TOP_K}
+""",
     "similarity_knn_join": f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
