@@ -1,6 +1,10 @@
 """Similarity search over the ``embeddings`` table (64-dim float).
 
-Two paths, per the north star:
+The family: exact baselines (brute-force top-k, filtered top-k, range
+search, kNN self-join), approximate scale paths (sign-LSH multi-probe,
+IVF-Flat), compression (SQ8, product quantization + ADC retrieval),
+diversification (MMR), and the self-measuring recall report.  The two
+founding paths, per the north star:
 
 - ``similarity_topk`` — brute-force cosine top-k, the exact baseline.
   The query set is small (vec_id % 100 == 0) and *broadcast*, so the
