@@ -595,13 +595,21 @@ def recall_report(emb: DataFrame) -> DataFrame:
     the recall floors the test suite pins once.  |hits ∩ exact| /
     |exact| per method via a pair join on (q_id, neighbor_id); all
     inputs are top-k-sized (queries x k rows), so the report costs
-    three small retrievals + broadcast joins.  Approximate by
+    four small retrievals + broadcast joins.  Approximate by
     construction -> rows-only driver check; tests/test_skew_and_ivf.py
     pins the floors this report must echo (lsh multi-probe >= 0.4,
-    ivf >= 0.5 on the fixture)."""
+    ivf >= 0.5 on the fixture).  The pq_adc row is the honest outlier:
+    ~chance recall on THIS corpus (isotropic noise — no structure a
+    codebook can compress; see pq_adc_topk), near-perfect cluster
+    routing on structured data — dashboards exist precisely to show
+    which regime your data is in."""
     exact = brute_force_topk(emb).select("q_id", "neighbor_id")
     out = []
-    for method, df in (("lsh", lsh_topk(emb)), ("ivf", ivf_topk(emb))):
+    for method, df in (
+        ("lsh", lsh_topk(emb)),
+        ("ivf", ivf_topk(emb)),
+        ("pq_adc", pq_adc_topk(emb)),
+    ):
         hits = df.select("q_id", "neighbor_id").join(
             exact, ["q_id", "neighbor_id"], "left_semi"
         )
@@ -615,7 +623,10 @@ def recall_report(emb: DataFrame) -> DataFrame:
                 (F.col("n_hit") / F.col("n_exact")).alias("recall_at_k"),
             )
         )
-    return out[0].unionByName(out[1])
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:

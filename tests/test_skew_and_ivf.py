@@ -103,9 +103,13 @@ def test_recall_report_echoes_pinned_floors(spark):
         r.method: r.recall_at_k
         for r in recall_report(load_table(spark, SF_DIR, "embeddings")).collect()
     }
-    assert set(rep) == {"lsh", "ivf"}
+    assert set(rep) == {"lsh", "ivf", "pq_adc"}
     assert rep["ivf"] >= 0.5, rep
     assert rep["lsh"] >= 0.4, rep
+    # pq on isotropic data is ~chance BY DESIGN (see pq_adc_topk) —
+    # the report's job is to expose that, not hide it; the clustered
+    # fixture test above carries pq's quality evidence.
+    assert 0.0 <= rep["pq_adc"] < rep["ivf"], rep
 
 
 def test_centroid_assign_planted_clusters(spark):
