@@ -858,7 +858,24 @@ def _sq_l2(a, b):
     )
 
 
-def pq_encode(emb: DataFrame, query_mod: int = QUERY_MOD) -> DataFrame:
+def pq_seed_codebook(emb: DataFrame, query_mod: int = QUERY_MOD) -> list:
+    """The codebook as plain rows [(m, code, c)] — the FROZEN form the
+    incremental index ships to every epoch (seed_centroids' role for
+    IVF).  PQ_M x PQ_K rows of PQ_SUB doubles; collect round-trips
+    IEEE-exactly."""
+    return [
+        (int(r["m"]), int(r["code"]), list(r["c"]))
+        for r in _pq_codebook_df(emb, query_mod).collect()
+    ]
+
+
+def _cb_df(spark: SparkSession, codebook: list) -> DataFrame:
+    return spark.createDataFrame(codebook, "m int, code int, c array<double>")
+
+
+def pq_encode(
+    emb: DataFrame, query_mod: int = QUERY_MOD, codebook: list | None = None
+) -> DataFrame:
     """(vec_id, m, code): 4-bit-per-subvector PQ codes — 64 doubles
     (512 B) compress to 8 codes (4 B at bit-packing, 128x).  Each
     subvector takes the code of its squared-L2-nearest codebook entry
@@ -867,9 +884,15 @@ def pq_encode(emb: DataFrame, query_mod: int = QUERY_MOD) -> DataFrame:
     100 TB shape: the codebook broadcasts (PQ_M x PQ_K rows), encode
     is a map-side fan-out of PQ_K per subrow + a per-(vec_id, m)
     argmin window — one corpus shuffle keyed on vec_id, nothing
-    quadratic.  Integer output, exact oracle."""
+    quadratic.  Integer output, exact oracle.  Pass ``codebook``
+    (pq_seed_codebook rows) to encode under a FROZEN external codebook
+    — the incremental-index contract."""
     sub = _pq_subrows(emb)
-    cb = _pq_codebook_df(emb, query_mod)
+    cb = (
+        _cb_df(emb.sparkSession, codebook)
+        if codebook is not None
+        else _pq_codebook_df(emb, query_mod)
+    )
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "code", _sq_l2(F.col("sv"), F.col("c")).alias("d")
     )
@@ -882,8 +905,43 @@ def pq_encode(emb: DataFrame, query_mod: int = QUERY_MOD) -> DataFrame:
     )
 
 
+def _adc_tail(codes: DataFrame, qsub: DataFrame, cb: DataFrame, k: int) -> DataFrame:
+    """Shared ADC plan tail: ``codes`` (vec_id, m, code), ``qsub``
+    (q_id, m, sv), ``cb`` (m, code, c).  Used identically by batch
+    ``pq_adc_topk`` and the incremental index so the two provably run
+    the same plan over the same inputs."""
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "q_id", "m", "code", _sq_l2(F.col("sv"), F.col("c")).alias("d")
+    )
+    hits = codes.join(F.broadcast(lut), ["m", "code"]).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    per_pair = (
+        hits.groupBy("q_id", "vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "d"))).alias("ds"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                "ds", F.lit(0.0), lambda acc, x: acc + x["d"]
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        per_pair.select(
+            "q_id", "neighbor_id", "adist", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def pq_adc_topk(
-    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+    emb: DataFrame,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    codebook: list | None = None,
 ) -> DataFrame:
     """PQ retrieval by Asymmetric Distance Computation: queries stay
     full-precision, the corpus is its 8-code sketch.  Each query
@@ -911,36 +969,16 @@ def pq_adc_topk(
     structure to compress.  The driver key therefore verifies
     ENGINE-EXACTNESS of the machinery; retrieval value is pinned on
     the structured fixture in tests/test_skew_and_ivf.py."""
-    codes = pq_encode(emb, query_mod)
+    codes = pq_encode(emb, query_mod, codebook)
     qsub = _pq_subrows(
         emb.where(F.col("vec_id") % query_mod == 0)
     ).withColumnRenamed("vec_id", "q_id")
-    cb = _pq_codebook_df(emb, query_mod)
-    lut = qsub.join(F.broadcast(cb), "m").select(
-        "q_id", "m", "code", _sq_l2(F.col("sv"), F.col("c")).alias("d")
+    cb = (
+        _cb_df(emb.sparkSession, codebook)
+        if codebook is not None
+        else _pq_codebook_df(emb, query_mod)
     )
-    hits = codes.join(F.broadcast(lut), ["m", "code"]).where(
-        F.col("vec_id") != F.col("q_id")
-    )
-    per_pair = (
-        hits.groupBy("q_id", "vec_id")
-        .agg(F.sort_array(F.collect_list(F.struct("m", "d"))).alias("ds"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                "ds", F.lit(0.0), lambda acc, x: acc + x["d"]
-            ).alias("adist"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return (
-        per_pair.select(
-            "q_id", "neighbor_id", "adist", F.row_number().over(w).alias("rank")
-        )
-        .where(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank"))
-    )
+    return _adc_tail(codes, qsub, cb, k)
 
 
 def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
