@@ -140,3 +140,16 @@ def test_multimodal_dedup_digest_shuffle_only(spark):
     plan = formatted_plan(df)
     assert has_partial_aggregation(df)
     assert "payload" not in plan.split("Exchange", 1)[1].split("\n")[0]
+
+
+def test_pq_adc_broadcasts_lut_no_cartesian(spark):
+    """ADC must scan the code table once with the LUT broadcast onto it
+    — no cartesian anything, no shuffle of full-precision vectors (the
+    only exchanges carry codes / (q_id, vec_id) partials), and the
+    per-pair distance aggregate keeps map-side partials."""
+    df = _q(spark, "similarity_pq_adc_topk")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(df)
