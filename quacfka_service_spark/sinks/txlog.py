@@ -658,33 +658,39 @@ class TxTable:
         return self._commit_loop(adds, "replace_partitions", df.schema.json(), txn=txn)
 
     @staticmethod
-    def _zorder_key(df: DataFrame, cols: list[str], bits: int):
-        """Morton (Z-order) key column over ``cols``: each column maps
-        to a ``2^bits``-bucket RANK (approxQuantile cut points, so
-        buckets are equi-populated regardless of value skew), and the
-        bucket bits interleave column-alternating from the top —
-        locality on EVERY zorder column, not just the leading one.
-
-        Scale shape: the cut points are one approxQuantile pass
-        (driver holds 2^bits floats per column); the key itself is
-        pure codegen arithmetic (array-rank + shift/and/or), map-only.
-        Numeric columns only — string zorder needs a rank join, and
-        linear cluster_by already covers the common
-        string-prefix-locality case."""
-        from pyspark.sql import functions as F
-
-        n = len(cols)
+    def _zorder_cuts(df: DataFrame, cols: list[str], bits: int) -> dict[str, list]:
+        """2^bits - 1 approxQuantile cut points per zorder column —
+        computed ONCE over the whole candidate set (one driver pass per
+        column), never per rewrite group: a table with thousands of
+        hive partitions would otherwise serialize thousands of quantile
+        jobs.  Global cuts give global bucket ranks, which is what
+        multi-partition skipping wants anyway."""
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        buckets = []
+        out = {}
         for c in cols:
             try:
-                cuts = df.approxQuantile(c, probs, 0.01)
+                out[c] = df.approxQuantile(c, probs, 0.01)
             except Exception as exc:  # non-numeric column
                 raise TypeError(
                     f"zorder_by column {c!r} must be numeric "
                     f"(use cluster_by for strings): {exc}"
                 ) from exc
-            arr = F.array(*[F.lit(float(v)) for v in cuts])
+        return out
+
+    @staticmethod
+    def _zorder_key(cuts: dict[str, list], cols: list[str], bits: int):
+        """Morton (Z-order) key column over ``cols``: each column maps
+        to a ``2^bits``-bucket RANK (equi-populated under the cut
+        points, regardless of value skew), and the bucket bits
+        interleave column-alternating from the top — locality on EVERY
+        zorder column, not just the leading one.  Pure codegen
+        arithmetic (array-rank + shift/and/or), map-only."""
+        from pyspark.sql import functions as F
+
+        n = len(cols)
+        buckets = []
+        for c in cols:
+            arr = F.array(*[F.lit(float(v)) for v in cuts[c]])
             buckets.append(
                 F.size(F.filter(arr, lambda t: t < F.col(c).cast("double")))
             )
@@ -739,29 +745,43 @@ class TxTable:
             if where and not all(meta["partition"].get(k) == v for k, v in where.items()):
                 continue
             groups.setdefault(key, []).append(p)
+        if zorder_by and cluster_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
+
+        def _reader():
+            r = spark.read.option("basePath", self._data_dir)
+            if snap.schema_json:
+                from pyspark.sql.types import StructType
+
+                r = r.schema(StructType.fromJson(json.loads(snap.schema_json)))
+            return r
+
+        eligible = {k: fs for k, fs in groups.items() if len(fs) >= min_files}
+        cuts = None
+        if zorder_by and eligible:
+            # Cut points ONCE over all candidate files (one quantile
+            # pass per column) — per-group quantiles would serialize
+            # one driver job per hive partition at scale.
+            all_paths = [
+                os.path.join(self.root, f) for fs in eligible.values() for f in fs
+            ]
+            cuts = self._zorder_cuts(
+                _reader().parquet(*all_paths), list(zorder_by), zorder_bits
+            )
         rewritten: list[str] = []
         adds: list[dict[str, Any]] = []
         part_cols: list[str] = []
-        for key, files in sorted(groups.items()):
-            if len(files) < min_files:
-                continue
+        for key, files in sorted(eligible.items()):
             part_cols = [k for k, _ in key]
             abs_paths = [os.path.join(self.root, f) for f in files]
             total = sum(os.path.getsize(a) for a in abs_paths)
             n_out = max(1, -(-total // target_file_bytes))
-            reader = spark.read.option("basePath", self._data_dir)
-            if snap.schema_json:
-                from pyspark.sql.types import StructType
-
-                reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
-            df = reader.parquet(*abs_paths)
+            df = _reader().parquet(*abs_paths)
             if zorder_by:
-                if cluster_by:
-                    raise ValueError("pass cluster_by OR zorder_by, not both")
-                # Morton key computed once per rewrite group; output
-                # files own disjoint z-ranges, which project to tight
+                # Morton key from the GLOBAL cut points; output files
+                # own disjoint z-ranges, which project to tight
                 # min/max rectangles on every zorder column.
-                zk = self._zorder_key(df, list(zorder_by), zorder_bits)
+                zk = self._zorder_key(cuts, list(zorder_by), zorder_bits)
                 df = (
                     df.withColumn("__zkey", zk)
                     .repartitionByRange(int(n_out), *(part_cols + ["__zkey"]))
