@@ -48,13 +48,21 @@ else:
         if shift >= 70:
             raise ValueError("varint too long")"""
 
-# sign reinterpretation, mirroring wire.decode_message exactly:
-# int32: _zig(v & 0xFFFFFFFF, 32) if v < 1<<32 else _zig(v, 64)
+# sign reinterpretation, mirroring wire.decode_message exactly: the
+# varint is ALWAYS truncated to the declared field width before the
+# sign fix (wire-standard: C++ protobuf reads int32 as the low 32 bits
+# of the varint).  Every wire-legal encoding is unaffected — a proto3
+# writer sign-extends negative int32 to 64 bits, so legal values live
+# in [0, 2^31) ∪ [2^64-2^31, 2^64) and truncation is the identity on
+# the decoded result.  The mask matters for MALFORMED frames: junk
+# bytes that parse as a mid-range varint (e.g. 562949953421311) must
+# decode to a width-legal value instead of poisoning a downstream
+# int32 Arrow column (round-4 verdict item #1).
 _SIGN32 = """\
-if v < 4294967296:
-    if v >= 2147483648: v -= 4294967296
-elif v >= 9223372036854775808: v -= 18446744073709551616"""
+v &= 4294967295
+if v >= 2147483648: v -= 4294967296"""
 _SIGN64 = """\
+v &= 18446744073709551615
 if v >= 9223372036854775808: v -= 18446744073709551616"""
 
 

@@ -501,10 +501,13 @@ def decode_message(buf: bytes, spec: dict) -> dict[str, Any]:
             pos += ln
         elif kind == "int32":
             v, pos = decode_varint(buf, pos)
-            msg[name] = _zig(v & 0xFFFFFFFF, 32) if v < 1 << 32 else _zig(v, 64)
+            # wire-standard truncation: int32 takes the low 32 bits of
+            # the varint (identity on every wire-legal encoding; caps
+            # malformed mid-range values to the declared width)
+            msg[name] = _zig(v & 0xFFFFFFFF, 32)
         elif kind == "int64":
             v, pos = decode_varint(buf, pos)
-            msg[name] = _zig(v, 64)
+            msg[name] = _zig(v & 0xFFFFFFFFFFFFFFFF, 64)
         elif kind == "float":
             msg[name] = struct.unpack("<f", buf[pos:pos + 4])[0]
             pos += 4
@@ -527,10 +530,10 @@ def decode_message(buf: bytes, spec: dict) -> dict[str, Any]:
                 vals = msg[name]
                 while pos < end:
                     v, pos = decode_varint(buf, pos)
-                    vals.append(_zig(v & 0xFFFFFFFF, 32) if v < 1 << 32 else _zig(v, 64))
+                    vals.append(_zig(v & 0xFFFFFFFF, 32))
             else:  # unpacked writer
                 v, pos = decode_varint(buf, pos)
-                msg[name].append(_zig(v & 0xFFFFFFFF, 32) if v < 1 << 32 else _zig(v, 64))
+                msg[name].append(_zig(v & 0xFFFFFFFF, 32))
     return msg
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import struct
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from quacfka_service_spark.proto.wire import (
@@ -162,8 +162,18 @@ def test_columnar_decoder_equals_from_pylist(msgs):
         assert got.equals(ref), f"eager_strings={eager}"
 
 
+# round-4 falsifying examples (Hypothesis-found, now pinned forever):
+# junk whose bytes parse as an OVERSIZED varint for an int32 field —
+# before the width-mask fix the value (e.g. 562949953421311) was
+# accepted into the int32 accumulator and the whole batch died later in
+# finish() with OverflowError/ArrowInvalid instead of rolling back.
+_R4_MSG = {"id": "x", "at": 1}
+
+
 @settings(max_examples=100, deadline=None)
 @given(bidrequest, st.binary(min_size=1, max_size=32))
+@example(msg=_R4_MSG, junk=b"\x80\x80\x00\x00")
+@example(msg=_R4_MSG, junk=b"\x80\x80\x03\x00")
 def test_columnar_rollback_on_malformed_record(msg, junk):
     """Permissive contract: a malformed record must leave the
     accumulators EXACTLY as before it — decoding good, bad, good yields
