@@ -211,22 +211,28 @@ QUERIES = {
 }
 
 # The decode is a stub, but a DETERMINISTIC one over the utf-8 payload
-# — so on the (pure-ASCII) fixture every stub output is reproducible
-# in SQL: sha256 is sha256 in both engines, the byte mean is an ascii
-# sum over characters, and the resize/frame-window arithmetic is
-# integer.  Upgraded from rows-only in r3: the driver now VALUE-checks
-# the whole mapInPandas plumbing (batch iteration, schema contract,
-# 1->N frame explosion), not just row counts.  A real codec plugged
-# into _decode_stub would return these keys to rows-only, by design.
+# — so every stub output is reproducible in SQL for ANY text, not just
+# ASCII: sha256/md5 hash the same utf-8 bytes in both engines, byte
+# lengths use DuckDB strlen (BYTES; len() counts CHARS and silently
+# diverges on non-ASCII — the round-5 verdict's latent-parity-flip
+# finding), and per-byte values come from hex(encode(text)) pairs so
+# feat_mean is a true utf-8 byte mean.  tests/test_multimodal_unicode.py
+# pins parity on a non-ASCII fixture.  Upgraded from rows-only in r3:
+# the driver VALUE-checks the whole mapInPandas plumbing (batch
+# iteration, schema contract, 1->N frame explosion), not just row
+# counts.  A real codec plugged into _decode_stub would return these
+# keys to rows-only, by design.
 ORACLES: dict[str, str] = {
     "multimodal_features": """
 SELECT doc_id AS media_id,
-       len(text)::BIGINT AS n_bytes,
-       (CASE WHEN len(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END)::INTEGER AS first_byte,
+       strlen(text)::BIGINT AS n_bytes,
+       (CASE WHEN strlen(text) > 0
+             THEN ('0x' || substr(hex(encode(text)), 1, 2))::INTEGER
+             ELSE -1 END)::INTEGER AS first_byte,
        substr(sha256(text), 1, 16) AS sha16,
-       CASE WHEN len(text) > 0
-            THEN list_sum(list_transform(generate_series(1, len(text)),
-                                         i -> ascii(substr(text, i, 1)))) * 1.0 / len(text)
+       CASE WHEN strlen(text) > 0
+            THEN list_sum(list_transform(generate_series(1, strlen(text)),
+                                         i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::INTEGER)) * 1.0 / strlen(text)
             ELSE 0.0 END AS feat_mean
 FROM documents
 """,
@@ -234,7 +240,7 @@ FROM documents
 WITH m AS (
   SELECT doc_id AS media_id,
          ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INTEGER + 1] AS media_type,
-         len(text)::BIGINT AS n
+         strlen(text)::BIGINT AS n
   FROM documents
 )
 SELECT media_id, media_type, 64::INTEGER AS out_w, 64::INTEGER AS out_h,
@@ -247,13 +253,13 @@ SELECT ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INTEGER + 1] AS med
        md5(text) AS payload_md5,
        min(doc_id)::BIGINT AS canonical_media_id,
        count(*)::BIGINT AS dup_count,
-       sum(len(text))::BIGINT AS dup_bytes
+       sum(strlen(text))::BIGINT AS dup_bytes
 FROM documents
 GROUP BY 1, 2
 """,
     "multimodal_frames": """
 WITH v AS (
-  SELECT doc_id AS media_id, len(text)::BIGINT AS n
+  SELECT doc_id AS media_id, strlen(text)::BIGINT AS n
   FROM documents WHERE doc_id % 3 = 2
 )
 SELECT media_id, i::INTEGER AS frame_idx,
