@@ -14,8 +14,11 @@ founding paths, per the north star:
 - ``similarity_lsh_topk`` — the scale path: random-hyperplane (sign)
   LSH buckets both sides; each query probes only its bucket, cutting
   the scan by ~2^n_planes.  Hyperplanes are a fixed deterministic
-  integer lattice (no RNG), so results are reproducible run-to-run.
-  Approximate by construction -> rows-only check.
+  integer lattice (no RNG), so results are reproducible run-to-run —
+  and (round 6) fully value-checkable: the oracle rebuilds the same
+  lattice, buckets, and multi-probe masks in SQL, so "approximate"
+  retrieval still hash-matches exactly (what it finds is approximate;
+  how it finds it is deterministic).
 
 All vector math is sequential-order F.aggregate/F.zip_with over
 array<double>: IEEE-deterministic and bit-identical to the DuckDB
@@ -1001,8 +1004,8 @@ QUERIES = {
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_range_search": _q_range_search,
-    "similarity_lsh_topk": _q_lsh_topk,  # rows-only (approximate path)
-    "similarity_ivf_topk": _q_ivf_topk,  # rows-only (approximate path)
+    "similarity_lsh_topk": _q_lsh_topk,  # oracled r6 (deterministic lattice)
+    "similarity_ivf_topk": _q_ivf_topk,  # oracled r6 (seeded centroids)
     "embedding_norm_stats": _q_norm_stats,
 }
 
@@ -1213,5 +1216,97 @@ SELECT label,
        max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS max_norm,
        count(*) AS n
 FROM embeddings GROUP BY label
+""",
+    # ivf/lsh oracles (round 6): both ANN paths are APPROXIMATE in what
+    # they retrieve but fully DETERMINISTIC in how — seeded centroids /
+    # a fixed integer-lattice hyperplane bank, with every float going
+    # through the sequential-fold dot both engines share — so the whole
+    # index->probe->rank pipeline is value-checkable, not just
+    # rows-countable.  Tie-breaks mirror the Spark plans exactly:
+    # cell assignment = reverse(array_sort(struct(s, c))) = (s DESC,
+    # c DESC); final rank = (cos DESC, neighbor_id ASC).
+    "similarity_ivf_topk": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM d WHERE vec_id % {QUERY_MOD} = 1 ORDER BY vec_id LIMIT {N_CELLS}
+),
+cs AS (
+  SELECT d.vec_id, cents.c, list_dot_product(d.v, cents.cv) AS s
+  FROM d CROSS JOIN cents
+),
+corpus_cell AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM cs
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM d WHERE vec_id % {QUERY_MOD} = 0),
+qc AS (
+  SELECT q_id, cell FROM (
+    SELECT vec_id AS q_id, c AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM cs WHERE vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT q.q_id, d.vec_id AS neighbor_id,
+         list_dot_product(d.v, q.qv) / (d.nrm * q.qn) AS cos
+  FROM d
+  JOIN corpus_cell ON d.vec_id = corpus_cell.vec_id
+  JOIN qc ON corpus_cell.cell = qc.cell
+  JOIN q ON q.q_id = qc.q_id
+  WHERE d.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+    "similarity_lsh_topk": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+db AS (
+  SELECT vec_id, v, nrm,
+         list_sum(list_transform(generate_series(0, {N_PLANES} - 1), p ->
+           CASE WHEN list_dot_product(v,
+                  list_transform(generate_series(0, {EMB_DIM} - 1),
+                                 dd -> (((p * 131 + dd * 31 + 7) % 97) - 48) / 48.0)) > 0
+                THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+  FROM d
+),
+masks AS (
+  SELECT 0::BIGINT AS mask
+  UNION ALL
+  SELECT (1::BIGINT << p) FROM generate_series(0, {N_PLANES} - 1) t(p)
+  UNION ALL
+  SELECT (1::BIGINT << p) | (1::BIGINT << r)
+  FROM generate_series(0, {N_PLANES} - 1) t(p), generate_series(0, {N_PLANES} - 1) u(r)
+  WHERE r > p
+),
+qp AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, xor(bucket, mask) AS qb
+  FROM db CROSS JOIN masks WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT qp.q_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, qp.qv) / (c.nrm * qp.qn) AS cos
+  FROM db c JOIN qp ON c.bucket = qp.qb
+  WHERE c.vec_id <> qp.q_id
+)
+SELECT q_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
+  SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
 """,
 }
