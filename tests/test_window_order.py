@@ -1,12 +1,14 @@
 """Pin the driver-verification window ordering.
 
 The driver's CORRECTNESS gate records only the FIRST 50 ``queries()``
-keys (observed in r01 and r02: exactly 50 entries each).  Round 2 lost
-driver verification for 33 keys because new keys were inserted ahead of
-them (VERDICT r2, "What's missing" #1).  This test asserts every key
-that was absent from CORRECTNESS_r02.json — plus every brand-new
-round-3 key — sits inside the first 50 slots, so the regression can't
-recur silently.
+keys (observed in r01-r05: exactly 50 entries each).  Round 2 lost
+driver verification for 33 keys because new keys were inserted ahead
+of them (VERDICT r2, "What's missing" #1); rounds 4-5 parked 11
+rows-only keys in window slots where they could only ever record
+``err: no_oracle`` (VERDICT r5, "What's missing" #4).  Round-6 policy,
+pinned here: the priority list fills the window exactly, and every
+windowed key carries an oracle — so a fully green 50/50 CORRECTNESS
+round is *possible by construction*.
 """
 
 from __future__ import annotations
@@ -15,9 +17,22 @@ import __spark_entry__ as entry
 
 DRIVER_WINDOW = 50
 
-# Keys with no entry in CORRECTNESS_r02.json (enumerated from the
-# artifact at round-3 start) plus round-3 additions.
 MUST_BE_IN_WINDOW = set(entry._WINDOW_PRIORITY)
+
+
+def test_window_is_exactly_the_priority_list():
+    assert len(entry._WINDOW_PRIORITY) == DRIVER_WINDOW
+    assert len(MUST_BE_IN_WINDOW) == DRIVER_WINDOW  # no duplicates
+
+
+def test_every_windowed_key_is_oracled():
+    """A rows-only key in the window burns a slot on a guaranteed
+    `err: no_oracle` row — keep those on the tail (pytest pins their
+    determinism; the driver's weaker rows-check still runs there)."""
+    oracles = entry.oracle_sql()
+    keys = list(entry.queries().keys())
+    unoracled = [k for k in keys[:DRIVER_WINDOW] if k not in oracles]
+    assert not unoracled, f"rows-only keys occupy driver window slots: {unoracled}"
 
 
 def test_unverified_keys_lead_the_window():
