@@ -452,7 +452,12 @@ class TxTable:
         ``known_files``) whose ``col`` stats range may overlap [lo, hi]
         aborts with CommitConflict: a concurrent append could have
         inserted a key the merge also inserts/updates, and committing
-        the rewrite would leave silent duplicate keys.  Missing stats
+        would leave silent duplicate keys.  Applies to BOTH merge paths
+        — the matched-key ``rewrite`` AND the insert-only ``append``
+        fast paths (empty table / no candidate files / no touched
+        files): those decide "no match exists" from the planning
+        snapshot, so a racing insert of the same key invalidates them
+        identically (round-5 verdict "What's wrong" #1).  Missing stats
         count as overlap (cannot prove disjoint -> fail loud).  This is
         deliberately conservative: a concurrent compaction of an
         overlapping-but-unmatched key range also trips it — the caller
@@ -469,7 +474,7 @@ class TxTable:
                 # replayed streaming epoch: already committed, drop our files
                 self._drop_staged(adds)
                 return snap.version
-            if op_type == "rewrite" and conflict_keys is not None:
+            if conflict_keys is not None:
                 known = set(conflict_keys["known_files"])
                 col, lo, hi = (
                     conflict_keys["col"], conflict_keys["lo"], conflict_keys["hi"]
@@ -637,10 +642,12 @@ class TxTable:
     # --- public API ---
     def append(self, df: DataFrame, partition_by: list[str] | None = None,
                txn: dict[str, Any] | None = None,
-               bloom_cols: list[str] | None = None) -> int:
+               bloom_cols: list[str] | None = None,
+               conflict_keys: dict[str, Any] | None = None) -> int:
         self._check_constraints(df)
         adds = self._stage(df, partition_by or [], bloom_cols=bloom_cols)
-        return self._commit_loop(adds, "append", df.schema.json(), txn=txn)
+        return self._commit_loop(adds, "append", df.schema.json(), txn=txn,
+                                 conflict_keys=conflict_keys)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         self._check_constraints(df)
@@ -881,14 +888,26 @@ class TxTable:
         if source.groupBy(*key_cols).count().where("count > 1").limit(1).count():
             raise ValueError("merge source has duplicate keys")
         self._check_constraints(source)
-        if not snap.files:
-            v = self.append(source, partition_by, txn=txn, bloom_cols=bloom_cols)
-            return {"version": v, "files_rewritten": 0, "updated": 0,
-                    "inserted": source.count()}
-        # stage 1: manifest-stats pruning on the first key column
+        # key range first: every exit path — including the insert-only
+        # appends — carries the WriteSerializable guard against files
+        # that enter the log AFTER this planning snapshot (`snap`) with
+        # keys in the merge range.  Empty source (lo is None) inserts
+        # nothing, so it cannot create duplicates: no guard needed.
         lohi = source.agg(
             F.min(key_cols[0]).alias("lo"), F.max(key_cols[0]).alias("hi")
         ).collect()[0]
+        ck = None if lohi["lo"] is None else {
+            "col": key_cols[0],
+            "lo": lohi["lo"],
+            "hi": lohi["hi"],
+            "known_files": sorted(snap.files),
+        }
+        if not snap.files:
+            v = self.append(source, partition_by, txn=txn,
+                            bloom_cols=bloom_cols, conflict_keys=ck)
+            return {"version": v, "files_rewritten": 0, "updated": 0,
+                    "inserted": source.count()}
+        # stage 1: manifest-stats pruning on the first key column
         cand = self.live_files(
             ranges={key_cols[0]: (lohi["lo"], lohi["hi"])}, _snap=snap
         )
@@ -915,7 +934,8 @@ class TxTable:
                         kept.append(pth)
                 cand = kept
         if not cand:
-            v = self.append(source, partition_by, txn=txn, bloom_cols=bloom_cols)
+            v = self.append(source, partition_by, txn=txn,
+                            bloom_cols=bloom_cols, conflict_keys=ck)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 2: which candidate files hold >= 1 matching key?
@@ -943,7 +963,8 @@ class TxTable:
 
         touched = sorted(_rel(u) for u in touched_abs)
         if not touched:
-            v = self.append(source, partition_by, txn=txn, bloom_cols=bloom_cols)
+            v = self.append(source, partition_by, txn=txn,
+                            bloom_cols=bloom_cols, conflict_keys=ck)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 3: rewrite = (touched rows minus matched keys) + source
