@@ -152,6 +152,42 @@ def test_knn_join_tiling_invariant(spark):
         assert a == b  # includes exact float equality on cos
 
 
+def test_knn_join_at_most_one_live_tile_broadcast(spark, monkeypatch):
+    """Broadcast hygiene (VERDICT r5 #4): the tiled kNN self-join must
+    hold at most ONE tile broadcast at a time — each tile's candidates
+    are eagerly materialized and its broadcast destroyed before the
+    next tile is collected.  Without the destroy, the unioned lazy plan
+    pins every tile's broadcast and aggregate footprint is O(corpus)."""
+    from pyspark import SparkContext
+
+    from quacfka_service_spark.operators.similarity import knn_join
+
+    live = {"now": 0, "max": 0, "created": 0}
+    orig_broadcast = SparkContext.broadcast
+
+    def counting_broadcast(self, value):
+        b = orig_broadcast(self, value)
+        live["now"] += 1
+        live["created"] += 1
+        live["max"] = max(live["max"], live["now"])
+        orig_destroy = b.destroy
+
+        def counted_destroy(*a, **kw):
+            live["now"] -= 1
+            return orig_destroy(*a, **kw)
+
+        b.destroy = counted_destroy
+        return b
+
+    monkeypatch.setattr(SparkContext, "broadcast", counting_broadcast)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = knn_join(emb, tile_rows=37).count()
+    assert n > 0
+    assert live["created"] >= 2, "tile size did not force multiple tiles"
+    assert live["max"] == 1, f"{live['max']} tile broadcasts live at once"
+    assert live["now"] == 0, "broadcasts left alive after the join"
+
+
 def test_mmr_topk_matches_pure_python_reference(spark):
     """MMR greedy selection pinned against an independent pure-Python
     implementation over the same exact candidate sets: same picks, same
