@@ -692,17 +692,32 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # LEFT joins, not inner: banded candidates DO share >= 1 common
+    # shingle, but that shingle may be HOT (df > NGRAM_MAX_DF) and thus
+    # absent from the capped universe the true jaccard is computed
+    # over — an inner join silently dropped exactly those pairs from
+    # the report (round-5 verdict "What's wrong" #4, the boilerplate-
+    # header case).  Semantics over the capped universe: no surviving
+    # shared shingle -> true_jaccard 0.0; no surviving shingles AT ALL
+    # on either side (denominator 0) -> NULL ("unknown: all evidence
+    # was capped"), never a fabricated number.  The oracle mirrors the
+    # same COALESCE + guarded division.
+    inter_f = F.coalesce(F.col("inter"), F.lit(0).cast("long"))
+    sz_af = F.coalesce(F.col("sz_a"), F.lit(0).cast("long"))
+    sz_bf = F.coalesce(F.col("sz_b"), F.lit(0).cast("long"))
+    denom = sz_af + sz_bf - inter_f
     true_j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a", "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("true_jaccard"),
+            F.when(denom > 0, inter_f / denom)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("true_jaccard"),
         )
     )
-    # banded candidates share >= 1 full band => >= 1 common shingle =>
-    # the true-jaccard pair exists: inner join is lossless
     return est.join(true_j, ["doc_a", "doc_b"])
 
 
@@ -1345,13 +1360,16 @@ cand AS (
 SELECT c.doc_a, c.doc_b,
        ({" + ".join(f"(CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END)" for p in range(MD5_N_PERM))})::DOUBLE
          / {MD5_N_PERM}.0 AS est_jaccard,
-       CAST(i.inter AS BIGINT) / CAST(za.sz + zb.sz - i.inter AS BIGINT) AS true_jaccard
+       CASE WHEN COALESCE(za.sz, 0) + COALESCE(zb.sz, 0) - COALESCE(i.inter, 0) > 0
+            THEN CAST(COALESCE(i.inter, 0) AS BIGINT)
+                 / CAST(COALESCE(za.sz, 0) + COALESCE(zb.sz, 0) - COALESCE(i.inter, 0) AS BIGINT)
+            ELSE NULL END AS true_jaccard
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
-JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes za ON za.doc_id = c.doc_a
-JOIN sizes zb ON zb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+LEFT JOIN sizes za ON za.doc_id = c.doc_a
+LEFT JOIN sizes zb ON zb.doc_id = c.doc_b
 """,
     "dedup_containment": f"""
 WITH {_SHINGLE_CTE},
