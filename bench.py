@@ -467,6 +467,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+    # The driver's per-round BENCH capture tails stdout and has
+    # truncated the JSON mid-line every round ("parsed": null in
+    # BENCH_r01-r05) — persist the full result beside stdout so
+    # per-query Spark timings survive in a committed artifact.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as ex:  # never fail the bench over the artifact
+        print(f"bench: could not write {out_path}: {ex}", file=sys.stderr)
     spark.stop()
 
 

@@ -202,3 +202,11 @@ def test_columnar_rollback_on_malformed_record(msg, junk):
     assert got.num_rows in (2, 3)  # the bad frame may happen to parse
     if got.num_rows == 2:
         assert got.equals(want)
+    else:
+        # The malformed frame parsed into row 1 — finish() already
+        # proved every accumulated value materializes width-legal
+        # (the round-4 bug died HERE with OverflowError).  The good
+        # rows around it must still be byte-identical to the
+        # good-good reference batch: rows 0 and 2 vs want's 0 and 1.
+        assert got.slice(0, 1).to_pylist() == want.slice(0, 1).to_pylist()
+        assert got.slice(2, 1).to_pylist() == want.slice(1, 1).to_pylist()
