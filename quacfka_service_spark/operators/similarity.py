@@ -743,10 +743,13 @@ def mmr_topk(
     candidate pass, the greedy stage is identical), then (2) the greedy
     selection per query over its own candidate set in applyInPandas —
     per-group work is an n_candidates² numpy kernel (bounded, tiny),
-    never corpus-sized.  Deterministic: ties break on neighbor_id; the
-    iterative argmax makes it non-SQL-expressible (rows-only driver
-    check; tests/test_skew_and_ivf.py pins equality with an independent
-    pure-Python MMR on the fixture)."""
+    never corpus-sized.  Deterministic: ties break on neighbor_id.
+    Oracled since round 6: the greedy argmax is a bounded-k recursive
+    CTE in DuckDB, and the kernel's candidate-candidate sims use the
+    sequential dim fold (not BLAS gemm) so every mmr_score is
+    bit-identical to the oracle's list_dot_product arithmetic;
+    tests/test_skew_and_ivf.py additionally pins equality with an
+    independent pure-Python MMR on the fixture."""
     import numpy as np
     import pandas as pd
 
@@ -765,8 +768,16 @@ def mmr_topk(
         rel = pdf["cos"].to_numpy(dtype=np.float64)
         V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
         nr = pdf["nrm"].to_numpy(dtype=np.float64)
-        # candidate-candidate cosine matrix (n_candidates², bounded)
-        sim = (V @ V.T) / np.outer(nr, nr)
+        # candidate-candidate cosine matrix (n_candidates², bounded).
+        # Sequential-fold accumulation across dims — NOT V @ V.T: BLAS
+        # gemm uses blocked/pairwise summation, whose last-ulp drift
+        # from the ((0+x0)+x1)+... fold would break bit-parity with the
+        # DuckDB oracle's list_dot_product (same trick, same reason, as
+        # _knn_partition_topk).  The grid is 20x20 — cost is nil.
+        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        for i in range(V.shape[1]):
+            acc += V[:, i : i + 1] * V[:, i][None, :]
+        sim = acc / np.outer(nr, nr)
         n = len(ids)
         selected: list[int] = []
         out_rows = []
@@ -1008,7 +1019,7 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_pq_encode": _q_pq_encode,
     "similarity_pq_adc_topk": _q_pq_adc_topk,
-    "similarity_mmr_topk": _q_mmr_topk,  # rows-only (iterative argmax)
+    "similarity_mmr_topk": _q_mmr_topk,  # oracled r6 (recursive-CTE greedy)
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
     "embedding_centroid_assign": _q_centroid_assign,
@@ -1281,6 +1292,72 @@ SELECT q_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}
+""",
+    # MMR oracle (round 6): the greedy per-query argmax as a bounded-k
+    # recursive CTE.  Each recursion level holds exactly one row per
+    # q_id carrying the `chosen` list; level t picks rank t+1 via a
+    # (score DESC, neighbor_id ASC) row_number — the kernel's lexsort.
+    # Float exactness: rel is the shared sequential-fold cosine, the
+    # diversity term is max() over list_dot_product sims (the kernel
+    # folds dims sequentially, see mmr_topk), and the lambda weights
+    # are interpolated via repr() so 1-0.7 is the same
+    # 0.30000000000000004 double in both engines.
+    "similarity_mmr_topk": f"""
+WITH RECURSIVE d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM d WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT q_id, neighbor_id, cos AS rel FROM (
+    SELECT q.q_id, d.vec_id AS neighbor_id,
+           list_dot_product(d.v, q.qv) / (d.nrm * q.qn) AS cos,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY cos DESC, d.vec_id ASC) AS rn
+    FROM d CROSS JOIN q
+    WHERE d.vec_id <> q.q_id
+  ) WHERE rn <= {MMR_CANDIDATES}
+),
+psim AS (
+  SELECT a.q_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         list_dot_product(da.v, db.v) / (da.nrm * db.nrm) AS sim
+  FROM cand a
+  JOIN cand b ON a.q_id = b.q_id AND a.neighbor_id <> b.neighbor_id
+  JOIN d da ON da.vec_id = a.neighbor_id
+  JOIN d db ON db.vec_id = b.neighbor_id
+),
+sel(q_id, neighbor_id, relevance, mmr_score, mmr_rank, chosen) AS (
+  SELECT q_id, neighbor_id, rel, {MMR_LAMBDA!r} * rel, 1::BIGINT, [neighbor_id]
+  FROM (
+    SELECT q_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY {MMR_LAMBDA!r} * rel DESC, neighbor_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT q_id, neighbor_id, relevance, score, mmr_rank, chosen
+  FROM (
+    SELECT s.q_id, c.neighbor_id, c.rel AS relevance,
+           {MMR_LAMBDA!r} * c.rel - {1 - MMR_LAMBDA!r} * (
+             SELECT max(p.sim) FROM psim p
+             WHERE p.q_id = s.q_id AND p.i = c.neighbor_id
+               AND list_contains(s.chosen, p.j)
+           ) AS score,
+           s.mmr_rank + 1 AS mmr_rank,
+           list_append(s.chosen, c.neighbor_id) AS chosen,
+           row_number() OVER (
+             PARTITION BY s.q_id
+             ORDER BY {MMR_LAMBDA!r} * c.rel - {1 - MMR_LAMBDA!r} * (
+               SELECT max(p.sim) FROM psim p
+               WHERE p.q_id = s.q_id AND p.i = c.neighbor_id
+                 AND list_contains(s.chosen, p.j)
+             ) DESC, c.neighbor_id ASC) AS rn
+    FROM sel s
+    JOIN cand c ON c.q_id = s.q_id AND NOT list_contains(s.chosen, c.neighbor_id)
+    WHERE s.mmr_rank < {TOP_K}
+  ) WHERE rn = 1
+)
+SELECT q_id, neighbor_id, relevance, mmr_score, mmr_rank FROM sel
 """,
     "similarity_lsh_topk": f"""
 WITH d AS (
