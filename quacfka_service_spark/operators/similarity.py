@@ -611,10 +611,13 @@ def recall_report(emb: DataFrame) -> DataFrame:
     the recall floors the test suite pins once.  |hits ∩ exact| /
     |exact| per method via a pair join on (q_id, neighbor_id); all
     inputs are top-k-sized (queries x k rows), so the report costs
-    four small retrievals + broadcast joins.  Approximate by
-    construction -> rows-only driver check; tests/test_skew_and_ivf.py
-    pins the floors this report must echo (lsh multi-probe >= 0.4,
-    ivf >= 0.5 on the fixture).  The pq_adc row is the honest outlier:
+    four small retrievals + broadcast joins.  Oracled since round 6:
+    every path it measures is deterministic with its own exact SQL
+    twin, so the report's oracle is set algebra composed from those
+    twins — the driver value-checks the recall numbers themselves;
+    tests/test_skew_and_ivf.py additionally pins the floors this
+    report must echo (lsh multi-probe >= 0.4, ivf >= 0.5 on the
+    fixture).  The pq_adc row is the honest outlier:
     ~chance recall on THIS corpus (isotropic noise — no structure a
     codebook can compress; see pq_adc_topk), near-perfect cluster
     routing on structured data — dashboards exist precisely to show
@@ -1024,7 +1027,7 @@ QUERIES = {
     "embedding_label_centroids": _q_label_centroids,
     "embedding_centroid_assign": _q_centroid_assign,
     "embedding_quantize_sq8": _q_quantize,
-    "similarity_recall_report": _q_recall_report,  # rows-only (approx paths)
+    "similarity_recall_report": _q_recall_report,  # oracled r6 (composed twins)
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_range_search": _q_range_search,
@@ -1400,3 +1403,30 @@ SELECT q_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
 ) WHERE rank <= {TOP_K}
 """,
 }
+
+# Recall-report oracle (round 6): once every approximate path it
+# measures (lsh / ivf / pq_adc) carries its own exact SQL twin, the
+# report is plain set algebra over those twins — composed verbatim
+# from the ORACLES entries above so the recall arithmetic can never
+# drift from the per-path oracles it grades.  n_hit joins on the
+# unique (q_id, neighbor_id) top-k pairs; recall is the same
+# BIGINT/BIGINT -> DOUBLE division Spark performs.
+ORACLES["similarity_recall_report"] = f"""
+WITH exact AS (SELECT q_id, neighbor_id FROM ({ORACLES["similarity_topk"]})),
+lshk AS (SELECT q_id, neighbor_id FROM ({ORACLES["similarity_lsh_topk"]})),
+ivfk AS (SELECT q_id, neighbor_id FROM ({ORACLES["similarity_ivf_topk"]})),
+pqk AS (SELECT q_id, neighbor_id FROM ({ORACLES["similarity_pq_adc_topk"]})),
+ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+hits AS (
+  SELECT 'lsh' AS method, count(*)::BIGINT AS n_hit
+  FROM lshk JOIN exact USING (q_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivf', count(*)::BIGINT
+  FROM ivfk JOIN exact USING (q_id, neighbor_id)
+  UNION ALL
+  SELECT 'pq_adc', count(*)::BIGINT
+  FROM pqk JOIN exact USING (q_id, neighbor_id)
+)
+SELECT method, n_hit, n_exact, n_hit / n_exact AS recall_at_k
+FROM hits CROSS JOIN ne
+"""
