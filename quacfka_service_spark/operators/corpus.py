@@ -188,10 +188,12 @@ def corpus_pack_greedy(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFr
     every fill before it), so this is a textbook applyInPandas
     operator: one hash shuffle on ``source``, then pure per-shard
     Python — exactly the parallelism the data layout has, since
-    training shards are packed independently anyway.  Deterministic
-    (rows-only driver check is a determinism check); the pytest pin
-    replays FFD in pure Python and asserts capacity/oversize
-    invariants.
+    training shards are packed independently anyway.  Deterministic —
+    and oracled since round 6: the same FFD replays as a bounded
+    recursive CTE in DuckDB (fill-vector state, one doc per level), so
+    the driver value-checks every placement; the pytest pin
+    additionally replays FFD in pure Python and asserts
+    capacity/oversize invariants.
 
     Output (source, block_id, doc_id, n_tokens, block_fill): block_id
     is the per-shard open order; block_fill is the block's final token
@@ -748,10 +750,9 @@ QUERIES = {
     ),
     "corpus_curation": _q_curation,
     "corpus_pack_blocks": _q_pack_blocks,
-    # FFD is sequential per shard -> not SQL-expressible; rows-only
     "corpus_pack_greedy": lambda spark, sf_dir: corpus_pack_greedy(
         load_table(spark, sf_dir, "documents")
-    ),
+    ),  # oracled r6 (recursive-CTE FFD replay)
     "corpus_token_budget": lambda spark, sf_dir: corpus_token_budget(
         load_table(spark, sf_dir, "documents")
     ),
@@ -1066,6 +1067,56 @@ SELECT source, doc_id, n_tokens,
        cum_prev % {BLOCK_TOKENS} AS start_offset,
        (cum_prev + greatest(n_tokens, 1) - 1) // {BLOCK_TOKENS} AS end_block
 FROM c
+""",
+    # FFD oracle (round 6): first-fit-decreasing replayed as a
+    # recursive CTE — one doc per level per shard, the open-block fill
+    # vector carried as a BIGINT[] state column.  The first-fit scan is
+    # list_position over "fits" booleans (0 = open a new block — also
+    # the n_tokens >= capacity oversize rule), the fill update an
+    # indexed list_transform; final per-block fills join back onto
+    # every member row.  Recursion depth = max docs per shard, rows per
+    # level = |shards| — linear in corpus size, exactly the per-shard
+    # sequential dependence the applyInPandas kernel has.  Every value
+    # is an integer, so the driver hash-check is exact.
+    "corpus_pack_greedy": f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+docs_ord AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC) AS idx
+  FROM d
+),
+counts AS (SELECT source, count(*)::BIGINT AS n FROM docs_ord GROUP BY source),
+ffd(source, idx, doc_id, n_tokens, block_id, fills) AS (
+  SELECT source, 0::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, []::BIGINT[]
+  FROM counts
+  UNION ALL
+  SELECT source, idx, doc_id, n_tokens,
+         CASE WHEN ff = 0 THEN len(fills) ELSE ff - 1 END,
+         CASE WHEN ff = 0 THEN list_append(fills, n_tokens)
+              ELSE list_transform(fills,
+                                  (x, i) -> CASE WHEN i = ff THEN x + n_tokens
+                                                 ELSE x END)
+         END
+  FROM (
+    SELECT o.source, o.idx, o.doc_id, o.n_tokens, f.fills,
+           CASE WHEN o.n_tokens >= {PACK_CAPACITY} THEN 0
+                ELSE list_position(
+                       list_transform(f.fills, x -> x + o.n_tokens <= {PACK_CAPACITY}),
+                       true) END AS ff
+    FROM ffd f JOIN docs_ord o ON o.source = f.source AND o.idx = f.idx + 1
+  )
+),
+final AS (
+  SELECT f.source, f.fills FROM ffd f JOIN counts c ON f.source = c.source AND f.idx = c.n
+)
+SELECT a.source, a.block_id, a.doc_id, a.n_tokens,
+       fin.fills[(a.block_id + 1)::INTEGER] AS block_fill
+FROM ffd a JOIN final fin ON a.source = fin.source
+WHERE a.idx >= 1
 """,
     # composes dedup.py's verified recursive-closure CTEs (df-capped
     # pair universe) with text.py's verified quality expression

@@ -80,7 +80,7 @@ _MUST_BE_NONEMPTY = {
     # round 6: ANN paths moved from rows-only to oracled (deterministic
     # seeded centroids / fixed hyperplane lattice)
     "similarity_ivf_topk", "similarity_lsh_topk", "similarity_mmr_topk",
-    "similarity_recall_report",
+    "similarity_recall_report", "corpus_pack_greedy",
     "multimodal_dedup", "corpus_field_profile", "corpus_interleave_shards",
     "embedding_pq_encode", "similarity_pq_adc_topk",
 }

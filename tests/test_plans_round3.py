@@ -93,10 +93,16 @@ def test_knn_join_kernel_shape(spark):
     corpus partition against the broadcast query matrix — there must
     be NO join node at all (the 30s-at-sf0.1 per-pair cross join is
     the regression this pins against), and the global finish is a
-    windowed rank with WindowGroupLimit pruning."""
+    windowed rank with WindowGroupLimit pruning.  Since the round-6
+    broadcast-hygiene fix each tile's kernel output is EAGERLY
+    materialized (localCheckpoint, so the tile broadcast can be
+    destroyed); the returned plan therefore scans checkpointed rows
+    ("Scan ExistingRDD") instead of showing the MapInPandas node —
+    the kernel's no-join shape is pinned at runtime by
+    test_skew_and_ivf.py (tiling invariance + single-live-broadcast)."""
     df = _q(spark, "similarity_knn_join")
     plan = formatted_plan(df)
-    assert "MapInPandas" in plan
+    assert "ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
