@@ -199,8 +199,11 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     here BECAUSE the data is vocab-sized — the corpus never re-enters.
 
     Output: one row per learned rule (rank, left, right, merged, cnt).
-    Iterative and therefore not SQL-expressible — rows-only driver
-    check; the semantics test pins the classic hand-computable corpus.
+    Oracled since round 6: the merge count is a fixed constant, so the
+    whole training loop unrolls into chained SQL stages (see
+    ``_bpe_oracle_ctes``) and the driver value-checks every learned
+    rule; the semantics test additionally pins the classic
+    hand-computable corpus.
 
     100 TB shape: the corpus-sized work is exactly one wordcount (the
     skew-eating partial agg from vocab_top); n_merges scales the JOB
@@ -296,9 +299,9 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     word (vocab-cardinality rows, JVM-side aggregate-scan merges — no
     Python in the loop), so encoding the corpus is one broadcast join
     of the corpus token stream against ``(tok -> |syms|)`` plus a
-    per-doc sum.  Iterative training upstream ⇒ rows-only driver
-    check; the pytest pin compares against an independent pure-Python
-    BPE encoder end-to-end.
+    per-doc sum.  Oracled since round 6 (the unrolled training replay
+    feeds a widths CTE); the pytest pin additionally compares against
+    an independent pure-Python BPE encoder end-to-end.
 
     100 TB shape: corpus-sized work = the wordcount (training) + one
     scan with a broadcast hash join (encoding); the hot Zipf head hits
@@ -435,12 +438,77 @@ QUERIES = {
     "text_oov_score": _q_oov,
     "tokenizer_merges": _q_bpe,
     "text_rarity_score": _q_rarity,
-    "tokenizer_bpe_train": _q_bpe_train,  # iterative -> rows-only
-    "tokenizer_bpe_encode": _q_bpe_encode,  # iterative upstream -> rows-only
+    "tokenizer_bpe_train": _q_bpe_train,  # oracled r6 (unrolled merge replay)
+    "tokenizer_bpe_encode": _q_bpe_encode,  # oracled r6 (unrolled merge replay)
     "text_token_coverage": _q_coverage,
 }
 
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """BPE training replayed as ``n_merges`` UNROLLED CTE stages (the
+    merge count is a fixed module constant, so no recursion is needed).
+
+    Symbol sequences ride as a chr(31)-separated string with a LEADING
+    separator per symbol ('\\x1fa\\x1fb...'), which makes DuckDB's
+    left-to-right non-overlapping ``replace`` of '\\x1fl\\x1fr' ->
+    '\\x1flr' EXACTLY the Spark carry-scan merge (adjacent matches
+    share no boundary characters, so [a,a,a] under merge (a,a) yields
+    [aa,a] in both).  Each stage: adjacent-pair counts weighted by
+    word freq, argmax with the (cnt DESC, l ASC, r ASC) tie-break,
+    apply.  Work per stage is vocab-cardinality rows — the corpus is
+    touched once by the wordcount, mirroring the Spark trainer."""
+    parts = ["""tokens AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok IS NOT NULL AND tok <> ''
+),
+v0 AS (
+  SELECT tok, count(*)::BIGINT AS freq,
+         regexp_replace(tok, '(.)', chr(31) || '\\1', 'g') AS s
+  FROM tokens GROUP BY tok
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""pc{k} AS (
+  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt
+  FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, len(sy) - 1),
+                                       i -> {{'l': sy[i], 'r': sy[i+1]}})) AS p
+    FROM (SELECT freq, string_split(s, chr(31))[2:] AS sy FROM v{k - 1})
+  )
+  GROUP BY 1, 2
+),
+best{k} AS (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v{k} AS (
+  SELECT tok, freq,
+         replace(s, chr(31) || b.l || chr(31) || b.r, chr(31) || b.l || b.r) AS s
+  FROM v{k - 1} CROSS JOIN best{k} b
+)""")
+    return ",\n".join(parts)
+
+
 ORACLES = {
+    "tokenizer_bpe_train": "WITH " + _bpe_oracle_ctes(BPE_N_MERGES) + "\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT {k}::BIGINT AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, cnt FROM best{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    ),
+    "tokenizer_bpe_encode": "WITH " + _bpe_oracle_ctes(BPE_N_MERGES) + f""",
+widths AS (
+  SELECT tok, (len(string_split(s, chr(31))) - 1)::BIGINT AS n_syms
+  FROM v{BPE_N_MERGES}
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(n_syms)::BIGINT AS n_bpe_tokens
+  FROM tokens t JOIN widths w USING (tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
     "text_token_coverage": """
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok

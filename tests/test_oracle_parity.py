@@ -81,6 +81,7 @@ _MUST_BE_NONEMPTY = {
     # seeded centroids / fixed hyperplane lattice)
     "similarity_ivf_topk", "similarity_lsh_topk", "similarity_mmr_topk",
     "similarity_recall_report", "corpus_pack_greedy",
+    "tokenizer_bpe_train", "tokenizer_bpe_encode",
     "multimodal_dedup", "corpus_field_profile", "corpus_interleave_shards",
     "embedding_pq_encode", "similarity_pq_adc_topk",
 }
