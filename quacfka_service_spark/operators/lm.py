@@ -1,0 +1,300 @@
+"""Statistical language-model operators over ``documents`` — train a
+model ON the corpus and score the corpus with it, entirely inside the
+engine.
+
+Two operators, both of the "train + apply in a handful of shuffles"
+family a 100 TB curation pipeline runs before any GPU sees a token:
+
+- ``corpus_ngram_lm_score`` — a bigram LM with add-one smoothing
+  trained on the whole corpus in one aggregation pass, then every
+  document scored by its average token log-probability (the
+  CCNet/KenLM-style fluency signal used to rank web text for LLM
+  training sets; Wenzek et al. 2020 "CCNet" filter on LM perplexity).
+  Low avg_logp = unusual token sequences = boilerplate/garbled text.
+
+- ``corpus_nb_lang_classifier`` — a multinomial Naive Bayes language
+  classifier: per-language token likelihoods and priors are learned
+  from the corpus's own ``lang`` labels, then every document is
+  re-scored and argmax-classified.  The trained counterpart of the
+  stopword heuristic in ``text.lang_id`` — training IS aggregation
+  (count tables), inference IS a join + fold, so the whole
+  train/predict cycle is Catalyst-planned.
+
+Reference anchor: the reference's surface ends at SQL aggregation
+(`main.go:92-125`); these extend the same declarative engine to model
+fitting, per SURVEY.md §6 (LLM-pipeline additions).
+
+Exactness discipline (both ops are driver hash-checked):
+
+- counts, vocab sizes and priors are integers on both engines;
+- each per-token log term ``ln((c+1)/(denom))`` is computed from the
+  SAME double ratio in both engines (int casts first, one division,
+  one ln) and then QUANTIZED to integer nano-nats
+  (``floor(logp * 1e9)::BIGINT``) before any aggregation.  Java's
+  Math.log and DuckDB's libm ln disagree in the last 1-2 ulp on ~4%
+  of ratios (measured at sf0.001), so raw-double sums can never
+  hash-match; the 1e-9-nat grid absorbs the ulp while keeping far
+  more precision than the signal carries, and integer sums are exact
+  under ANY accumulation order — a plain partial-aggregated SUM, no
+  sequential-fold crutch, which is also the better 100 TB plan;
+- the emitted double score is derived from the SAME exact integer on
+  both sides (one cast, two divisions, identical order);
+- argmax ties break on exact integers (score DESC, class DESC).
+
+100 TB shape (ngram LM): the model is two hash aggregations (bigram
+counts, then left-word totals) whose shuffles carry pre-combined
+partials; scoring is ONE equi-join of the token stream against the
+model keyed on the bigram — 1:1 fan, no skew amplification (hot
+bigrams join a single model row) — plus one doc-keyed fold.  Nothing
+is quadratic, nothing collects to the driver.
+
+100 TB shape (NB): the model is |vocab| x |classes| rows — a count
+aggregate; the class table (priors, totals) is a broadcast of
+|classes| rows; scoring fans each token by |classes| (5 here) and
+left-joins the model on (token, class) so unseen tokens fall back to
+the smoothed floor without a second pass.  Folds are doc-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .text import _words
+
+_SQL_WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+_QSCALE = 1_000_000_000  # nano-nat quantization grid for log terms
+
+
+def _qlog(ratio):
+    """floor(ln(ratio) * 1e9) as BIGINT — the engine-exact log term."""
+    return F.floor(F.log(ratio) * F.lit(float(_QSCALE))).cast("long")
+
+
+def _token_rows(docs: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, *carry, pos, tok): position-stamped token stream.
+    posexplode_outer (not explode) — see the InferFiltersFromGenerate
+    note in operators/dedup.py."""
+    return (
+        docs.select("doc_id", *carry, F.posexplode_outer(_words(F.col("text"))))
+        .withColumnRenamed("col", "tok")
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+
+
+def _bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, w1, w2): position-stamped bigram stream."""
+    w = _words(F.col("text"))
+    arr = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("w1"),
+                F.element_at(F.col("w"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.posexplode_outer(arr))
+        .where(F.col("col").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.col("col.w1").alias("w1"),
+            F.col("col.w2").alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def ngram_lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one
+    smoothed LM trained on the corpus itself.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1,*) + V), V = |distinct tokens|.
+    Documents with < 2 tokens have no bigrams and drop out (inner
+    semantics, mirrored by the oracle)."""
+    occ = _bigram_rows(docs)
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    model = c2.join(c1, "w1")
+    toks = _token_rows(docs)
+    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    model = model.crossJoin(F.broadcast(vocab))
+    scored = occ.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        _qlog(
+            (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+        ).alias("q"),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_q").cast("double") / F.lit(1e9) / F.col("n_bigrams")).alias(
+            "avg_logp"
+        ),
+    )
+
+
+def nb_lang_classifier(docs: DataFrame) -> DataFrame:
+    """Multinomial Naive Bayes language-ID, trained and applied on the
+    corpus: argmax over langs of
+    ln(n_docs(lang)/N) + Σ_tok ln((c(tok,lang)+1)/(T(lang)+V)).
+
+    Returns (doc_id, lang, predicted, score, correct) — ``lang`` is
+    the training label, ``predicted`` the argmax class.  Self-scoring
+    on the training set (resubstitution) keeps the op deterministic
+    and self-contained; the model tables are ordinary DataFrames a
+    caller can persist and apply to a held-out corpus."""
+    toks = _token_rows(docs, "lang")
+    classes = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    token_totals = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t_tok"))
+    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    cls = (
+        classes.join(token_totals, "lang")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            _qlog(
+                F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+            ).alias("prior_q"),
+            "t_tok",
+            "v",
+        )
+    )
+    counts = toks.groupBy("tok", F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # token stream x class fan-out (|classes| small -> broadcast),
+    # then LEFT join the count table so unseen (tok, class) pairs take
+    # the smoothed floor c=0 in the same pass.
+    fan = toks.select("doc_id", "lang", "tok").crossJoin(
+        F.broadcast(cls.select("cls", "t_tok", "v"))
+    )
+    scored = fan.join(counts, ["tok", "cls"], "left").select(
+        "doc_id",
+        "lang",
+        "cls",
+        _qlog(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("t_tok") + F.col("v")).cast("double")
+        ).alias("q"),
+    )
+    per_class = scored.groupBy("doc_id", "lang", "cls").agg(
+        F.sum("q").cast("long").alias("sum_q")
+    )
+    per_class = per_class.join(F.broadcast(cls.select("cls", "prior_q")), "cls").select(
+        "doc_id",
+        "lang",
+        "cls",
+        (F.col("prior_q") + F.col("sum_q")).alias("score_q"),
+    )
+    best = per_class.groupBy("doc_id", "lang").agg(
+        F.max(F.struct("score_q", "cls")).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        "lang",
+        F.col("b.cls").alias("predicted"),
+        (F.col("b.score_q").cast("double") / F.lit(1e9)).alias("score"),
+        (F.col("b.cls") == F.col("lang")).cast("int").alias("correct"),
+    )
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_lang_classifier(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "corpus_ngram_lm_score": _q_lm_score,
+    "corpus_nb_lang_classifier": _q_nb_lang,
+}
+
+ORACLES = {
+    "corpus_ngram_lm_score": f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM w WHERE len(w) >= 2
+), occ AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i + 1] AS w2
+  FROM idx WHERE w[i] <> '' AND w[i + 1] <> ''
+), c2 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM occ GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1
+), toks AS (
+  SELECT unnest({_SQL_WORDS}) AS tok FROM documents
+), vocab AS (
+  SELECT count(DISTINCT tok)::BIGINT AS v FROM toks WHERE tok IS NOT NULL AND tok <> ''
+), scored AS (
+  SELECT o.doc_id,
+         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE))
+                    * 1e9) AS BIGINT) AS q
+  FROM occ o JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(q)::BIGINT AS sum_q
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_q AS DOUBLE) / 1e9 / n_bigrams AS avg_logp
+FROM per
+""",
+    "corpus_nb_lang_classifier": f"""
+WITH toks AS (
+  SELECT doc_id, lang, w[i] AS tok
+  FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i
+        FROM (SELECT doc_id, lang, {_SQL_WORDS} AS w FROM documents))
+  WHERE w[i] IS NOT NULL AND w[i] <> ''
+), classes AS (
+  SELECT lang AS cls, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+), n_total AS (
+  SELECT count(*)::BIGINT AS n_total FROM documents
+), token_totals AS (
+  SELECT lang AS cls, count(*)::BIGINT AS t_tok FROM toks GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok)::BIGINT AS v FROM toks
+), cls AS (
+  SELECT classes.cls,
+         CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e9)
+              AS BIGINT) AS prior_q,
+         t_tok, v
+  FROM classes JOIN token_totals USING (cls) CROSS JOIN n_total CROSS JOIN vocab
+), counts AS (
+  SELECT tok, lang AS cls, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), scored AS (
+  SELECT t.doc_id, t.lang, cls.cls,
+         CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(cls.t_tok + cls.v AS DOUBLE)) * 1e9) AS BIGINT) AS q
+  FROM toks t CROSS JOIN cls
+  LEFT JOIN counts c ON c.tok = t.tok AND c.cls = cls.cls
+), per_class AS (
+  SELECT s.doc_id, s.lang, s.cls, cls.prior_q + sum(s.q)::BIGINT AS score_q
+  FROM scored s JOIN cls ON cls.cls = s.cls
+  GROUP BY s.doc_id, s.lang, s.cls, cls.prior_q
+), best AS (
+  SELECT doc_id, lang, cls AS predicted, score_q,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cls DESC) AS rn
+  FROM per_class
+)
+SELECT doc_id, lang, predicted,
+       CAST(score_q AS DOUBLE) / 1e9 AS score,
+       (predicted = lang)::INT AS correct
+FROM best WHERE rn = 1
+""",
+}

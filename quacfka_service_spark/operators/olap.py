@@ -118,6 +118,114 @@ def approx_distinct(ev: DataFrame) -> DataFrame:
     )
 
 
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers
+# alpha_m * m^2 for m = 4096, precomputed once so BOTH engines parse the
+# SAME double literal (repr round-trips; recomputing 0.7213/(1+1.079/m)
+# in two engines could differ in the last ulp).
+HLL_ALPHA_MM = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M)
+_HEX = "0123456789abcdef"
+
+
+def hll_registers(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(event_type, bucket, r): deterministic HyperLogLog registers,
+    built from scratch in pure column algebra over md5 — NOT the
+    engine-native sketch (``approx_distinct`` above wraps
+    ``F.approx_count_distinct``, whose xxhash64-based registers no
+    other engine can reproduce, so it could only ever be rows-checked).
+
+    Layout of md5(key): hex chars 1-3 are the 12 bucket bits, chars
+    4-16 are a 52-bit stream whose leading-zero count gives rho.  All
+    of it is engine-portable string algebra (instr/substring/regexp),
+    so DuckDB computes bit-identical registers and the driver can
+    hash-check an *approximate* operator.  The registers are the
+    mergeable state: max-merge per bucket across any partitioning of
+    the input (epochs, shards, streams) equals the registers of the
+    union — pinned in tests.
+
+    100 TB shape: one map-side projection (md5 + string ops, all
+    codegen) -> ONE partial-aggregated shuffle on (event_type, bucket)
+    carrying at most |types| x 4096 pre-combined rows per task.  This
+    is the whole point of HLL at scale: the exchange is sketch-sized,
+    not data-sized, where exact countDistinct shuffles every distinct
+    key."""
+    hx = F.md5(F.col(key).cast("string"))
+    d = ev.select("event_type", hx.alias("hx")).select(
+        "event_type",
+        F.expr(
+            f"(instr('{_HEX}', substring(hx, 1, 1)) - 1) * 256"
+            f" + (instr('{_HEX}', substring(hx, 2, 1)) - 1) * 16"
+            f" + (instr('{_HEX}', substring(hx, 3, 1)) - 1)"
+        ).alias("bucket"),
+        F.expr("substring(hx, 4, 13)").alias("rest"),
+    )
+    d = d.select(
+        "event_type",
+        "bucket",
+        F.expr("length(regexp_extract(rest, '^(0*)', 1))").alias("z"),
+        F.expr(
+            f"instr('{_HEX}', substring(rest, length(regexp_extract(rest, '^(0*)', 1)) + 1, 1)) - 1"
+        ).alias("v"),
+    )
+    rho = F.when(F.col("z") == 13, F.lit(53)).otherwise(
+        F.col("z") * 4
+        + F.when(F.col("v") >= 8, 0)
+        .when(F.col("v") >= 4, 1)
+        .when(F.col("v") >= 2, 2)
+        .otherwise(3)
+        + 1
+    )
+    return (
+        d.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_distinct(ev: DataFrame) -> DataFrame:
+    """Distinct users per event_type via the from-scratch HLL above —
+    estimate + register checksum, both value-checkable cross-engine.
+
+    Exactness discipline: the register sum Σ 2^-r is accumulated as
+    Σ 2^(53-r) in DECIMAL(38,0) (every term an exact integer, so
+    accumulation order cannot perturb a float), converted to double
+    ONCE at the end; alpha_m*m^2 is a shared literal (HLL_ALPHA_MM);
+    the linear-counting branch (raw <= 2.5m and empty buckets exist)
+    is the classic Flajolet correction.  ``registers_md5`` pins the
+    ENTIRE sketch byte-exactly — even if the rounded estimate could
+    mask an off-by-one register, the checksum cannot."""
+    regs = hll_registers(ev)
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero_buckets"),
+        F.sum(F.expr("cast(shiftleft(1L, 53 - r) as decimal(38,0))")).alias("sp"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "r"))),
+                    lambda s: F.concat(
+                        s["bucket"].cast("string"), F.lit(":"), s["r"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("registers_md5"),
+    )
+    m = F.lit(HLL_M)
+    zeros = m - F.col("nonzero_buckets")
+    raw = F.lit(float(HLL_ALPHA_MM)) / (
+        F.col("sp").cast("double") / F.lit(9007199254740992.0) + zeros.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0), m.cast("double") * F.log(m.cast("double") / zeros.cast("double"))
+    ).otherwise(raw)
+    return agg.select(
+        "event_type",
+        F.round(est).cast("long").alias("hll_users"),
+        "nonzero_buckets",
+        "registers_md5",
+    )
+
+
 HIST_WIDTH = 25
 
 
@@ -292,7 +400,7 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return approx_distinct(_events_with_day(spark, sf_dir))
+    return hll_distinct(_events_with_day(spark, sf_dir))
 
 
 def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,7 +681,7 @@ QUERIES = {
     "events_quantiles": _q_quantiles,
     "events_json_extract": _q_json,
     "events_topk_per_group": _q_topk,
-    "events_approx_distinct": _q_approx_distinct,  # rows-only (HLL sketch)
+    "events_approx_distinct": _q_approx_distinct,  # from-scratch HLL, hash-checked
     "events_gap_fill": _q_gap_fill,
     "events_window_analytics": _q_window_analytics,
     "events_spike_hours": _q_spike_hours,
@@ -589,6 +697,47 @@ _PIVOT_COLS = ",\n  ".join(
 )
 
 ORACLES = {
+    "events_approx_distinct": f"""
+WITH parts AS (
+  SELECT event_type,
+         (instr('{_HEX}', substring(hx, 1, 1)) - 1) * 256
+       + (instr('{_HEX}', substring(hx, 2, 1)) - 1) * 16
+       + (instr('{_HEX}', substring(hx, 3, 1)) - 1) AS bucket,
+         substring(hx, 4, 13) AS rest
+  FROM (SELECT event_type, md5(user_id::VARCHAR) AS hx FROM events)
+), rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN z = 13 THEN 53
+              ELSE z * 4
+                 + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                        WHEN v >= 2 THEN 2 ELSE 3 END
+                 + 1
+         END AS rho
+  FROM (
+    SELECT event_type, bucket,
+           length(regexp_extract(rest, '^(0*)', 1)) AS z,
+           instr('{_HEX}', substring(rest, length(regexp_extract(rest, '^(0*)', 1)) + 1, 1)) - 1 AS v
+    FROM parts)
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS nonzero_buckets,
+         sum(1::HUGEINT << (53 - r)) AS sp,
+         md5(string_agg(bucket || ':' || r, ',' ORDER BY bucket)) AS registers_md5
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       CAST(round(CASE WHEN raw <= 2.5 * {HLL_M} AND ({HLL_M} - nonzero_buckets) > 0
+                       THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - nonzero_buckets AS DOUBLE))
+                       ELSE raw END) AS BIGINT) AS hll_users,
+       nonzero_buckets,
+       registers_md5
+FROM (SELECT *,
+             {HLL_ALPHA_MM} / (CAST(sp AS DOUBLE) / 9007199254740992.0
+                               + CAST({HLL_M} - nonzero_buckets AS DOUBLE)) AS raw
+      FROM agg)
+""",
     "events_inter_arrival": """
 WITH g AS (
   SELECT event_type,

@@ -200,6 +200,40 @@ def test_approx_distinct_error_bound(spark):
         assert abs(approx[t] - e) <= max(1, 0.05 * e), (t, approx[t], e)
 
 
+def test_hll_registers_mergeable(spark):
+    """The from-scratch HLL is a true sketch: registers built on any
+    split of the input, max-merged per bucket, equal the registers of
+    the union — the property that makes it epoch/shard/stream safe."""
+    from quacfka_service_spark.operators.olap import _events_with_day, hll_registers
+
+    ev = _events_with_day(spark, SF_DIR)
+    lo = hll_registers(ev.where(F.col("event_id") % 2 == 0))
+    hi = hll_registers(ev.where(F.col("event_id") % 2 == 1))
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(ev)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=4096 registers: estimate within 5% of exact (at sf0.001 the
+    linear-counting branch is active and near-exact)."""
+    from quacfka_service_spark.operators.olap import _events_with_day, hll_distinct
+
+    ev = _events_with_day(spark, SF_DIR)
+    est = {r["event_type"]: r["hll_users"] for r in hll_distinct(ev).collect()}
+    exact = {
+        r["event_type"]: r["u"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(1, 0.05 * e), (t, est[t], e)
+
+
 def test_asof_join_on_events(spark):
     """Every purchase_ts is <= its click ts (semantics sanity at sf0.001)."""
     import __spark_entry__ as entry
