@@ -1,0 +1,132 @@
+"""Importance weighting for data selection (DSIR-style).
+
+"Data Selection for Language Models via Importance Resampling" (Xie et
+al. 2023) scores every raw-corpus document by how target-domain-like
+its hashed n-gram bag is — the ratio of a bag model fit on a small
+target-domain sample to one fit on the raw corpus — then resamples the
+corpus by that weight.  This operator computes the per-document weight
+surface; ``corpus_mixture_temperature`` / ``stratified_sample`` are
+the downstream resamplers.
+
+Determinism contract: real DSIR exponentiates log-probability sums,
+whose floating-point totals are engine/fold-order dependent.  The
+oracled twin here keeps everything in BIGINT until ONE final division:
+
+- features       hashed unigram counts, dim = md5(token) % 64 — the
+  exact ``text.hash_features`` kernel (md5 bucket parity established).
+- target model   feature counts over the target sample (every
+  ``TARGET_MOD``-th doc — in production this is the target-domain
+  table, e.g. Wikipedia/books).
+- raw model      feature counts over the whole corpus.
+- weight         (sum_f n_f(doc) * t_cnt(f)) * raw_total
+               / (sum_f n_f(doc) * r_cnt(f)) / target_total
+  — the expected target/raw count ratio of the document's own feature
+  draw: a monotone multinomial likelihood-ratio proxy on the same
+  sufficient statistics as DSIR's log-LR, exact in integers up to the
+  single final IEEE division (bit-identical both engines).
+
+Output: (doc_id, t_mass, r_mass, weight); weight > 1 means
+"more target-like than the average raw document".
+
+100 TB shape: both bag models aggregate to <= 64 rows and broadcast;
+the per-doc score is explode -> map-side-combined (doc_id, dim) count
+-> broadcast joins -> one groupBy(doc_id).  Two shuffles, both keyed
+by doc_id(+dim) — no corpus x corpus work, and the Zipf-hot dims ride
+inside per-doc keys so no reducer hot-spots.
+
+Reference parity: no counterpart in the reference (main.go) — part of
+the mandated LLM-pipeline surface, alongside decontam.py / mixture.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .text import HASH_DIM, hash_features
+
+TARGET_MOD = 53  # every 53rd doc is "the target-domain sample" (~2%)
+
+
+def importance_weights(
+    docs: DataFrame, dim: int = HASH_DIM, target_mod: int = TARGET_MOD
+) -> DataFrame:
+    """Per-document DSIR-style importance weights (module docstring)."""
+    feats = hash_features(docs, dim)  # (doc_id, dim, weight) integer counts
+    target_feats = feats.join(
+        docs.where(F.col("doc_id") % target_mod == 1).select("doc_id"), "doc_id"
+    )
+    t = target_feats.groupBy("dim").agg(F.sum("weight").alias("t_cnt"))
+    r = feats.groupBy("dim").agg(F.sum("weight").alias("r_cnt"))
+    t_total = t.agg(F.sum("t_cnt").alias("t_total"))
+    r_total = r.agg(F.sum("r_cnt").alias("r_total"))
+    masses = (
+        feats.join(F.broadcast(t), "dim", "left")
+        .join(F.broadcast(r), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("weight") * F.coalesce(F.col("t_cnt"), F.lit(0))).alias("t_mass"),
+            F.sum(F.col("weight") * F.col("r_cnt")).alias("r_mass"),
+        )
+    )
+    return (
+        masses.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "doc_id",
+            "t_mass",
+            "r_mass",
+            (
+                (F.col("t_mass") * F.col("r_total")).cast("double")
+                / (F.col("r_mass") * F.col("t_total")).cast("double")
+            ).alias("weight"),
+        )
+    )
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+
+def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_weights(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {"corpus_importance_weights": _q_importance_weights}
+
+ORACLES = {
+    "corpus_importance_weights": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT % {HASH_DIM}) AS dim,
+         count(*)::BIGINT AS weight
+  FROM toks WHERE tok IS NOT NULL AND tok <> ''
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT dim, sum(weight)::BIGINT AS t_cnt
+  FROM feats WHERE doc_id % {TARGET_MOD} = 1 GROUP BY dim
+),
+r AS (
+  SELECT dim, sum(weight)::BIGINT AS r_cnt FROM feats GROUP BY dim
+),
+tot AS (
+  SELECT (SELECT sum(t_cnt) FROM t)::BIGINT AS t_total,
+         (SELECT sum(r_cnt) FROM r)::BIGINT AS r_total
+),
+masses AS (
+  SELECT f.doc_id,
+         sum(f.weight * coalesce(t.t_cnt, 0))::BIGINT AS t_mass,
+         sum(f.weight * r.r_cnt)::BIGINT AS r_mass
+  FROM feats f LEFT JOIN t USING (dim) JOIN r USING (dim)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, t_mass, r_mass,
+       (t_mass * r_total)::DOUBLE / (r_mass * t_total)::DOUBLE AS weight
+FROM masses, tot
+""",
+}

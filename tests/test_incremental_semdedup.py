@@ -1,0 +1,95 @@
+"""Incremental semantic dedup (streaming/incremental_semdedup.py):
+``result()`` after any sequence of batches must equal batch
+``semantic_dedup`` over the union under the same frozen codebook —
+same (vec_id, cell, kept) rows — including the late-low-id demotion
+path; replayed epochs are no-ops (txlog txn idempotency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.semdedup import semantic_dedup, seed_codebook
+from quacfka_service_spark.session import load_table
+from quacfka_service_spark.streaming.incremental_semdedup import (
+    IncrementalSemanticDeduper,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+CB = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]  # two orthogonal cells
+TAU = 0.9
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _rows(df):
+    return sorted((r["vec_id"], r["cell"], r["kept"]) for r in df.collect())
+
+
+# planted corpus: 10/20/5 nearly parallel in cell 0, 30 alone in cell 1
+V10 = [1.0, 0.05, 0.0, 0.0]
+V20 = [1.0, 0.06, 0.0, 0.0]
+V5 = [1.0, 0.04, 0.0, 0.0]
+V30 = [0.0, 1.0, 0.0, 0.0]
+ALL = [(10, V10), (20, V20), (5, V5), (30, V30)]
+
+
+def test_incremental_equals_batch_and_demotes_late_low_id(spark, tmp_path):
+    dd = IncrementalSemanticDeduper(str(tmp_path / "sd"), CB, threshold=TAU)
+    dd.process_batch(_emb(spark, [(10, V10), (30, V30)]), 0)
+    # after epoch 0: 10 and 30 both kept
+    assert _rows(dd.result(spark)) == [(10, 0, True), (30, 1, True)]
+
+    dd.process_batch(_emb(spark, [(20, V20)]), 1)  # 20 > 10, near-parallel
+    assert (20, 0, False) in _rows(dd.result(spark))
+
+    dd.process_batch(_emb(spark, [(5, V5)]), 2)  # LATE low id demotes 10
+    got = _rows(dd.result(spark))
+    want = _rows(semantic_dedup(_emb(spark, ALL), threshold=TAU, centroids=CB))
+    assert got == want
+    assert (10, 0, False) in got and (5, 0, True) in got and (30, 1, True) in got
+
+
+def test_incremental_batching_invariance(spark, tmp_path):
+    one = IncrementalSemanticDeduper(str(tmp_path / "a"), CB, threshold=TAU)
+    one.process_batch(_emb(spark, ALL), 0)
+    split = IncrementalSemanticDeduper(str(tmp_path / "b"), CB, threshold=TAU)
+    split.process_batch(_emb(spark, [(20, V20), (30, V30)]), 0)
+    split.process_batch(_emb(spark, [(5, V5)]), 1)
+    split.process_batch(_emb(spark, [(10, V10)]), 2)
+    want = _rows(semantic_dedup(_emb(spark, ALL), threshold=TAU, centroids=CB))
+    assert _rows(one.result(spark)) == want
+    assert _rows(split.result(spark)) == want
+
+
+def test_incremental_replay_is_noop(spark, tmp_path):
+    dd = IncrementalSemanticDeduper(str(tmp_path / "r"), CB, threshold=TAU)
+    dd.process_batch(_emb(spark, [(10, V10), (30, V30)]), 0)
+    dd.process_batch(_emb(spark, [(5, V5)]), 1)
+    before = _rows(dd.result(spark))
+    vc, vd = dd.cells.latest_version(), dd.dropped.latest_version()
+    dd.process_batch(_emb(spark, [(5, V5)]), 1)  # replayed epoch
+    assert dd.cells.latest_version() == vc
+    assert dd.dropped.latest_version() == vd
+    assert _rows(dd.result(spark)) == before
+
+
+def test_incremental_matches_batch_on_fixture(spark, tmp_path):
+    """Fixture embeddings, frozen first-8 codebook, default threshold:
+    3-way batching equals the batch operator bit-for-bit."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = seed_codebook(emb)
+    dd = IncrementalSemanticDeduper(str(tmp_path / "fx"), cb)
+    for epoch, part in enumerate(
+        emb.where(F.col("vec_id") % 3 == k) for k in range(3)
+    ):
+        dd.process_batch(part, epoch)
+    want = _rows(semantic_dedup(emb, centroids=cb))
+    got = _rows(dd.result(spark))
+    assert len(want) == emb.count()
+    assert got == want

@@ -1,0 +1,146 @@
+"""SemDeDup semantic dedup (operators/semdedup.py) and DSIR-style
+importance weights (operators/importance.py).  Cross-engine value
+parity is pinned by the driver oracles + tools/parity_sweep.py; these
+pin the operator semantics, the kmeans production path, and the plan
+shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.importance import TARGET_MOD, importance_weights
+from quacfka_service_spark.operators.semdedup import (
+    SEM_THRESHOLD,
+    assign_cells,
+    semantic_dedup,
+)
+from quacfka_service_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR_MID, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+# --- semantic dedup --------------------------------------------------------
+
+
+def test_semdedup_covers_corpus_and_is_nonvacuous(emb):
+    out = semantic_dedup(emb).cache()
+    n = emb.count()
+    assert out.count() == n
+    dropped = out.where(~F.col("kept")).count()
+    assert 0 < dropped < n  # non-vacuous both ways at sf0.01 / tau=0.35
+
+
+def test_semdedup_cell_minimum_always_survives(emb):
+    """The drop rule only ever fires against a LOWER vec_id in the same
+    cell, so each cell's minimum id is structurally undroppable."""
+    out = semantic_dedup(emb)
+    mins = out.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+    bad = out.join(mins, ["cell", "vec_id"]).where(~F.col("kept"))
+    assert bad.count() == 0
+
+
+def test_semdedup_dropped_have_a_near_lower_neighbor(emb):
+    """Every dropped vector really has an in-cell lower-id neighbor at
+    cosine >= threshold (recomputed independently, exact arithmetic)."""
+    cells = assign_cells(emb)
+    a, b = cells.alias("a"), cells.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    witness = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= SEM_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+    dropped = semantic_dedup(emb).where(~F.col("kept")).select("vec_id")
+    assert dropped.exceptAll(witness).count() == 0
+    assert witness.exceptAll(dropped).count() == 0
+
+
+def test_semdedup_kmeans_path_runs(emb):
+    """Production path: pyspark.ml KMeans centroids (seed-pinned).
+    Same schema/coverage contract; the partition of vec_ids into cells
+    is a proper partition (one cell per vector)."""
+    out = semantic_dedup(emb, kmeans=True, n_clusters=4)
+    assert out.columns == ["vec_id", "cell", "kept"]
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    assert out.select("cell").distinct().count() <= 4
+
+
+def test_semdedup_plan_broadcasts_codebook(emb):
+    """The centroid side of the assignment join must broadcast — a
+    shuffled nested-loop over the corpus x k would not survive 100 TB."""
+    plan = semantic_dedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- importance weights ----------------------------------------------------
+
+
+def test_importance_target_docs_score_above_corpus_mean(docs):
+    """Target-sample docs contain the features the target model was fit
+    on, so their average weight must exceed the raw-corpus average —
+    the separation DSIR resampling relies on."""
+    w = importance_weights(docs).cache()
+    t_avg = (
+        w.where(F.col("doc_id") % TARGET_MOD == 1).agg(F.avg("weight")).collect()[0][0]
+    )
+    all_avg = w.agg(F.avg("weight")).collect()[0][0]
+    assert t_avg > all_avg
+
+
+def test_importance_masses_are_exact_integers(docs):
+    """t_mass/r_mass stay BIGINT end-to-end (the determinism contract:
+    one final division, everything before it exact)."""
+    w = importance_weights(docs)
+    schema = {f.name: f.dataType.simpleString() for f in w.schema.fields}
+    assert schema["t_mass"] == "bigint"
+    assert schema["r_mass"] == "bigint"
+    assert schema["weight"] == "double"
+
+
+def test_importance_covers_every_tokenized_doc(docs):
+    n_tok = docs.where(F.trim(F.col("text")) != "").count()
+    assert importance_weights(docs).count() == n_tok
+
+
+def test_importance_weight_positivity_and_normalization(docs):
+    """r_mass >= t_mass-contribution floor: weights are finite, > 0
+    whenever the doc shares any feature with the target, and the
+    corpus-level weighted mean of (t_mass/r_mass) ratios is bounded by
+    construction (r model includes the target sample)."""
+    w = importance_weights(docs)
+    assert w.where(F.col("r_mass") <= 0).count() == 0
+    assert w.where(F.isnan("weight") | (F.col("weight") < 0)).count() == 0
+
+
+def test_importance_plan_broadcasts_bag_models(docs):
+    """Both bag models (<= 64 rows) must broadcast; the per-doc score
+    is map-side arithmetic plus one doc_id aggregation."""
+    plan = importance_weights(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
