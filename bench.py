@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "corpus_keep_best_quality",
     "corpus_contamination_score",
+    # round-6 additions (same non-comparability caveat)
+    "dedup_semantic",
+    "corpus_importance_weights",
+    "corpus_ngram_lm_score",
+    "events_approx_distinct",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.

@@ -1011,6 +1011,60 @@ def pq_adc_topk(
     return _adc_tail(codes, qsub, cb, k)
 
 
+RERANK_SHORTLIST = 4 * TOP_K
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    shortlist: int = RERANK_SHORTLIST,
+    query_mod: int = QUERY_MOD,
+    codebook: list | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval — the shape production ANN actually
+    ships (FAISS IndexIVFPQ + refine, ScaNN's reorder stage): stage 1
+    shortlists ``shortlist`` candidates per query by ADC over the
+    128x-compressed codes; stage 2 re-scores ONLY the shortlist with
+    exact cosine on full-precision vectors and keeps the top ``k``.
+
+    This directly repairs PQ's pinned limitation (see pq_adc_topk:
+    within-cluster order collapses to tied codes): the sketch routes,
+    the rerank orders.  Deterministic (ADC ties -> neighbor_id; rerank
+    ties -> neighbor_id) and exact-oracled end to end.
+
+    100 TB shape: stage 1 touches codes only; stage 2 fetches
+    full-precision vectors for |queries| x shortlist rows — an
+    equi-join on neighbor_id against the corpus (the only stage that
+    reads vector bytes, and it reads a vanishing fraction).  The
+    shortlist frame is queries-sized and broadcasts."""
+    short = pq_adc_topk(emb, k=shortlist, query_mod=query_mod, codebook=codebook)
+    d = _with_norm(emb)
+    q = d.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    n = d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    scored = (
+        short.select("q_id", "neighbor_id")
+        .join(n, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (_dot(F.col("nv"), F.col("qv")) / (F.col("nn") * F.col("qn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, sf_dir, "embeddings"))
 
@@ -1019,9 +1073,14 @@ def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_rerank_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "embedding_pq_encode": _q_pq_encode,
     "similarity_pq_adc_topk": _q_pq_adc_topk,
+    "similarity_pq_rerank_topk": _q_pq_rerank_topk,  # new in r6
     "similarity_mmr_topk": _q_mmr_topk,  # oracled r6 (recursive-CTE greedy)
     "similarity_knn_join": _q_knn_join,
     "embedding_label_centroids": _q_label_centroids,
@@ -1103,6 +1162,50 @@ SELECT q_id, neighbor_id, adist, rank::BIGINT AS rank FROM (
   SELECT q_id, neighbor_id, adist,
          row_number() OVER (PARTITION BY q_id ORDER BY adist, neighbor_id) AS rank
   FROM pair
+) WHERE rank <= {TOP_K}
+""",
+    "similarity_pq_rerank_topk": f"""
+WITH {_PQ_CTES},
+lut AS (
+  SELECT sub.vec_id AS q_id, sub.m, code,
+         list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, {PQ_SUB}),
+                                            i -> (sv[i] - c[i]) * (sv[i] - c[i]))),
+           (acc, x) -> acc + x) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+  WHERE sub.vec_id % {QUERY_MOD} = 0
+),
+pair AS (
+  SELECT q_id, enc.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0, list(d ORDER BY enc.m)),
+                     (acc, x) -> acc + x) AS adist
+  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+  WHERE enc.vec_id <> lut.q_id
+  GROUP BY q_id, enc.vec_id
+),
+short AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adist, neighbor_id) AS r
+    FROM pair
+  ) WHERE r <= {RERANK_SHORTLIST}
+),
+raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS rv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT q_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
+  SELECT s.q_id, s.neighbor_id,
+         list_dot_product(b.rv, a.rv) / (b.nrm * a.nrm) AS cos,
+         row_number() OVER (
+           PARTITION BY s.q_id
+           ORDER BY list_dot_product(b.rv, a.rv) / (b.nrm * a.nrm) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM short s
+  JOIN raw a ON a.vec_id = s.q_id
+  JOIN raw b ON b.vec_id = s.neighbor_id
 ) WHERE rank <= {TOP_K}
 """,
     "similarity_knn_join": f"""

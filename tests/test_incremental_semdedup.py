@@ -93,3 +93,75 @@ def test_incremental_matches_batch_on_fixture(spark, tmp_path):
     got = _rows(dd.result(spark))
     assert len(want) == emb.count()
     assert got == want
+
+
+# --- randomized property pin vs an independent pure-Python reference ------
+# Values are multiples of 1/64 in [-8/64, 8/64]: exact in float32 AND
+# double, and their pairwise products/sums stay exact, so Python's
+# sequential fold reproduces Spark's F.aggregate bit-for-bit (sqrt and
+# the final division are single IEEE ops on identical inputs).
+
+
+def _pydot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _pynorm(a):
+    import math
+
+    return math.sqrt(_pydot(a, a))
+
+
+def _ref_semdedup(vecs: dict, centroids, tau):
+    cn = [_pynorm(c) for c in centroids]
+    cell = {}
+    for i, v in vecs.items():
+        best = None
+        for ci, c in enumerate(centroids):
+            cs = _pydot(v, c) / (_pynorm(v) * cn[ci])
+            if best is None or cs > best[0]:  # ties keep the lower cent_id
+                best = (cs, ci)
+        cell[i] = best[1]
+    dropped = set()
+    ids = sorted(vecs)
+    for j in ids:
+        for i in ids:
+            if i < j and cell[i] == cell[j]:
+                cs = _pydot(vecs[i], vecs[j]) / (_pynorm(vecs[i]) * _pynorm(vecs[j]))
+                if cs >= tau:
+                    dropped.add(j)
+                    break
+    return sorted((i, cell[i], i not in dropped) for i in ids)
+
+
+def test_random_corpora_match_pure_python_reference(spark, tmp_path):
+    import random
+
+    rng = random.Random(1306)
+    cb = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    for case in range(4):
+        vecs = {}
+        for i in range(rng.randrange(8, 28)):
+            v = [rng.randrange(-8, 9) / 64.0 for _ in range(4)]
+            if not any(v):
+                v[rng.randrange(4)] = 1.0 / 64.0  # no zero vectors
+            vecs[i * 7 % 97] = v  # non-contiguous ids
+        want = _ref_semdedup(vecs, cb, TAU)
+        df = _emb(spark, sorted(vecs.items()))
+        assert _rows(semantic_dedup(df, threshold=TAU, centroids=cb)) == want
+
+        # random batching through the incremental deduper
+        ids = list(vecs)
+        rng.shuffle(ids)
+        n_cuts = rng.randrange(1, 4)
+        cuts = sorted(rng.sample(range(1, len(ids)), n_cuts)) + [len(ids)]
+        dd = IncrementalSemanticDeduper(str(tmp_path / f"p{case}"), cb, threshold=TAU)
+        lo = 0
+        for epoch, hi in enumerate(cuts):
+            chunk = [(i, vecs[i]) for i in ids[lo:hi]]
+            dd.process_batch(_emb(spark, chunk), epoch)
+            lo = hi
+        assert _rows(dd.result(spark)) == want
