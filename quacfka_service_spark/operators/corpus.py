@@ -144,6 +144,50 @@ def corpus_e2e_factory(
     )
 
 
+def corpus_curation_semantic(
+    docs: DataFrame,
+    emb: DataFrame,
+    *,
+    min_quality: float = MIN_QUALITY,
+    langs: tuple[str, ...] = KEEP_LANGS,
+) -> DataFrame:
+    """``corpus_curation`` with the lexical pair emitter swapped for
+    EMBEDDING-space dedup (operators/semdedup.py): lang-ID filter ->
+    quality filter -> SemDeDup leader-keep over the survivors'
+    embeddings (doc_id = vec_id) -> train/val/test split, one plan.
+
+    This is the curation recipe that catches paraphrased duplicates
+    shingle Jaccard misses.  Like corpus_curation, dedup runs on the
+    POST-filter population (dropping a low-quality doc must not shield
+    its semantic duplicate), so the frozen codebook is the first
+    N_CLUSTERS surviving vec_ids — mirrored exactly by the oracle.
+    Docs without an embedding row fall out at the join (a real
+    pipeline embeds everything first; the fixture is fully aligned).
+
+    100 TB shape: per-doc filters prune before any vector work; the
+    semantic stage inherits semdedup's broadcast-codebook + cell-equi-
+    join shape; the split is a pure md5 hash."""
+    filtered = (
+        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
+        .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id", "lang_pred", "quality")
+    )
+    from .semdedup import semantic_dedup
+
+    fe = emb.join(
+        filtered.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    kept = (
+        semantic_dedup(fe)
+        .where(F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return assign_split(filtered.join(kept, "doc_id"), "doc_id").select(
+        "doc_id", "lang_pred", "quality", "split"
+    )
+
+
 def corpus_pack_blocks(docs: DataFrame, block_tokens: int = BLOCK_TOKENS) -> DataFrame:
     """Concat-and-chunk packing coordinates per document, per shard.
 
@@ -629,6 +673,13 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_curation(load_table(spark, sf_dir, "documents"))
 
 
+def _q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_curation_semantic(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pack_blocks(load_table(spark, sf_dir, "documents"))
 
@@ -749,6 +800,7 @@ QUERIES = {
         load_table(spark, sf_dir, "documents")
     ),
     "corpus_curation": _q_curation,
+    "corpus_curation_semantic": _q_curation_semantic,  # new in r6
     "corpus_pack_blocks": _q_pack_blocks,
     "corpus_pack_greedy": lambda spark, sf_dir: corpus_pack_greedy(
         load_table(spark, sf_dir, "documents")
@@ -778,6 +830,67 @@ _QUALITY_EXPR = (
 )
 
 _LANGS_IN = ", ".join(f"'{lg}'" for lg in KEEP_LANGS)
+
+from .semdedup import N_CLUSTERS as _SEM_K  # noqa: E402
+from .semdedup import SEM_THRESHOLD as _SEM_TAU  # noqa: E402
+
+_CURATION_SEMANTIC_SQL = f"""
+WITH
+wq AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+lang AS (SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM wq),
+filtered AS (
+  SELECT d.doc_id, l.lang_pred, q.quality
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE l.lang_pred IN ({_LANGS_IN}) AND q.quality >= {MIN_QUALITY}
+),
+d AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+  FROM embeddings e JOIN filtered f ON e.vec_id = f.doc_id
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm
+  FROM d WHERE vec_id IN (SELECT vec_id FROM d ORDER BY vec_id LIMIT {_SEM_K})
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(d.v, c.cv) / (d.nrm * c.cnrm) DESC, cent_id ASC
+         ) AS rk
+  FROM d CROSS JOIN cents c
+),
+cells AS (
+  SELECT d.vec_id, a.cent_id AS cell, d.v, d.nrm
+  FROM d JOIN assign a ON d.vec_id = a.vec_id AND a.rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SEM_TAU}
+),
+kept AS (
+  SELECT c.vec_id AS doc_id FROM cells c
+  LEFT JOIN dropped dr ON c.vec_id = dr.vec_id
+  WHERE dr.vec_id IS NULL
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS} AS bucket
+  FROM kept
+)
+SELECT f.doc_id, f.lang_pred, f.quality,
+       CASE WHEN b.bucket < {TRAIN_PCT} THEN 'train'
+            WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM filtered f JOIN b USING (doc_id)
+"""
 
 ORACLES = {
     "corpus_field_profile": f"""
@@ -874,6 +987,7 @@ SELECT doc_id, source, rk FROM (
   FROM documents
 ) WHERE rk <= {CAP_PER_SOURCE}
 """,
+    "corpus_curation_semantic": _CURATION_SEMANTIC_SQL,
     "corpus_curation": f"""
 WITH RECURSIVE
 wq AS (

@@ -144,3 +144,45 @@ def test_importance_plan_broadcasts_bag_models(docs):
     plan = importance_weights(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- curation composition --------------------------------------------------
+
+
+def test_curation_semantic_composes_filter_and_dedup(spark):
+    """corpus_curation_semantic == (lang+quality filter) ∩ (semantic
+    keepers over the FILTERED embeddings) — recomputed from the
+    standalone pieces — and the dedup stage is non-vacuous at sf0.01."""
+    from quacfka_service_spark.operators.corpus import (
+        KEEP_LANGS,
+        MIN_QUALITY,
+        corpus_curation_semantic,
+    )
+    from quacfka_service_spark.operators.text import lang_id, text_quality
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = corpus_curation_semantic(docs, emb).cache()
+
+    filtered = (
+        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id")
+        .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
+        .where(F.col("quality") >= MIN_QUALITY)
+        .select("doc_id")
+    )
+    fe = emb.join(
+        filtered.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    kept = (
+        semantic_dedup(fe).where(F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+    )
+    want = {r["doc_id"] for r in filtered.join(kept, "doc_id").collect()}
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == want
+    # non-vacuous both directions: the filter dropped docs AND the
+    # semantic stage dropped post-filter survivors
+    n_docs, n_filtered = docs.count(), filtered.count()
+    assert len(got) < n_filtered < n_docs
+    # splits present and exhaustive
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
