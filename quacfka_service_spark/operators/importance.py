@@ -44,15 +44,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
+from .split import BUCKETS, hash_bucket
 from .text import HASH_DIM, hash_features
 
 TARGET_MOD = 53  # every 53rd doc is "the target-domain sample" (~2%)
 
 
-def importance_weights(
+def _masses_with_totals(
     docs: DataFrame, dim: int = HASH_DIM, target_mod: int = TARGET_MOD
 ) -> DataFrame:
-    """Per-document DSIR-style importance weights (module docstring)."""
+    """(doc_id, t_mass, r_mass, t_total, r_total) — everything BIGINT,
+    the shared exact core of ``importance_weights`` and
+    ``dsir_resample``."""
     feats = hash_features(docs, dim)  # (doc_id, dim, weight) integer counts
     target_feats = feats.join(
         docs.where(F.col("doc_id") % target_mod == 1).select("doc_id"), "doc_id"
@@ -70,18 +73,59 @@ def importance_weights(
             F.sum(F.col("weight") * F.col("r_cnt")).alias("r_mass"),
         )
     )
-    return (
-        masses.crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
-        .select(
-            "doc_id",
-            "t_mass",
-            "r_mass",
-            (
-                (F.col("t_mass") * F.col("r_total")).cast("double")
-                / (F.col("r_mass") * F.col("t_total")).cast("double")
-            ).alias("weight"),
-        )
+    return masses.crossJoin(F.broadcast(t_total)).crossJoin(F.broadcast(r_total))
+
+
+def importance_weights(
+    docs: DataFrame, dim: int = HASH_DIM, target_mod: int = TARGET_MOD
+) -> DataFrame:
+    """Per-document DSIR-style importance weights (module docstring)."""
+    return _masses_with_totals(docs, dim, target_mod).select(
+        "doc_id",
+        "t_mass",
+        "r_mass",
+        (
+            (F.col("t_mass") * F.col("r_total")).cast("double")
+            / (F.col("r_mass") * F.col("t_total")).cast("double")
+        ).alias("weight"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    dim: int = HASH_DIM,
+    target_mod: int = TARGET_MOD,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """DSIR's second half: RESAMPLE the corpus by importance weight.
+    Each doc is kept with probability min(1, weight) — realized as the
+    deterministic md5-bucket rule (split.py's idiom) instead of RNG, so
+    the sample is reproducible row-for-row under any partitioning and
+    bit-checkable cross-engine.
+
+    keep  iff  bucket/buckets < weight  iff  (cross-multiplied, pure
+    BIGINT — no float compare anywhere):
+
+        bucket * r_mass * t_total  <  buckets * t_mass * r_total
+
+    Output: (doc_id, t_mass, r_mass, kept).  Docs more target-like
+    than average (weight >= 1) are always kept; the rest thin out
+    proportionally — the standard importance-resampling acceptance.
+
+    Scale note: the BIGINT product reaches ~buckets x r_mass x t_total;
+    at extreme corpus scale pre-divide the totals (they are global
+    constants) or move the rule to DECIMAL(38) — both engines overflow
+    loudly (ANSI / DuckDB), never silently."""
+    m = _masses_with_totals(docs, dim, target_mod)
+    b = hash_bucket(F.col("doc_id"), buckets)
+    return m.select(
+        "doc_id",
+        "t_mass",
+        "r_mass",
+        (
+            b * F.col("r_mass") * F.col("t_total")
+            < F.lit(buckets) * F.col("t_mass") * F.col("r_total")
+        ).alias("kept"),
     )
 
 
@@ -92,7 +136,14 @@ def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(load_table(spark, sf_dir, "documents"))
 
 
-QUERIES = {"corpus_importance_weights": _q_importance_weights}
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_resample(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "corpus_importance_weights": _q_importance_weights,
+    "corpus_dsir_resample": _q_dsir_resample,
+}
 
 ORACLES = {
     "corpus_importance_weights": f"""
@@ -127,6 +178,42 @@ masses AS (
 )
 SELECT doc_id, t_mass, r_mass,
        (t_mass * r_total)::DOUBLE / (r_mass * t_total)::DOUBLE AS weight
+FROM masses, tot
+""",
+    "corpus_dsir_resample": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT % {HASH_DIM}) AS dim,
+         count(*)::BIGINT AS weight
+  FROM toks WHERE tok IS NOT NULL AND tok <> ''
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT dim, sum(weight)::BIGINT AS t_cnt
+  FROM feats WHERE doc_id % {TARGET_MOD} = 1 GROUP BY dim
+),
+r AS (
+  SELECT dim, sum(weight)::BIGINT AS r_cnt FROM feats GROUP BY dim
+),
+tot AS (
+  SELECT (SELECT sum(t_cnt) FROM t)::BIGINT AS t_total,
+         (SELECT sum(r_cnt) FROM r)::BIGINT AS r_total
+),
+masses AS (
+  SELECT f.doc_id,
+         sum(f.weight * coalesce(t.t_cnt, 0))::BIGINT AS t_mass,
+         sum(f.weight * r.r_cnt)::BIGINT AS r_mass
+  FROM feats f LEFT JOIN t USING (dim) JOIN r USING (dim)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, t_mass, r_mass,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS})
+         * r_mass * t_total
+       < {BUCKETS} * t_mass * r_total AS kept
 FROM masses, tot
 """,
 }

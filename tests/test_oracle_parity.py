@@ -84,6 +84,12 @@ _MUST_BE_NONEMPTY = {
     "tokenizer_bpe_train", "tokenizer_bpe_encode",
     "multimodal_dedup", "corpus_field_profile", "corpus_interleave_shards",
     "embedding_pq_encode", "similarity_pq_adc_topk",
+    # round 6 new operators
+    "dedup_semantic", "corpus_importance_weights",
+    "similarity_pq_rerank_topk", "corpus_curation_semantic",
+    "corpus_dsir_resample",
+    "events_approx_distinct", "corpus_ngram_lm_score",
+    "corpus_nb_lang_classifier",
 }
 
 

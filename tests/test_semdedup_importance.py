@@ -186,3 +186,26 @@ def test_curation_semantic_composes_filter_and_dedup(spark):
     # splits present and exhaustive
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
+
+
+# --- DSIR resample ---------------------------------------------------------
+
+
+def test_dsir_resample_matches_weight_rule(docs):
+    """kept == (bucket/100 < weight) recomputed from importance_weights
+    + split.hash_bucket — and weight >= 1 docs are ALWAYS kept."""
+    from quacfka_service_spark.operators.importance import dsir_resample
+    from quacfka_service_spark.operators.split import hash_bucket
+
+    out = dsir_resample(docs).cache()
+    w = importance_weights(docs).withColumn("bucket", hash_bucket(F.col("doc_id")))
+    joined = out.join(w.select("doc_id", "weight", "bucket"), "doc_id")
+    # rule equivalence on the float form (exact: single-division doubles)
+    bad = joined.where(
+        F.col("kept") != (F.col("bucket") / F.lit(100.0) < F.col("weight"))
+    )
+    assert bad.count() == 0
+    assert joined.where((F.col("weight") >= 1.0) & ~F.col("kept")).count() == 0
+    # non-vacuous: thinning actually happened, and something survived
+    kept_n = out.where(F.col("kept")).count()
+    assert 0 < kept_n < out.count()
