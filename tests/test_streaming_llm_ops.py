@@ -191,3 +191,52 @@ def test_field_profile_over_streamed_lake_equals_batch(spark, tmp_path):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.count() == 5
+
+
+def test_semdedup_over_real_stream_equals_batch(spark, tmp_path):
+    """IncrementalSemanticDeduper wired into an actual readStream ->
+    foreachBatch pipeline (the rotated-file analog): after the stream
+    drains, result() must equal batch semantic_dedup over the full
+    corpus under the same frozen codebook — the end-to-end form of the
+    unit-level equality pins in test_incremental_semdedup.py."""
+    from quacfka_service_spark.operators.semdedup import (
+        seed_codebook,
+        semantic_dedup,
+    )
+    from quacfka_service_spark.session import load_table
+    from quacfka_service_spark.streaming.incremental_semdedup import (
+        IncrementalSemanticDeduper,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = seed_codebook(emb)
+    src_dir = str(tmp_path / "emb_src")
+    emb.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    dd = IncrementalSemanticDeduper(str(tmp_path / "sd"), cb)
+    epochs = []
+
+    def _body(batch_df, epoch_id):
+        epochs.append(epoch_id)
+        dd.process_batch(batch_df, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(epochs) > 1, "stream must have produced multiple micro-batches"
+
+    got = sorted((r["vec_id"], r["cell"], r["kept"]) for r in dd.result(spark).collect())
+    want = sorted(
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in semantic_dedup(emb, centroids=cb).collect()
+    )
+    assert len(want) == emb.count()
+    assert got == want
