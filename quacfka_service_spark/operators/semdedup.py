@@ -179,7 +179,14 @@ def semantic_dedup(
     """(vec_id, cell, kept): kept=false iff some lower-vec_id vector in
     the same cell is within cosine >= threshold (see module
     docstring)."""
-    cells = assign_cells(emb, n_clusters, kmeans, centroids)
+    # The assignment subtree (broadcast codebook scan + argmax window)
+    # feeds THREE consumers — both pair-join sides and the output
+    # projection.  Without a materialization barrier Catalyst re-executes
+    # it per consumer (3x the dominant map cost at scale); a lazy
+    # localCheckpoint computes it once (minhash_estimate's sig idiom).
+    cells = assign_cells(emb, n_clusters, kmeans, centroids).localCheckpoint(
+        eager=False
+    )
     dropped = drop_edges(cells, cells, threshold)
     return (
         cells.select("vec_id", "cell")

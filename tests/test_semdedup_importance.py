@@ -93,9 +93,13 @@ def test_semdedup_kmeans_path_runs(emb):
 
 def test_semdedup_plan_broadcasts_codebook(emb):
     """The centroid side of the assignment join must broadcast — a
-    shuffled nested-loop over the corpus x k would not survive 100 TB."""
-    plan = semantic_dedup(emb)._jdf.queryExecution().executedPlan().toString()
+    shuffled nested-loop over the corpus x k would not survive 100 TB.
+    Pinned on assign_cells (semantic_dedup localCheckpoints it, which
+    collapses the subtree out of the final plan — by design: three
+    consumers, one materialization)."""
+    plan = assign_cells(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
 
 
 # --- importance weights ----------------------------------------------------
