@@ -129,11 +129,79 @@ def dsir_resample(
     )
 
 
+def drift_tv(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """Per-source distribution drift: total-variation distance between
+    each source's hashed-token distribution and the corpus-wide one —
+    the dashboard a corpus release runs to catch a source whose
+    content shifted (scraper broke, boilerplate flooded in, language
+    mix moved) before it trains a model.
+
+    TV(p, q) = 1/2 * sum_f |p_f - q_f| over the 64 hashed dims.  With
+    p_f = s_f/S (source counts) and q_f = c_f/C (corpus counts), the
+    statistic is sum_f |s_f*C - c_f*S| / (2*S*C): numerator and
+    denominator are exact BIGINTs, emitted alongside their single-
+    division double — the same exactness contract as the importance
+    weights.  TV is in [0, 1]: 0 = identical distribution, 1 =
+    disjoint support.
+
+    100 TB shape: one explode -> map-side-combined (source, dim) count
+    (the corpus-wide counts derive from the SAME aggregate — no second
+    scan); the |sources| x 64 matrix is broadcast-sized; everything
+    after the first agg is driver-trivial arithmetic kept distributed
+    only for uniformity."""
+    toks = docs.select(
+        "source", F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    d = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    sd = toks.select("source", d.alias("dim")).groupBy("source", "dim").agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    cd = sd.groupBy("dim").agg(F.sum("s_cnt").alias("c_cnt"))
+    s_tot = sd.groupBy("source").agg(F.sum("s_cnt").alias("s_total"))
+    c_tot = cd.agg(F.sum("c_cnt").alias("c_total"))
+    # a source may have zero mass on a dim the corpus has: right-join
+    # the dim universe per source so |0*C - c_f*S| terms still count.
+    grid = s_tot.crossJoin(F.broadcast(cd))
+    full = grid.join(sd, ["source", "dim"], "left").select(
+        "source",
+        "s_total",
+        "c_cnt",
+        F.coalesce(F.col("s_cnt"), F.lit(0).cast("long")).alias("s_cnt"),
+    )
+    return (
+        full.crossJoin(F.broadcast(c_tot))
+        .groupBy("source", "s_total", "c_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("s_cnt") * F.col("c_total") - F.col("c_cnt") * F.col("s_total"))
+            ).alias("tv_num")
+        )
+        .select(
+            "source",
+            "s_total",
+            "tv_num",
+            (
+                F.col("tv_num").cast("double")
+                / (F.lit(2).cast("long") * F.col("s_total") * F.col("c_total")).cast(
+                    "double"
+                )
+            ).alias("tv"),
+        )
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
 def _q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(load_table(spark, sf_dir, "documents"))
+
+
+def _q_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_tv(load_table(spark, sf_dir, "documents"))
 
 
 def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +211,7 @@ def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "corpus_importance_weights": _q_importance_weights,
     "corpus_dsir_resample": _q_dsir_resample,
+    "corpus_drift_tv": _q_drift_tv,
 }
 
 ORACLES = {
@@ -215,5 +284,32 @@ SELECT doc_id, t_mass, r_mass,
          * r_mass * t_total
        < {BUCKETS} * t_mass * r_total AS kept
 FROM masses, tot
+""",
+    "corpus_drift_tv": f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+sd AS (
+  SELECT source,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT % {HASH_DIM}) AS dim,
+         count(*)::BIGINT AS s_cnt
+  FROM toks WHERE tok IS NOT NULL AND tok <> ''
+  GROUP BY 1, 2
+),
+cd AS (SELECT dim, sum(s_cnt)::BIGINT AS c_cnt FROM sd GROUP BY dim),
+s_tot AS (SELECT source, sum(s_cnt)::BIGINT AS s_total FROM sd GROUP BY source),
+c_tot AS (SELECT sum(c_cnt)::BIGINT AS c_total FROM cd),
+grid AS (SELECT st.source, st.s_total, cd.dim, cd.c_cnt FROM s_tot st CROSS JOIN cd),
+fullg AS (
+  SELECT g.source, g.s_total, g.c_cnt, coalesce(sd.s_cnt, 0)::BIGINT AS s_cnt
+  FROM grid g LEFT JOIN sd ON g.source = sd.source AND g.dim = sd.dim
+)
+SELECT source, s_total,
+       sum(abs(s_cnt * c_total - c_cnt * s_total))::BIGINT AS tv_num,
+       sum(abs(s_cnt * c_total - c_cnt * s_total))::DOUBLE
+         / (2 * s_total * c_total)::DOUBLE AS tv
+FROM fullg, c_tot
+GROUP BY source, s_total, c_total
 """,
 }

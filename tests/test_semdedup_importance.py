@@ -213,3 +213,36 @@ def test_dsir_resample_matches_weight_rule(docs):
     # non-vacuous: thinning actually happened, and something survived
     kept_n = out.where(F.col("kept")).count()
     assert 0 < kept_n < out.count()
+
+
+# --- drift TV --------------------------------------------------------------
+
+
+def test_drift_tv_bounds_and_coverage(docs):
+    from quacfka_service_spark.operators.importance import drift_tv
+
+    out = drift_tv(docs).cache()
+    n_sources = docs.select("source").distinct().count()
+    assert out.count() == n_sources
+    bad = out.where((F.col("tv") < 0.0) | (F.col("tv") > 1.0))
+    assert bad.count() == 0
+
+
+def test_drift_tv_separates_shifted_source(spark):
+    """A source drawing from a disjoint vocabulary must score a higher
+    TV than a source matching the corpus blend — the drift signal the
+    operator exists for."""
+    from quacfka_service_spark.operators.importance import drift_tv
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "alpha beta gamma delta", "steady"))
+    for i in range(60, 120):
+        rows.append((i, "alpha beta gamma delta", "steady2"))
+    for i in range(120, 150):
+        rows.append((i, "zork quux blorp frotz", "drifted"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tv = {r["source"]: r["tv"] for r in drift_tv(docs).collect()}
+    assert tv["drifted"] > tv["steady"]
+    assert tv["drifted"] > 0.5
+    assert tv["steady"] == tv["steady2"]  # identical distributions tie exactly
