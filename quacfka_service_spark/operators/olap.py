@@ -182,19 +182,11 @@ def hll_registers(ev: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
-def hll_distinct(ev: DataFrame) -> DataFrame:
-    """Distinct users per event_type via the from-scratch HLL above —
-    estimate + register checksum, both value-checkable cross-engine.
-
-    Exactness discipline: the register sum Σ 2^-r is accumulated as
-    Σ 2^(53-r) in DECIMAL(38,0) (every term an exact integer, so
-    accumulation order cannot perturb a float), converted to double
-    ONCE at the end; alpha_m*m^2 is a shared literal (HLL_ALPHA_MM);
-    the linear-counting branch (raw <= 2.5m and empty buckets exist)
-    is the classic Flajolet correction.  ``registers_md5`` pins the
-    ENTIRE sketch byte-exactly — even if the rounded estimate could
-    mask an off-by-one register, the checksum cannot."""
-    regs = hll_registers(ev)
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Estimate tail over a register table (event_type, bucket, r) —
+    shared verbatim by batch ``hll_distinct`` and the streaming
+    ``IncrementalHLL`` so the two provably run the same plan over the
+    same registers."""
     agg = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("nonzero_buckets"),
         F.sum(F.expr("cast(shiftleft(1L, 53 - r) as decimal(38,0))")).alias("sp"),
@@ -224,6 +216,21 @@ def hll_distinct(ev: DataFrame) -> DataFrame:
         "nonzero_buckets",
         "registers_md5",
     )
+
+
+def hll_distinct(ev: DataFrame) -> DataFrame:
+    """Distinct users per event_type via the from-scratch HLL above —
+    estimate + register checksum, both value-checkable cross-engine.
+
+    Exactness discipline: the register sum Σ 2^-r is accumulated as
+    Σ 2^(53-r) in DECIMAL(38,0) (every term an exact integer, so
+    accumulation order cannot perturb a float), converted to double
+    ONCE at the end; alpha_m*m^2 is a shared literal (HLL_ALPHA_MM);
+    the linear-counting branch (raw <= 2.5m and empty buckets exist)
+    is the classic Flajolet correction.  ``registers_md5`` pins the
+    ENTIRE sketch byte-exactly — even if the rounded estimate could
+    mask an off-by-one register, the checksum cannot."""
+    return hll_estimate(hll_registers(ev))
 
 
 HIST_WIDTH = 25

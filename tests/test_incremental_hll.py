@@ -1,0 +1,59 @@
+"""Incremental HLL (streaming/incremental_hll.py): estimate() after
+any sequence of batches must equal batch hll_distinct over the union —
+estimate, nonzero_buckets AND register checksum — replays and
+compaction included (register max-merge is associative/idempotent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.olap import hll_distinct
+from quacfka_service_spark.session import load_table
+from quacfka_service_spark.streaming.incremental_hll import IncrementalHLL
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r["event_type"], r["hll_users"], r["nonzero_buckets"], r["registers_md5"])
+        for r in df.collect()
+    )
+
+
+def test_incremental_hll_equals_batch_over_union(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    want = _rows(hll_distinct(ev))
+    assert len(want) > 0
+
+    sk = IncrementalHLL(str(tmp_path / "hll"))
+    for epoch in range(3):
+        sk.process_batch(ev.where(F.col("user_id") % 3 == epoch), epoch)
+    assert _rows(sk.estimate(spark)) == want
+
+    # replayed epoch: version unchanged, estimate unchanged
+    v = sk.regs.latest_version()
+    sk.process_batch(ev.where(F.col("user_id") % 3 == 1), 1)
+    assert sk.regs.latest_version() == v
+    assert _rows(sk.estimate(spark)) == want
+
+
+def test_incremental_hll_batching_invariance_and_compaction(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    want = _rows(hll_distinct(ev))
+
+    sk = IncrementalHLL(str(tmp_path / "hll2"))
+    sk.process_batch(ev.where(F.col("event_id") % 2 == 0), 0)
+    sk.process_batch(ev.where(F.col("event_id") % 2 == 1), 1)
+    assert _rows(sk.estimate(spark)) == want
+
+    # compaction folds history to one row per register, same estimate
+    n_before = sk.regs.read(spark).count()
+    sk.compact(spark)
+    merged = sk.regs.read(spark)
+    assert merged.count() <= n_before
+    assert (
+        merged.groupBy("event_type", "bucket").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    assert _rows(sk.estimate(spark)) == want
