@@ -14,7 +14,7 @@ want at 100 TB.  Pivot compiles to conditional aggregates (one
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import extract_hour, to_day_date
@@ -233,6 +233,91 @@ def hll_distinct(ev: DataFrame) -> DataFrame:
     return hll_estimate(hll_registers(ev))
 
 
+# --- Count-Min Sketch (frequency twin of the HLL above) --------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # counters per row
+CMS_TOP_K = 10
+
+
+def _cms_col(key_col, row: int) -> object:
+    """Counter column for hash row ``row``: md5('{row}:' || key) first
+    8 hex chars mod CMS_W — the same engine-portable md5-bucket kernel
+    as split.hash_bucket / text.hash_features, salted per row so the d
+    hash functions are independent."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), key_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def cms_counters(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(row, col, n): deterministic Count-Min Sketch counters (Cormode &
+    Muthukrishnan 2005) — built from scratch in column algebra like the
+    HLL registers, so DuckDB reproduces them bit-exactly.  Counters are
+    SUM-mergeable across any partitioning of the input (epochs, shards,
+    streams): the frequency twin of the HLL's max-mergeable registers.
+
+    100 TB shape: one map-side fan-out of d=4 (row, col) pairs per
+    event -> ONE partial-aggregated shuffle carrying at most d x w
+    (4096) pre-combined rows per task — the exchange is sketch-sized,
+    not data-sized, where an exact per-key count shuffles every key."""
+    kc = F.col(key)
+    fan = ev.select(
+        F.posexplode(
+            F.array(*[_cms_col(kc, i) for i in range(CMS_D)])
+        ).alias("row", "col")
+    )
+    return fan.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_heavy_hitters(
+    ev: DataFrame, key: str = "user_id", k: int = CMS_TOP_K
+) -> DataFrame:
+    """Heavy hitters with their CMS estimates: the exact top-``k`` keys
+    by event count (ties -> lower key) next to the sketch's point-query
+    estimate (min over the d counters).  CMS only ever OVER-counts, so
+    ``cms_n >= true_n`` always — pinned in tests and visible in the
+    driver-checked values; the estimate-vs-truth gap IS the sketch-
+    quality report, the same continuously-verified form
+    dedup_minhash_estimate gives MinHash and similarity_recall_report
+    gives ANN.
+
+    The candidate set here is the exact top-k (verifiable); production
+    gets candidates from per-partition pre-filters and uses the SAME
+    point-query join.  100 TB shape: the sketch is one sketch-sized
+    aggregate; the probe explodes k x d rows and equi-joins the 4096-row
+    counter table (broadcast)."""
+    counters = cms_counters(ev, key)
+    top = (
+        ev.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("true_n"), F.asc(key))
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    probes = top.select(
+        key,
+        "true_n",
+        "rank",
+        F.posexplode(
+            F.array(*[_cms_col(F.col(key), i) for i in range(CMS_D)])
+        ).alias("row", "col"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy(key, "true_n", "rank")
+        .agg(F.min("n").alias("cms_n"))
+        .select(key, "true_n", "cms_n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 HIST_WIDTH = 25
 
 
@@ -408,6 +493,10 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_events_with_day(spark, sf_dir))
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(load_table(spark, sf_dir, "events"))
 
 
 def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +778,7 @@ QUERIES = {
     "events_json_extract": _q_json,
     "events_topk_per_group": _q_topk,
     "events_approx_distinct": _q_approx_distinct,  # from-scratch HLL, hash-checked
+    "events_cms_heavy_hitters": _q_cms_heavy_hitters,  # from-scratch CMS, r6
     "events_gap_fill": _q_gap_fill,
     "events_window_analytics": _q_window_analytics,
     "events_spike_hours": _q_spike_hours,
@@ -744,6 +834,31 @@ FROM (SELECT *,
              {HLL_ALPHA_MM} / (CAST(sp AS DOUBLE) / 9007199254740992.0
                                + CAST({HLL_M} - nonzero_buckets AS DOUBLE)) AS raw
       FROM agg)
+""",
+    "events_cms_heavy_hitters": f"""
+WITH fan AS (
+  SELECT t.row,
+         ('0x' || substr(md5(t.row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+           % {CMS_W} AS col
+  FROM events, generate_series(0, {CMS_D} - 1) AS t(row)
+),
+counters AS (SELECT row, col, count(*)::BIGINT AS n FROM fan GROUP BY 1, 2),
+top AS (
+  SELECT user_id, true_n, rank FROM (
+    SELECT user_id, count(*)::BIGINT AS true_n,
+           row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+    FROM events GROUP BY user_id
+  ) WHERE rank <= {CMS_TOP_K}
+),
+probes AS (
+  SELECT top.user_id, top.true_n, top.rank, t.row,
+         ('0x' || substr(md5(t.row::VARCHAR || ':' || top.user_id::VARCHAR), 1, 8))::BIGINT
+           % {CMS_W} AS col
+  FROM top, generate_series(0, {CMS_D} - 1) AS t(row)
+)
+SELECT p.user_id, p.true_n, min(c.n)::BIGINT AS cms_n, p.rank::BIGINT AS rank
+FROM probes p JOIN counters c ON p.row = c.row AND p.col = c.col
+GROUP BY p.user_id, p.true_n, p.rank
 """,
     "events_inter_arrival": """
 WITH g AS (

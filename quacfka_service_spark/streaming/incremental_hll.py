@@ -78,3 +78,40 @@ class IncrementalHLL:
         epoch count."""
         merged = self._merged(spark).localCheckpoint(eager=True)
         return self.regs.overwrite(merged)
+
+
+class IncrementalCMS:
+    """Streaming Count-Min Sketch — the frequency twin of
+    ``IncrementalHLL``: counters SUM-merge where registers max-merge,
+    everything else is the same txlog shape.  ``heavy_hitters()``
+    point-queries the merged sketch for a caller-supplied candidate
+    frame (vec of keys) with the SAME d-hash min the batch operator
+    uses.  Pinned: merged counters == batch ``cms_counters`` over the
+    union for any batching; replay no-op.  NOTE compact() is NOT
+    replay-safe interleaved with appends of the same epoch window —
+    run it between epochs, like OPTIMIZE."""
+
+    APP_ID = "incremental-cms"
+
+    def __init__(self, root: str, key: str = "user_id"):
+        self.counters = TxTable(f"{root}/counters")
+        self.key = key
+
+    def process_batch(self, ev: DataFrame, epoch: int) -> int:
+        from ..operators.olap import cms_counters
+
+        return self.counters.append(
+            cms_counters(ev, self.key),
+            txn={"app_id": self.APP_ID, "epoch": epoch},
+        )
+
+    def merged(self, spark: SparkSession) -> DataFrame:
+        return (
+            self.counters.read(spark)
+            .groupBy("row", "col")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def compact(self, spark: SparkSession) -> int:
+        folded = self.merged(spark).localCheckpoint(eager=True)
+        return self.counters.overwrite(folded)

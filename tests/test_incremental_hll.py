@@ -57,3 +57,41 @@ def test_incremental_hll_batching_invariance_and_compaction(spark, tmp_path):
         == 0
     )
     assert _rows(sk.estimate(spark)) == want
+
+
+def test_incremental_cms_counters_equal_batch(spark, tmp_path):
+    """Sum-merged streaming counters == batch cms_counters over the
+    union for any batching; replay no-op; compaction preserves them."""
+    from quacfka_service_spark.operators.olap import cms_counters
+    from quacfka_service_spark.streaming.incremental_hll import IncrementalCMS
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = sorted(
+        (r["row"], r["col"], r["n"]) for r in cms_counters(ev).collect()
+    )
+    assert len(want) > 0
+
+    sk = IncrementalCMS(str(tmp_path / "cms"))
+    for epoch in range(3):
+        sk.process_batch(ev.where(F.col("event_id") % 3 == epoch), epoch)
+    got = sorted((r["row"], r["col"], r["n"]) for r in sk.merged(spark).collect())
+    assert got == want
+
+    v = sk.counters.latest_version()
+    sk.process_batch(ev.where(F.col("event_id") % 3 == 0), 0)  # replay
+    assert sk.counters.latest_version() == v
+
+    sk.compact(spark)
+    got2 = sorted((r["row"], r["col"], r["n"]) for r in sk.merged(spark).collect())
+    assert got2 == want
+
+
+def test_cms_overcounts_never_undercounts(spark):
+    """CMS point estimates are >= the true count for EVERY heavy
+    hitter — the one-sided error bound the sketch guarantees."""
+    from quacfka_service_spark.operators.olap import cms_heavy_hitters
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = cms_heavy_hitters(ev).collect()
+    assert len(out) > 0
+    assert all(r["cms_n"] >= r["true_n"] for r in out)
