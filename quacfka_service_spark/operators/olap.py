@@ -233,6 +233,76 @@ def hll_distinct(ev: DataFrame) -> DataFrame:
     return hll_estimate(hll_registers(ev))
 
 
+def hll_set_algebra(ev: DataFrame) -> DataFrame:
+    """Sketch set-algebra: for every event_type pair (a < b), the HLL
+    estimates of |users(a)|, |users(b)|, their UNION (max-merged
+    registers — the merge HLL is exact for) and the inclusion-exclusion
+    INTERSECTION estimate |a| + |b| - |a ∪ b|.  The cross-segment
+    overlap matrix every analytics team wants, computed entirely on
+    sketches — at 100 TB the alternative (exact pairwise distinct
+    intersections) shuffles every (user, type-pair) combination.
+
+    Register max-merge + the shared ``hll_estimate`` tail keep the
+    whole thing engine-exact: the union registers of (a, b) are
+    max(r_a, r_b) per bucket, a pure column op over the one register
+    table.  |types|^2/2 pairs x 4096 registers stay broadcast-sized.
+    Intersection can round slightly negative at tiny overlaps (standard
+    HLL inclusion-exclusion behavior) — clamped at 0, same clamp both
+    engines."""
+    regs = hll_registers(ev).localCheckpoint(eager=False)  # 3 consumers
+    est = hll_estimate(regs).select(
+        "event_type", F.col("hll_users").alias("est")
+    )
+    # union registers per pair: tag each type's registers with every
+    # pair it belongs to, union the two tagged streams, max per bucket
+    # (a bucket present in only one side contributes its register
+    # unchanged — exactly the HLL merge).
+    types = regs.select(F.col("event_type").alias("t")).distinct()
+    ta = types.select(F.col("t").alias("type_a"))
+    tb = types.select(F.col("t").alias("type_b"))
+    pairs = ta.crossJoin(tb).where(F.col("type_a") < F.col("type_b"))
+    tagged_a = pairs.join(
+        regs.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "bucket", "r")
+    tagged_b = pairs.join(
+        regs.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "bucket", "r")
+    union_regs = (
+        tagged_a.unionByName(tagged_b)
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("r").alias("r"))
+        .select(
+            F.concat_ws("|", "type_a", "type_b").alias("event_type"), "bucket", "r"
+        )
+    )
+    union_est = hll_estimate(union_regs).select(
+        F.split(F.col("event_type"), r"\|")[0].alias("type_a"),
+        F.split(F.col("event_type"), r"\|")[1].alias("type_b"),
+        F.col("hll_users").alias("est_union"),
+    )
+    ea = est.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    eb = est.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    return (
+        union_est.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def _q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_set_algebra(load_table(spark, sf_dir, "events"))
+
+
 # --- Count-Min Sketch (frequency twin of the HLL above) --------------------
 
 CMS_D = 4      # hash rows
@@ -779,6 +849,7 @@ QUERIES = {
     "events_topk_per_group": _q_topk,
     "events_approx_distinct": _q_approx_distinct,  # from-scratch HLL, hash-checked
     "events_cms_heavy_hitters": _q_cms_heavy_hitters,  # from-scratch CMS, r6
+    "events_hll_set_algebra": _q_hll_set_algebra,      # sketch set-algebra, r6
     "events_gap_fill": _q_gap_fill,
     "events_window_analytics": _q_window_analytics,
     "events_spike_hours": _q_spike_hours,
@@ -834,6 +905,73 @@ FROM (SELECT *,
              {HLL_ALPHA_MM} / (CAST(sp AS DOUBLE) / 9007199254740992.0
                                + CAST({HLL_M} - nonzero_buckets AS DOUBLE)) AS raw
       FROM agg)
+""",
+    "events_hll_set_algebra": f"""
+WITH parts AS (
+  SELECT event_type,
+         (instr('{_HEX}', substring(hx, 1, 1)) - 1) * 256
+       + (instr('{_HEX}', substring(hx, 2, 1)) - 1) * 16
+       + (instr('{_HEX}', substring(hx, 3, 1)) - 1) AS bucket,
+         substring(hx, 4, 13) AS rest
+  FROM (SELECT event_type, md5(user_id::VARCHAR) AS hx FROM events)
+), rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN z = 13 THEN 53
+              ELSE z * 4
+                 + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                        WHEN v >= 2 THEN 2 ELSE 3 END
+                 + 1
+         END AS rho
+  FROM (
+    SELECT event_type, bucket,
+           length(regexp_extract(rest, '^(0*)', 1)) AS z,
+           instr('{_HEX}', substring(rest, length(regexp_extract(rest, '^(0*)', 1)) + 1, 1)) - 1 AS v
+    FROM parts)
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2
+), est AS (
+  SELECT event_type,
+         CAST(round(CASE WHEN raw <= 2.5 * {HLL_M} AND ({HLL_M} - nonzero_buckets) > 0
+                         THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - nonzero_buckets AS DOUBLE))
+                         ELSE raw END) AS BIGINT) AS est
+  FROM (
+    SELECT event_type, nonzero_buckets,
+           {HLL_ALPHA_MM} / (CAST(sp AS DOUBLE) / 9007199254740992.0
+                             + CAST({HLL_M} - nonzero_buckets AS DOUBLE)) AS raw
+    FROM (SELECT event_type, count(*)::BIGINT AS nonzero_buckets,
+                 sum(1::HUGEINT << (53 - r)) AS sp
+          FROM regs GROUP BY 1))
+), prs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM regs) a,
+       (SELECT DISTINCT event_type FROM regs) b
+  WHERE a.event_type < b.event_type
+), tagged AS (
+  SELECT p.type_a, p.type_b, r.bucket, r.r
+  FROM prs p JOIN regs r ON r.event_type = p.type_a
+  UNION ALL
+  SELECT p.type_a, p.type_b, r.bucket, r.r
+  FROM prs p JOIN regs r ON r.event_type = p.type_b
+), union_regs AS (
+  SELECT type_a, type_b, bucket, max(r) AS r FROM tagged GROUP BY 1, 2, 3
+), union_est AS (
+  SELECT type_a, type_b,
+         CAST(round(CASE WHEN raw <= 2.5 * {HLL_M} AND ({HLL_M} - nonzero_buckets) > 0
+                         THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - nonzero_buckets AS DOUBLE))
+                         ELSE raw END) AS BIGINT) AS est_union
+  FROM (
+    SELECT type_a, type_b, nonzero_buckets,
+           {HLL_ALPHA_MM} / (CAST(sp AS DOUBLE) / 9007199254740992.0
+                             + CAST({HLL_M} - nonzero_buckets AS DOUBLE)) AS raw
+    FROM (SELECT type_a, type_b, count(*)::BIGINT AS nonzero_buckets,
+                 sum(1::HUGEINT << (53 - r)) AS sp
+          FROM union_regs GROUP BY 1, 2))
+)
+SELECT u.type_a, u.type_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+       greatest(0, ea.est + eb.est - u.est_union)::BIGINT AS est_intersection
+FROM union_est u
+JOIN est ea ON ea.event_type = u.type_a
+JOIN est eb ON eb.event_type = u.type_b
 """,
     "events_cms_heavy_hitters": f"""
 WITH fan AS (

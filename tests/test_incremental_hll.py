@@ -95,3 +95,47 @@ def test_cms_overcounts_never_undercounts(spark):
     out = cms_heavy_hitters(ev).collect()
     assert len(out) > 0
     assert all(r["cms_n"] >= r["true_n"] for r in out)
+
+
+def test_hll_set_algebra_bounds_and_accuracy(spark):
+    """Union dominates both sides (register max-merge is monotone),
+    intersections are non-negative, every type pair appears once, and
+    the sketch union stays within 10% of the exact union (HLL's m=4096
+    standard error is ~1.6%)."""
+    from quacfka_service_spark.operators.olap import hll_set_algebra
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = hll_set_algebra(ev).collect()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) == n_types * (n_types - 1) // 2
+    for r in out:
+        assert r["est_union"] >= max(r["est_a"], r["est_b"])
+        assert r["est_intersection"] >= 0
+
+    exact = {
+        (r["type_a"], r["type_b"]): r["n"]
+        for r in (
+            ev.select(F.col("event_type").alias("type_a"), "user_id")
+            .join(
+                ev.select(F.col("event_type").alias("type_b"), "user_id"),
+                "user_id",
+            )
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+    }
+    exact_card = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out:
+        true_union = (
+            exact_card[r["type_a"]]
+            + exact_card[r["type_b"]]
+            - exact.get((r["type_a"], r["type_b"]), 0)
+        )
+        assert abs(r["est_union"] - true_union) / true_union < 0.10
