@@ -73,3 +73,44 @@ def test_token_coverage_random_corpora_match_bruteforce(spark):
         got = {r.pct: (r.vocab_size, r.cum_tokens)
                for r in token_coverage(docs).collect()}
         assert got == _ref_coverage(freqs), (case, freqs)
+
+
+def _md5_bucket(s: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+
+def test_cms_counters_random_streams_match_reference(spark):
+    """CMS counters == a brute-force dict over the same md5 kernel, and
+    every point estimate (min over d rows) >= the true count — random
+    key streams with planted heavy hitters."""
+    import random
+    from collections import Counter
+
+    from quacfka_service_spark.operators.olap import CMS_D, CMS_W, cms_counters
+
+    rng = random.Random(1306)
+    for case in range(3):
+        keys = []
+        for hh in range(3):  # planted heavy hitters
+            keys += [1000 + hh] * rng.randrange(20, 60)
+        keys += [rng.randrange(2000, 4000) for _ in range(rng.randrange(50, 150))]
+        rng.shuffle(keys)
+        ev = spark.createDataFrame([(k,) for k in keys], "user_id long")
+
+        want = Counter()
+        for k in keys:
+            for row in range(CMS_D):
+                want[(row, _md5_bucket(f"{row}:{k}", CMS_W))] += 1
+        got = {
+            (r["row"], r["col"]): r["n"] for r in cms_counters(ev).collect()
+        }
+        assert got == dict(want)
+
+        true_n = Counter(keys)
+        for k, n in true_n.items():
+            est = min(
+                got[(row, _md5_bucket(f"{row}:{k}", CMS_W))] for row in range(CMS_D)
+            )
+            assert est >= n
