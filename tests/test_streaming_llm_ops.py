@@ -240,3 +240,45 @@ def test_semdedup_over_real_stream_equals_batch(spark, tmp_path):
     )
     assert len(want) == emb.count()
     assert got == want
+
+
+def test_hll_over_real_stream_equals_batch(spark, tmp_path):
+    """IncrementalHLL wired into readStream -> foreachBatch over the
+    events table (3-file rotated-lake analog): after the stream drains,
+    estimate() equals batch hll_distinct over the full corpus —
+    estimate, nonzero_buckets AND register checksum."""
+    from quacfka_service_spark.operators.olap import hll_distinct
+    from quacfka_service_spark.session import load_table
+    from quacfka_service_spark.streaming.incremental_hll import IncrementalHLL
+
+    ev = load_table(spark, SF_DIR, "events")
+    src_dir = str(tmp_path / "ev_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sk = IncrementalHLL(str(tmp_path / "hll"))
+    epochs = []
+
+    def _body(batch_df, epoch_id):
+        epochs.append(epoch_id)
+        sk.process_batch(batch_df, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(epochs) > 1
+
+    def rows(df):
+        return sorted(
+            (r["event_type"], r["hll_users"], r["nonzero_buckets"], r["registers_md5"])
+            for r in df.collect()
+        )
+
+    assert rows(sk.estimate(spark)) == rows(hll_distinct(ev))
