@@ -370,6 +370,50 @@ def main() -> None:
     lake_demo["zorder_uid_range_after"] = len(zt.live_files(ranges={"user_id": uid_probe}))
     lake_demo["zorder_rows"] = n_ev
 
+    # incremental-vs-batch demo — the streaming twins' scale claim as
+    # NUMBERS: after 90% of the data is already ingested, the cost of
+    # absorbing the LAST 10% epoch should be far below a full batch
+    # recompute (the "never rescan the corpus" contract of
+    # incremental_semdedup / incremental_hll).
+    from quacfka_service_spark.operators.olap import hll_distinct
+    from quacfka_service_spark.operators.semdedup import (
+        seed_codebook,
+        semantic_dedup,
+    )
+    from quacfka_service_spark.streaming.incremental_hll import IncrementalHLL
+    from quacfka_service_spark.streaming.incremental_semdedup import (
+        IncrementalSemanticDeduper,
+    )
+
+    incr = {}
+    emb_t = load_table(spark, SF_DIR, "embeddings")
+    cb = seed_codebook(emb_t)
+    t0 = time.perf_counter()
+    semantic_dedup(emb_t, centroids=cb).count()
+    incr["semdedup_batch_sec"] = round(time.perf_counter() - t0, 3)
+    dd = IncrementalSemanticDeduper(
+        tempfile.mkdtemp(prefix="bench_incr_") + "/sd", cb
+    )
+    dd.process_batch(emb_t.where(Fn.pmod("vec_id", Fn.lit(10)) != 0), 0)
+    t0 = time.perf_counter()
+    dd.process_batch(emb_t.where(Fn.pmod("vec_id", Fn.lit(10)) == 0), 1)
+    incr["semdedup_epoch_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    hll_distinct(ev).count()
+    incr["hll_batch_sec"] = round(time.perf_counter() - t0, 3)
+    sk = IncrementalHLL(tempfile.mkdtemp(prefix="bench_incr_") + "/hll")
+    sk.process_batch(ev.where(Fn.pmod("event_id", Fn.lit(10)) != 0), 0)
+    t0 = time.perf_counter()
+    sk.process_batch(ev.where(Fn.pmod("event_id", Fn.lit(10)) == 0), 1)
+    incr["hll_epoch_sec"] = round(time.perf_counter() - t0, 3)
+    incr["note"] = (
+        "epoch cost = absorbing the LAST 10% with 90% already ingested "
+        "(txlog-backed state); batch cost = full recompute over 100%. "
+        "At a fixed epoch size the epoch cost is flat while batch "
+        "recompute grows with the corpus."
+    )
+
     # self-audit vs DuckDB (judge r1 measured this by hand; now the
     # bench emits it): run each timed query's own oracle_sql() in DuckDB
     # (threads=CPUS, UTC) over the same parquet, best of 2 via fetchall.
@@ -461,6 +505,7 @@ def main() -> None:
         ),
         "skew_demo": skew,
         "lake_demo": lake_demo,
+        "incremental_demo": incr,
         "duckdb_oracle_sec": duck,
         "duckdb_total_sec": round(oracled_duck, 3),
         "spark_vs_duckdb_oracled": (
