@@ -1,0 +1,184 @@
+"""Time-series subsequence similarity (motif search) over the event
+stream.
+
+"Time Series Similarity Search for Streaming Data in Distributed
+Systems" (EDBT 2019, PAPERS.md) frames the ops gap this fills: given
+the per-type hourly activity series, find the historical windows most
+similar to the CURRENT window — the "when did traffic last look like
+this?" query behind incident triage, seasonality mining and anomaly
+explanation.
+
+Semantics (deterministic, exact-oracled):
+
+- series        per event_type: hourly sums of ``value`` in
+                DECIMAL(18,6) (exact under any partial-agg order),
+                ordered by hour, densified to observed hours (index =
+                position in the sorted hour list).
+- query window  the LAST ``window`` points of each type's series.
+- candidates    every earlier start with no overlap with the query
+                window (start <= n - 2*window + 1).
+- distance      z-normalized Euclidean: both windows are centered and
+                scaled by their own mean/std before the pointwise
+                distance — the standard shape-similarity measure (raw
+                Euclidean just clusters by magnitude).  Windows with
+                zero variance are skipped (shape undefined), same
+                guard both engines.
+- output        top-``k`` starts per type, ties broken by start index.
+
+Float-parity discipline: every sum is a sequential F.aggregate fold
+over an ordered slice (bit-identical to DuckDB's list_reduce with a
+prepended zero seed); mean/var/distance are then scalar IEEE ops on
+identical doubles, so the driver hash-checks exact float distances.
+
+100 TB shape: the per-type series length is bounded by CALENDAR TIME
+(a year of hours = 8,760 points), not data size — collapsing the event
+stream to (type, hour) sums is the only data-sized stage (one
+map-side-combined agg), after which per-type arrays are broadcast-tiny
+and the window scan is |starts| x window arithmetic per type.  This is
+the same histogram-collapse trick as corpus_length_deciles: reduce to
+a value-cardinality-bounded structure first, then do the quadratic-ish
+work there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+TS_WINDOW = 24
+TS_TOP_K = 5
+
+
+def _fold_sum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ts_motif_topk(
+    ev: DataFrame, window: int = TS_WINDOW, k: int = TS_TOP_K
+) -> DataFrame:
+    """(event_type, start, dist, rank): top-k z-normalized nearest
+    historical windows to each type's latest window (module docstring)."""
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "v"))),
+            lambda s: s["v"].cast("double"),
+        ).alias("s")
+    )
+    n = F.size("s")
+    starts = F.when(
+        n >= 2 * window, F.sequence(F.lit(1), n - 2 * window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = series.select(
+        "event_type", "s", F.size("s").alias("n"), F.explode(starts).alias("start")
+    )
+    w = F.lit(float(window))
+    cand = F.slice("s", F.col("start"), window)
+    qry = F.slice("s", F.col("n") - window + 1, window)
+
+    def _stats(arr):
+        mean = _fold_sum(arr) / w
+        var = _fold_sum(F.transform(arr, lambda x: x * x)) / w - mean * mean
+        return mean, var
+
+    cm, cv = _stats(cand)
+    qm, qv = _stats(qry)
+    scored = ex.select(
+        "event_type",
+        "start",
+        cand.alias("c"),
+        qry.alias("q"),
+        cm.alias("cm"),
+        F.sqrt(cv).alias("cs"),
+        qm.alias("qm"),
+        F.sqrt(qv).alias("qs"),
+    ).where((F.col("cs") > 0) & (F.col("qs") > 0))
+    diff = F.zip_with(
+        F.col("c"),
+        F.col("q"),
+        lambda a, b: ((a - F.col("cm")) / F.col("cs") - (b - F.col("qm")) / F.col("qs"))
+        * ((a - F.col("cm")) / F.col("cs") - (b - F.col("qm")) / F.col("qs")),
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    win = Window.partitionBy("event_type").orderBy(F.asc("dist"), F.asc("start"))
+    return (
+        scored.select("event_type", "start", dist.alias("dist"))
+        .select(
+            "event_type",
+            F.col("start").cast("long").alias("start"),
+            "dist",
+            F.row_number().over(win).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .select("event_type", "start", "dist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# --- queries()/oracle_sql() registrations ---------------------------------
+
+
+def _q_ts_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_motif_topk(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {"events_ts_motif_topk": _q_ts_motif_topk}
+
+ORACLES = {
+    "events_ts_motif_topk": f"""
+WITH hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_transform(list(v ORDER BY h), x -> x::DOUBLE) AS s
+  FROM hourly GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, s, len(s) AS n, unnest(
+           CASE WHEN len(s) >= 2 * {TS_WINDOW}
+                THEN generate_series(1, len(s) - 2 * {TS_WINDOW} + 1)
+                ELSE [] END) AS start
+  FROM series
+),
+wnd AS (
+  SELECT event_type, start,
+         list_slice(s, start, start + {TS_WINDOW} - 1) AS c,
+         list_slice(s, n - {TS_WINDOW} + 1, n) AS q
+  FROM ex
+),
+stats AS (
+  SELECT event_type, start, c, q,
+         list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)} AS cm,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, b) -> a + b)
+              / {float(TS_WINDOW)}
+              - (list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)})
+                * (list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)})) AS cs,
+         list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)} AS qm,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(q, x -> x * x)), (a, b) -> a + b)
+              / {float(TS_WINDOW)}
+              - (list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)})
+                * (list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)})) AS qs
+  FROM wnd
+),
+scored AS (
+  SELECT event_type, start,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, {TS_WINDOW}),
+             i -> ((c[i] - cm) / cs - (q[i] - qm) / qs)
+                * ((c[i] - cm) / cs - (q[i] - qm) / qs))),
+           (a, b) -> a + b)) AS dist
+  FROM stats WHERE cs > 0 AND qs > 0
+)
+SELECT event_type, start::BIGINT AS start, dist, rank::BIGINT AS rank FROM (
+  SELECT event_type, start, dist,
+         row_number() OVER (PARTITION BY event_type ORDER BY dist ASC, start ASC) AS rank
+  FROM scored
+) WHERE rank <= {TS_TOP_K}
+""",
+}

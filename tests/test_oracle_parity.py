@@ -88,7 +88,7 @@ _MUST_BE_NONEMPTY = {
     "dedup_semantic", "corpus_importance_weights",
     "similarity_pq_rerank_topk", "corpus_curation_semantic",
     "corpus_dsir_resample", "corpus_drift_tv", "events_cms_heavy_hitters",
-    "events_hll_set_algebra",
+    "events_hll_set_algebra", "events_ts_motif_topk",
     "events_approx_distinct", "corpus_ngram_lm_score",
     "corpus_nb_lang_classifier",
 }

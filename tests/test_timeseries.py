@@ -1,0 +1,62 @@
+"""Time-series motif search (operators/timeseries.py).  Cross-engine
+float parity is pinned by the driver oracle + parity_sweep; these pin
+the retrieval semantics: a planted repeat of the query window is found
+at distance 0, and z-normalization makes the match invariant to scale
+and offset."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.timeseries import TS_WINDOW, ts_motif_topk
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _events(spark, values, event_type="view"):
+    rows = [
+        (i, 1, event_type, float(v), BASE + datetime.timedelta(hours=i))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts timestamp"
+    )
+
+
+def test_motif_finds_planted_repeat_and_scaled_copy(spark):
+    n = 100
+    q = [float((7 * i) % 13 + (i % 5)) for i in range(TS_WINDOW)]  # query shape
+    vals = [float((11 * h) % 17) + 30.0 for h in range(n)]  # background
+    # query window = last TS_WINDOW observed hours (starts at n-24, 0-based)
+    vals[n - TS_WINDOW :] = q
+    # planted exact repeat at 0-based hour 9 -> 1-based start 10
+    vals[9 : 9 + TS_WINDOW] = q
+    # planted affine copy (2x + 5) at 0-based hour 44 -> 1-based start 45:
+    # z-normalization must see it as identical shape (dist 0)
+    vals[44 : 44 + TS_WINDOW] = [2.0 * x + 5.0 for x in q]
+
+    out = ts_motif_topk(_events(spark, vals)).collect()
+    by_rank = {r["rank"]: (r["start"], r["dist"]) for r in out}
+    assert by_rank[1] == (10, 0.0)  # identical doubles -> exactly 0
+    assert by_rank[2][0] == 45
+    assert by_rank[2][1] < 1e-9  # affine z-scores round at the last ulp
+    assert by_rank[3][1] > 1e-6  # everything else is a genuine non-match
+
+
+def test_motif_skips_constant_windows_and_short_series(spark):
+    # constant series: query window has zero variance -> no output
+    assert ts_motif_topk(_events(spark, [5.0] * 100)).count() == 0
+    # series shorter than 2 windows: no candidate starts -> no output
+    assert ts_motif_topk(_events(spark, [float(i) for i in range(30)])).count() == 0
+
+
+def test_motif_types_are_independent(spark):
+    a = _events(spark, [float((3 * h) % 7) for h in range(80)], "view")
+    b = _events(spark, [float((5 * h) % 11) for h in range(80)], "click")
+    out = ts_motif_topk(a.unionByName(b))
+    types = {r["event_type"] for r in out.select("event_type").distinct().collect()}
+    assert types == {"view", "click"}
+    per = out.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 5 for r in per)
