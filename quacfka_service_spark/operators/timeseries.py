@@ -55,20 +55,26 @@ def _fold_sum(arr):
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def ts_motif_topk(
-    ev: DataFrame, window: int = TS_WINDOW, k: int = TS_TOP_K
-) -> DataFrame:
-    """(event_type, start, dist, rank): top-k z-normalized nearest
-    historical windows to each type's latest window (module docstring)."""
+def _hourly_series(ev: DataFrame) -> DataFrame:
+    """(event_type, s): hour-ordered per-type value series — exact
+    DECIMAL sums, shared by motif and discord search."""
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
-    series = hourly.groupBy("event_type").agg(
+    return hourly.groupBy("event_type").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("h", "v"))),
             lambda s: s["v"].cast("double"),
         ).alias("s")
     )
+
+
+def ts_motif_topk(
+    ev: DataFrame, window: int = TS_WINDOW, k: int = TS_TOP_K
+) -> DataFrame:
+    """(event_type, start, dist, rank): top-k z-normalized nearest
+    historical windows to each type's latest window (module docstring)."""
+    series = _hourly_series(ev)
     n = F.size("s")
     starts = F.when(
         n >= 2 * window, F.sequence(F.lit(1), n - 2 * window + 1)
@@ -118,6 +124,77 @@ def ts_motif_topk(
     )
 
 
+DISCORD_TOP_K = 3
+
+
+def ts_discord_topk(
+    ev: DataFrame, window: int = TS_WINDOW, k: int = DISCORD_TOP_K
+) -> DataFrame:
+    """Time-series DISCORDS (Keogh et al.): the windows FARTHEST from
+    their nearest non-overlapping neighbor — the complement of motif
+    search, and the classic unsupervised anomaly detector for series
+    ("which day looked like no other day?").  For every window start,
+    nn_dist = min z-normalized distance to any window at |i - j| >=
+    ``window``; the top-``k`` LARGEST nn_dist per type are the
+    discords (ties -> lower start).
+
+    Zero-variance windows are excluded from both sides (shape
+    undefined), same guard as motif search; a type needs at least two
+    non-overlapping varying windows to emit anything.
+
+    100 TB shape: inherits _hourly_series's collapse — after the one
+    data-sized aggregate, the all-pairs window scan is |starts|^2 x W
+    scalar arithmetic on calendar-bounded arrays (8,760 hourly starts
+    per YEAR of data, regardless of corpus bytes), partitioned per
+    type.  The per-pair kernel reuses the pre-z-scored window arrays,
+    so each window normalizes once, not once per pair."""
+    series = _hourly_series(ev)
+    n = F.size("s")
+    starts = F.when(
+        n >= 2 * window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = series.select("event_type", "s", F.explode(starts).alias("start"))
+    w = F.lit(float(window))
+    wnd = F.slice("s", F.col("start"), window)
+    mean = _fold_sum(wnd) / w
+    var = _fold_sum(F.transform(wnd, lambda x: x * x)) / w - mean * mean
+    zx = ex.select(
+        "event_type",
+        "start",
+        F.transform(wnd, lambda x: (x - mean) / F.sqrt(var)).alias("z"),
+        F.sqrt(var).alias("sd"),
+    ).where(F.col("sd") > 0)
+    a = zx.select("event_type", F.col("start").alias("ia"), F.col("z").alias("za"))
+    b = zx.select("event_type", F.col("start").alias("ib"), F.col("z").alias("zb"))
+    pairs = a.join(
+        b,
+        ["event_type"],
+    ).where(F.abs(F.col("ia") - F.col("ib")) >= window)
+    d2 = F.aggregate(
+        F.zip_with(F.col("za"), F.col("zb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nn = (
+        pairs.select("event_type", "ia", d2.alias("d2"))
+        .groupBy("event_type", "ia")
+        .agg(F.sqrt(F.min("d2")).alias("nn_dist"))
+    )
+    win = Window.partitionBy("event_type").orderBy(F.desc("nn_dist"), F.asc("ia"))
+    return (
+        nn.select(
+            "event_type",
+            F.col("ia").cast("long").alias("start"),
+            "nn_dist",
+            F.row_number().over(win).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "event_type", "start", "nn_dist", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -125,7 +202,14 @@ def _q_ts_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_motif_topk(load_table(spark, sf_dir, "events"))
 
 
-QUERIES = {"events_ts_motif_topk": _q_ts_motif_topk}
+def _q_ts_discord_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_discord_topk(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "events_ts_motif_topk": _q_ts_motif_topk,
+    "events_ts_discord_topk": _q_ts_discord_topk,
+}
 
 ORACLES = {
     "events_ts_motif_topk": f"""
@@ -180,5 +264,55 @@ SELECT event_type, start::BIGINT AS start, dist, rank::BIGINT AS rank FROM (
          row_number() OVER (PARTITION BY event_type ORDER BY dist ASC, start ASC) AS rank
   FROM scored
 ) WHERE rank <= {TS_TOP_K}
+""",
+    "events_ts_discord_topk": f"""
+WITH hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_transform(list(v ORDER BY h), x -> x::DOUBLE) AS s
+  FROM hourly GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, s, unnest(
+           CASE WHEN len(s) >= 2 * {TS_WINDOW}
+                THEN generate_series(1, len(s) - {TS_WINDOW} + 1)
+                ELSE [] END) AS start
+  FROM series
+),
+zx AS (
+  SELECT event_type, start, list_transform(wv, x -> (x - m) / sd) AS z
+  FROM (
+    SELECT event_type, start, wv,
+           list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)} AS m,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(wv, x -> x * x)), (a, b) -> a + b)
+                / {float(TS_WINDOW)}
+                - (list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)})
+                  * (list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)})) AS sd
+    FROM (SELECT event_type, start,
+                 list_slice(s, start, start + {TS_WINDOW} - 1) AS wv
+          FROM ex))
+  WHERE sd > 0
+),
+pairs AS (
+  SELECT a.event_type, a.start AS ia,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, {TS_WINDOW}),
+             i -> (a.z[i] - b.z[i]) * (a.z[i] - b.z[i]))),
+           (x, y) -> x + y) AS d2
+  FROM zx a JOIN zx b
+    ON a.event_type = b.event_type AND abs(a.start - b.start) >= {TS_WINDOW}
+),
+nn AS (
+  SELECT event_type, ia, sqrt(min(d2)) AS nn_dist FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, start, nn_dist, rank::BIGINT AS rank FROM (
+  SELECT event_type, ia::BIGINT AS start, nn_dist,
+         row_number() OVER (PARTITION BY event_type ORDER BY nn_dist DESC, ia ASC) AS rank
+  FROM nn
+) WHERE rank <= {DISCORD_TOP_K}
 """,
 }

@@ -60,3 +60,32 @@ def test_motif_types_are_independent(spark):
     assert types == {"view", "click"}
     per = out.groupBy("event_type").count().collect()
     assert all(r["count"] <= 5 for r in per)
+
+
+def test_discord_finds_planted_anomaly(spark):
+    """A periodic series with ONE corrupted day: the discord (largest
+    nearest-neighbor distance) must start inside the corruption."""
+    from quacfka_service_spark.operators.timeseries import ts_discord_topk
+
+    n = 120
+    vals = [float((h % 24) * (1 + (h % 2))) for h in range(n)]  # periodic
+    for h in range(60, 72):  # corrupt half a day
+        vals[h] = 500.0 + 7.0 * (h % 5)
+    out = ts_discord_topk(_events(spark, vals)).collect()
+    by_rank = {r["rank"]: r["start"] for r in out}
+    # the rank-1 discord window overlaps the corrupted hours (0-based
+    # 60..71 -> a 24-wide window starting anywhere in 1-based 38..72)
+    assert 38 <= by_rank[1] <= 72
+    assert len(out) == 3
+
+
+def test_discord_periodic_series_has_near_zero_floor(spark):
+    """A perfectly periodic series with period == window: every window
+    has an exact twin one period away -> nn_dist 0 for interior
+    windows; the top discord is still tiny."""
+    from quacfka_service_spark.operators.timeseries import ts_discord_topk
+
+    vals = [float(h % 24 + (h % 3)) for h in range(96)]
+    out = ts_discord_topk(_events(spark, vals)).collect()
+    assert len(out) == 3
+    assert all(r["nn_dist"] < 1e-9 for r in out)
