@@ -165,3 +165,13 @@ def test_random_corpora_match_pure_python_reference(spark, tmp_path):
             dd.process_batch(_emb(spark, chunk), epoch)
             lo = hi
         assert _rows(dd.result(spark)) == want
+
+
+def test_incremental_empty_batch_is_harmless(spark, tmp_path):
+    """Streaming sources deliver empty micro-batches (idle triggers);
+    the deduper must absorb one without error or state corruption."""
+    dd = IncrementalSemanticDeduper(str(tmp_path / "e"), CB, threshold=TAU)
+    dd.process_batch(_emb(spark, [(10, V10), (20, V20)]), 0)
+    before = _rows(dd.result(spark))
+    dd.process_batch(_emb(spark, []), 1)
+    assert _rows(dd.result(spark)) == before
