@@ -195,6 +195,61 @@ def ts_discord_topk(
     )
 
 
+ACF_MAX_LAG = 36
+
+
+def ts_seasonality(ev: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Seasonality detection via the autocorrelation function: for each
+    event_type's hourly series, ACF(lag) for lag = 1..``max_lag``,
+    ranked per type (acf DESC, lag ASC) — the peak lag IS the dominant
+    period ("is this traffic daily? half-daily?"), the precursor every
+    forecasting/anomaly pipeline runs before choosing its window.
+
+    ACF(lag) = sum_i c_i * c_(i+lag) / sum_i c_i^2 over the mean-
+    centered series c.  Sequential folds over ordered slices keep the
+    float ratios engine-exact (same discipline as motif/discord).
+    Series with zero variance are skipped.
+
+    100 TB shape: inherits _hourly_series's calendar-bounded collapse;
+    the lag scan is max_lag x n scalar ops per type on broadcast-tiny
+    arrays."""
+    series = _hourly_series(ev)
+    n = F.size("s")
+    mean = _fold_sum(F.col("s")) / n.cast("double")
+    c = F.transform(F.col("s"), lambda x: x - mean)
+    denom = _fold_sum(F.transform(c, lambda x: x * x))
+    base = series.select(
+        "event_type", c.alias("c"), denom.alias("denom"), n.alias("n")
+    ).where((F.col("denom") > 0) & (F.col("n") > max_lag))
+    ex = base.select(
+        "event_type",
+        "c",
+        "denom",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.slice("c", F.lit(1), F.col("n") - F.col("lag")),
+            F.slice("c", F.col("lag") + 1, F.col("n") - F.col("lag")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    win = Window.partitionBy("event_type").orderBy(F.desc("acf"), F.asc("lag"))
+    return (
+        ex.select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            (num / F.col("denom")).alias("acf"),
+        )
+        .select(
+            "event_type", "lag", "acf", F.row_number().over(win).cast("long").alias("rank")
+        )
+    )
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 
@@ -206,9 +261,14 @@ def _q_ts_discord_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_discord_topk(load_table(spark, sf_dir, "events"))
 
 
+def _q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_seasonality(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_ts_motif_topk": _q_ts_motif_topk,
     "events_ts_discord_topk": _q_ts_discord_topk,
+    "events_ts_seasonality": _q_ts_seasonality,
 }
 
 ORACLES = {
@@ -314,5 +374,46 @@ SELECT event_type, start, nn_dist, rank::BIGINT AS rank FROM (
          row_number() OVER (PARTITION BY event_type ORDER BY nn_dist DESC, ia ASC) AS rank
   FROM nn
 ) WHERE rank <= {DISCORD_TOP_K}
+""",
+    "events_ts_seasonality": f"""
+WITH hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list_transform(list(v ORDER BY h), x -> x::DOUBLE) AS s
+  FROM hourly GROUP BY event_type
+),
+base AS (
+  SELECT event_type, c, denom, n FROM (
+    SELECT event_type,
+           list_transform(s, x -> x - m) AS c,
+           list_reduce(list_prepend(0.0,
+             list_transform(list_transform(s, x -> x - m), x -> x * x)),
+             (a, b) -> a + b) AS denom,
+           len(s) AS n
+    FROM (SELECT event_type, s,
+                 list_reduce(list_prepend(0.0, s), (a, b) -> a + b)
+                   / len(s)::DOUBLE AS m
+          FROM series))
+  WHERE denom > 0 AND n > {ACF_MAX_LAG}
+),
+ex AS (
+  SELECT event_type, c, denom, n, unnest(generate_series(1, {ACF_MAX_LAG})) AS lag
+  FROM base
+),
+acfs AS (
+  SELECT event_type, lag::BIGINT AS lag,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, n - lag),
+             i -> c[i] * c[i + lag])),
+           (a, b) -> a + b) / denom AS acf
+  FROM ex
+)
+SELECT event_type, lag, acf,
+       row_number() OVER (PARTITION BY event_type ORDER BY acf DESC, lag ASC)::BIGINT AS rank
+FROM acfs
 """,
 }

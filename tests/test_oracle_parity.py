@@ -89,7 +89,7 @@ _MUST_BE_NONEMPTY = {
     "similarity_pq_rerank_topk", "corpus_curation_semantic",
     "corpus_dsir_resample", "corpus_drift_tv", "events_cms_heavy_hitters",
     "events_hll_set_algebra", "events_ts_motif_topk",
-    "events_ts_discord_topk",
+    "events_ts_discord_topk", "events_ts_seasonality",
     "events_approx_distinct", "corpus_ngram_lm_score",
     "corpus_nb_lang_classifier",
 }

@@ -89,3 +89,28 @@ def test_discord_periodic_series_has_near_zero_floor(spark):
     out = ts_discord_topk(_events(spark, vals)).collect()
     assert len(out) == 3
     assert all(r["nn_dist"] < 1e-9 for r in out)
+
+
+def test_seasonality_detects_planted_period(spark):
+    """A strongly 12-hour-periodic series must rank lag 12 (or its
+    harmonics 24/36) at the top; a white-ish series must not
+    concentrate mass at any lag."""
+    import math
+
+    from quacfka_service_spark.operators.timeseries import ts_seasonality
+
+    periodic = [10.0 + 5.0 * math.sin(2 * math.pi * h / 12.0) for h in range(200)]
+    out = ts_seasonality(_events(spark, periodic)).collect()
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["lag"] in (12, 24, 36)
+    assert top["acf"] > 0.9
+
+    # every lag 1..36 reported exactly once
+    assert sorted(r["lag"] for r in out) == list(range(1, 37))
+
+
+def test_seasonality_skips_flat_and_short_series(spark):
+    from quacfka_service_spark.operators.timeseries import ts_seasonality
+
+    assert ts_seasonality(_events(spark, [3.0] * 100)).count() == 0  # flat
+    assert ts_seasonality(_events(spark, [float(i) for i in range(20)])).count() == 0
