@@ -996,6 +996,91 @@ class TxTable:
             "inserted": source.count() - updated,
         }
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        txn: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
+        point: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Delta-style DELETE WHERE: remove every row matching the SQL
+        ``predicate``, with the same file-level surgery as
+        ``merge_upsert`` — only files that actually CONTAIN a matching
+        row are rewritten (GDPR erasure and retention enforcement at
+        100 TB rewrite what they touch, never the table).
+
+        Stages: optional manifest pruning via ``ranges``/``point``
+        hints (an arbitrary predicate can't be stats-pruned
+        automatically — pass the indexed form when you have it, e.g.
+        ``point={'user_id': 42}`` for an erasure request against a
+        bloom-indexed key); one provenance scan marks files holding a
+        match; touched files rewrite as survivors-only.  NULL
+        predicate rows are NOT matches (SQL DELETE semantics) and
+        survive.
+
+        Concurrency: commits as a ``rewrite`` — racing commits that
+        removed a touched file first raise ``CommitConflict``;
+        concurrent appends commit freely (a DELETE claims the rows of
+        its snapshot, not the predicate's future — same contract as
+        Delta).  A no-match delete commits NOTHING (reruns rescan,
+        idempotent), so ``txn`` is recorded only when a rewrite lands.
+        Returns {version, files_rewritten, rows_deleted}."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_deleted": 0, "replayed": True}
+        if not snap.files:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_deleted": 0}
+        cand = self.live_files(ranges=ranges, point=point, _snap=snap)
+        if not cand:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_deleted": 0}
+        schema = None
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+        reader = spark.read.option("basePath", self._data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        cand_abs = {os.path.realpath(os.path.join(self.root, p)): p for p in cand}
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        cdf = reader.parquet(*[os.path.join(self.root, p) for p in cand]).select(
+            *([f.name for f in schema] if schema else ["*"]),
+            F.col("_metadata.file_path").alias("__file"),
+        )
+        touched_abs = [
+            r["__file"]
+            for r in cdf.where(hit).select("__file").distinct().collect()
+        ]
+
+        def _rel(uri: str) -> str:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            return cand_abs[os.path.realpath(path)]
+
+        touched = sorted(_rel(u) for u in touched_abs)
+        if not touched:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_deleted": 0}
+        any_part = next(iter(snap.files.values()))["partition"]
+        partition_by = sorted(any_part.keys())
+        tdf = reader.parquet(*[os.path.join(self.root, p) for p in touched])
+        if schema is not None:
+            tdf = tdf.select(*[f.name for f in schema])
+        deleted = tdf.where(hit).count()
+        survivors = tdf.where(~hit)
+        adds = self._stage(survivors, partition_by, bloom_cols=bloom_cols)
+        v = self._commit_loop(
+            adds, "rewrite", snap.schema_json, txn=txn, rewrite_removes=touched
+        )
+        return {"version": v, "files_rewritten": len(touched),
+                "rows_deleted": deleted}
+
     def restore(self, version: int, max_retries: int = 50) -> int:
         """RESTORE TABLE TO VERSION AS OF: commit a new version whose
         live set is exactly snapshot(version)'s — pure metadata (the

@@ -1230,3 +1230,91 @@ def test_optimize_zorder_prunes_on_every_zorder_column(spark, tmp_path):
         zo.optimize(spark, cluster_by=["x"], zorder_by=["y"])
     with pytest.raises(TypeError):
         zo.optimize(spark, zorder_by=["p"])  # string column
+
+
+# --- DELETE WHERE (file-level surgery) -------------------------------------
+
+
+def test_delete_where_removes_exactly_matching_rows(spark, tmp_path):
+    t = TxTable(str(tmp_path / "d1"))
+    t.append(_mk(spark, 0, 50, "a"), partition_by=["p"])
+    t.append(_mk(spark, 50, 100, "b"), partition_by=["p"])
+    stats = t.delete_where(spark, "id % 10 = 3")
+    assert stats["rows_deleted"] == 10
+    back = t.read(spark)
+    assert back.count() == 90
+    assert back.where("id % 10 = 3").count() == 0
+    # non-matching rows from touched files all survive
+    assert back.where("id % 10 = 4").count() == 10
+
+
+def test_delete_where_touches_only_files_with_matches(spark, tmp_path):
+    """Files provably without a match keep their ORIGINAL paths —
+    the surgery contract (erasure cost tracks matches, not table
+    size)."""
+    t = TxTable(str(tmp_path / "d2"))
+    t.append(_mk(spark, 0, 50, "a").coalesce(1), partition_by=["p"])
+    t.append(_mk(spark, 50, 100, "b").coalesce(1), partition_by=["p"])
+    before = set(t.live_files())
+    stats = t.delete_where(spark, "id < 10")  # only the first file matches
+    after = set(t.live_files())
+    assert stats["files_rewritten"] == 1
+    untouched = {p for p in before if "p=b" in p}
+    assert untouched <= after  # the p=b file is byte-identical, path kept
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: NULL predicate is not a match."""
+    t = TxTable(str(tmp_path / "d3"))
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5), (3, "a", 50)], "id long, p string, v int"
+    )
+    t.append(df, partition_by=["p"])
+    stats = t.delete_where(spark, "v > 10")
+    assert stats["rows_deleted"] == 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_delete_where_no_match_commits_nothing(spark, tmp_path):
+    t = TxTable(str(tmp_path / "d4"))
+    t.append(_mk(spark, 0, 50, "a"), partition_by=["p"])
+    v = t.latest_version()
+    stats = t.delete_where(spark, "id > 1000")
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
+    assert t.latest_version() == v
+
+
+def test_delete_where_time_travel_and_txn_replay(spark, tmp_path):
+    t = TxTable(str(tmp_path / "d5"))
+    t.append(_mk(spark, 0, 100, "a"), partition_by=["p"])
+    v0 = t.latest_version()
+    txn = {"app_id": "erasure", "epoch": 1}
+    t.delete_where(spark, "id < 20", txn=txn)
+    assert t.read(spark).count() == 80
+    assert t.read(spark, version=v0).count() == 100  # history intact
+    # replayed epoch: true no-op
+    v1 = t.latest_version()
+    again = t.delete_where(spark, "id < 20", txn=txn)
+    assert again.get("replayed") is True
+    assert t.latest_version() == v1
+
+
+def test_delete_where_point_hint_prunes_via_bloom(spark, tmp_path):
+    """The erasure-request shape: a bloom-indexed key + point hint
+    confines the provenance scan to files that may hold the key."""
+    t = TxTable(str(tmp_path / "d6"))
+    for i in range(4):
+        t.append(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id"), F.lit("a").alias("p"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            partition_by=["p"],
+            bloom_cols=["id"],
+        )
+    n_files = len(t.live_files())
+    pruned = len(t.live_files(point={"id": 1500}))
+    assert pruned < n_files  # bloom actually confines the scan
+    stats = t.delete_where(spark, "id = 1500", point={"id": 1500})
+    assert stats["rows_deleted"] == 1 and stats["files_rewritten"] == 1
+    assert t.read(spark).where("id = 1500").count() == 0
+    assert t.read(spark).count() == 3999
