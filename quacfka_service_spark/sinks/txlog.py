@@ -1081,6 +1081,97 @@ class TxTable:
         return {"version": v, "files_rewritten": len(touched),
                 "rows_deleted": deleted}
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assignments: dict[str, str],
+        txn: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
+        ranges: dict[str, tuple[Any, Any]] | None = None,
+        point: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Delta-style UPDATE WHERE: rewrite matching rows with the
+        ``assignments`` ({column: SQL expression}, expressions may
+        reference any row column) — completing the DML triple beside
+        ``merge_upsert`` and ``delete_where`` with the same file-level
+        surgery: only files CONTAINING a match rewrite; non-matching
+        rows in touched files are carried unchanged.
+
+        Assignments may not touch partition columns (an update that
+        moves rows between partitions is a delete+insert — do it
+        explicitly) and must reference existing columns (UPDATE never
+        evolves the schema).  NULL-predicate rows do not match.  Same
+        concurrency/txn/no-match contract as ``delete_where``.
+        Returns {version, files_rewritten, rows_updated}."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_updated": 0, "replayed": True}
+        if not snap.files:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_updated": 0}
+        any_part = next(iter(snap.files.values()))["partition"]
+        partition_by = sorted(any_part.keys())
+        bad = sorted(set(assignments) & set(partition_by))
+        if bad:
+            raise ValueError(f"update_where cannot assign partition columns: {bad}")
+        cand = self.live_files(ranges=ranges, point=point, _snap=snap)
+        if not cand:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_updated": 0}
+        schema = None
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+        cols = [f.name for f in schema] if schema else None
+        unknown = sorted(set(assignments) - set(cols or set(assignments)))
+        if cols is not None and unknown:
+            raise ValueError(f"update_where assigns unknown columns: {unknown}")
+        reader = spark.read.option("basePath", self._data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        cand_abs = {os.path.realpath(os.path.join(self.root, p)): p for p in cand}
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        cdf = reader.parquet(*[os.path.join(self.root, p) for p in cand]).select(
+            *(cols if cols else ["*"]),
+            F.col("_metadata.file_path").alias("__file"),
+        )
+        touched_abs = [
+            r["__file"]
+            for r in cdf.where(hit).select("__file").distinct().collect()
+        ]
+
+        def _rel(uri: str) -> str:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            return cand_abs[os.path.realpath(path)]
+
+        touched = sorted(_rel(u) for u in touched_abs)
+        if not touched:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_updated": 0}
+        tdf = reader.parquet(*[os.path.join(self.root, p) for p in touched])
+        if cols is not None:
+            tdf = tdf.select(*cols)
+        updated = tdf.where(hit).count()
+        out_cols = [
+            F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).cast(
+                dict(tdf.dtypes)[c]
+            ).alias(c)
+            if c in assignments else F.col(c)
+            for c in tdf.columns
+        ]
+        new_data = tdf.select(*out_cols)
+        adds = self._stage(new_data, partition_by, bloom_cols=bloom_cols)
+        v = self._commit_loop(
+            adds, "rewrite", snap.schema_json, txn=txn, rewrite_removes=touched
+        )
+        return {"version": v, "files_rewritten": len(touched),
+                "rows_updated": updated}
+
     def restore(self, version: int, max_retries: int = 50) -> int:
         """RESTORE TABLE TO VERSION AS OF: commit a new version whose
         live set is exactly snapshot(version)'s — pure metadata (the

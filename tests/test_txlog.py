@@ -1318,3 +1318,55 @@ def test_delete_where_point_hint_prunes_via_bloom(spark, tmp_path):
     assert stats["rows_deleted"] == 1 and stats["files_rewritten"] == 1
     assert t.read(spark).where("id = 1500").count() == 0
     assert t.read(spark).count() == 3999
+
+
+# --- UPDATE WHERE ----------------------------------------------------------
+
+
+def test_update_where_rewrites_matching_rows_only(spark, tmp_path):
+    t = TxTable(str(tmp_path / "u1"))
+    t.append(_mk(spark, 0, 50, "a"), partition_by=["p"])
+    t.append(_mk(spark, 50, 100, "b"), partition_by=["p"])
+    stats = t.update_where(spark, "id % 10 = 3", {"v": "v + 1000"})
+    assert stats["rows_updated"] == 10
+    back = t.read(spark)
+    assert back.count() == 100  # UPDATE never changes cardinality
+    assert back.where("id % 10 = 3 AND v = id * 2 + 1000").count() == 10
+    assert back.where("id % 10 <> 3 AND v <> id * 2").count() == 0
+
+
+def test_update_where_expressions_see_row_columns(spark, tmp_path):
+    """Assignments are full SQL over the row (v = v * id swap-style)."""
+    t = TxTable(str(tmp_path / "u2"))
+    t.append(_mk(spark, 1, 11, "a"), partition_by=["p"])
+    t.update_where(spark, "id <= 3", {"v": "v * id"})
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got[2] == 8 and got[3] == 18 and got[5] == 10
+
+
+def test_update_where_guards_partition_and_unknown_columns(spark, tmp_path):
+    t = TxTable(str(tmp_path / "u3"))
+    t.append(_mk(spark, 0, 10, "a"), partition_by=["p"])
+    with pytest.raises(ValueError, match="partition"):
+        t.update_where(spark, "id = 1", {"p": "'b'"})
+    with pytest.raises(ValueError, match="unknown"):
+        t.update_where(spark, "id = 1", {"nope": "1"})
+
+
+def test_update_where_untouched_files_keep_paths_and_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "u4"))
+    t.append(_mk(spark, 0, 50, "a").coalesce(1), partition_by=["p"])
+    t.append(_mk(spark, 50, 100, "b").coalesce(1), partition_by=["p"])
+    v0 = t.latest_version()
+    before = set(t.live_files())
+    stats = t.update_where(spark, "id < 10", {"v": "0"})
+    assert stats["files_rewritten"] == 1
+    assert {p for p in before if "p=b" in p} <= set(t.live_files())
+    # time travel: pre-update values intact
+    assert t.read(spark, version=v0).where("id < 10 AND v = id * 2").count() == 10
+    # txn replay
+    txn = {"app_id": "upd", "epoch": 7}
+    t.update_where(spark, "id = 20", {"v": "-1"}, txn=txn)
+    v1 = t.latest_version()
+    again = t.update_where(spark, "id = 20", {"v": "-1"}, txn=txn)
+    assert again.get("replayed") is True and t.latest_version() == v1
