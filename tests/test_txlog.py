@@ -1370,3 +1370,24 @@ def test_update_where_untouched_files_keep_paths_and_history(spark, tmp_path):
     v1 = t.latest_version()
     again = t.update_where(spark, "id = 20", {"v": "-1"}, txn=txn)
     assert again.get("replayed") is True and t.latest_version() == v1
+
+
+def test_delete_where_interleaved_with_appends_loses_nothing(spark, tmp_path):
+    """The retention-enforcement shape: per-epoch appends interleaved
+    with periodic DELETEs of expired rows.  Deletes claim only their
+    snapshot's rows — appends landing between plan and commit are
+    never lost, and the final table is exactly (all appends) minus
+    (expired rows present at each delete's snapshot)."""
+    t = TxTable(str(tmp_path / "ret"))
+    t.append(_mk(spark, 0, 30, "a"), partition_by=["p"])
+    t.append(_mk(spark, 30, 60, "a"), partition_by=["p"])
+    t.delete_where(spark, "id < 20")          # expire the oldest
+    t.append(_mk(spark, 60, 90, "a"), partition_by=["p"])  # keeps flowing
+    t.delete_where(spark, "id < 40")          # expire more
+    t.append(_mk(spark, 5, 10, "a"), partition_by=["p"])   # late replay of old ids
+    back = t.read(spark)
+    # ids 40..89 survive both deletes; the late 5..9 arrived AFTER the
+    # last delete and are untouched by it (snapshot semantics)
+    assert sorted(r["id"] for r in back.collect()) == sorted(
+        list(range(40, 90)) + list(range(5, 10))
+    )
