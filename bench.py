@@ -516,11 +516,8 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
-    # The driver's per-round BENCH capture tails stdout and has
-    # truncated the JSON mid-line every round ("parsed": null in
-    # BENCH_r01-r05) — persist the full result beside stdout so
-    # per-query Spark timings survive in a committed artifact.
+    # Persist the FULL result as a committed artifact (per-query Spark
+    # timings, notes, demos) — the canonical record.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
@@ -531,6 +528,38 @@ def main() -> None:
             f.write("\n")
     except OSError as ex:  # never fail the bench over the artifact
         print(f"bench: could not write {out_path}: {ex}", file=sys.stderr)
+    # The driver's per-round BENCH capture keeps only the LAST 2000
+    # chars of stdout and parses the final JSON line it finds — the
+    # full dict is ~10KB, so every round r1-r6 recorded "parsed": null
+    # (VERDICT r6 item #3).  Emit the full line first (humans/logs),
+    # then a <=1800-char compact line LAST: headline metrics complete,
+    # per-query timings slowest-first trimmed to fit, full detail
+    # pointer in "full".
+    print(json.dumps(out))
+    slim_queries = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
+    )
+    while True:
+        slim = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "spark_vs_duckdb_oracled": out["spark_vs_duckdb_oracled"],
+            "spark_vs_duckdb_r2_set": out["spark_vs_duckdb_r2_set"],
+            "duckdb_total_sec": out["duckdb_total_sec"],
+            "ingest_mb_per_sec": out["ingest_mb_per_sec"],
+            "n_queries_timed": len(timings),
+            "n_queries_shown": len(slim_queries),
+            "queries": slim_queries,
+            "full": os.path.basename(out_path),
+        }
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= 1800 or not slim_queries:
+            break
+        slim_queries.pop(next(reversed(slim_queries)))  # drop fastest
+    sys.stdout.flush()
+    print(line)
     spark.stop()
 
 

@@ -377,115 +377,126 @@ def range_search(
 KNN_JOIN_K = 3
 
 
-KNN_TILE_ROWS = 65536
+KNN_TILE_ROWS = 65536  # query rows per tile (qt axis)
+KNN_BLOCK_ROWS = 128  # corpus rows per block (cb axis) before the cap
+KNN_MAX_BLOCKS = 1024  # replication cap: query stream duplicates <= this
+_KNN_CHUNK = 512  # kernel inner chunk: acc <= chunk x tile_rows x 8 B
 
 
 def knn_join(
-    emb: DataFrame, k: int = KNN_JOIN_K, tile_rows: int = KNN_TILE_ROWS
+    emb: DataFrame,
+    k: int = KNN_JOIN_K,
+    tile_rows: int = KNN_TILE_ROWS,
+    block_rows: int = KNN_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact all-pairs kNN self-join: every vector retrieves its k
     nearest neighbors (the similarity-graph builder behind embedding
     clustering, near-dup mining, and hard-negative sampling).
 
-    This is the LABELED O(n^2/p) exact baseline of the family.  A
-    per-pair JVM expression (broadcast cross join + _dot) measured 30s
-    at sf0.1 — 4M pairs x an interpreted higher-order fold per pair.
-    Instead each corpus partition scores a TILE of queries at once in
-    an Arrow-batched numpy kernel: vectorized across the pair grid but
-    SEQUENTIAL across dimensions (acc += A[:,i]*Q[:,i]), which
-    reproduces the exact ((0+x0)+x1)+... IEEE-double fold of _dot and
-    DuckDB's list_dot_product — the driver hash-check stays exact.
-    The kernel emits only each partition's local top-k per query
-    (never the n^2 score matrix); one global window finishes the rank.
+    This is the LABELED O(n^2) exact baseline of the family — the
+    recall yardstick beside the 100 TB scale paths (``lsh_topk``,
+    ``ivf_topk``, ``pq_adc_topk``).  A per-pair JVM expression
+    (broadcast cross join + _dot) measured 30s at sf0.1 — 4M pairs x
+    an interpreted higher-order fold per pair — so scoring runs in a
+    numpy kernel: vectorized across the pair grid but SEQUENTIAL
+    across dimensions (acc += A[:,i]*Q[:,i]), which reproduces the
+    exact ((0+x0)+x1)+... IEEE-double fold of _dot and DuckDB's
+    list_dot_product — the driver hash-check stays exact.
 
-    Query-side tiling (VERDICT r3 item #3): in a SELF-join the "query
-    side" IS the corpus, so a single whole-corpus collect would OOM the
-    driver long before 100 TB.  Queries are hash-bucketed into
-    ceil(n / tile_rows) tiles; each tile is collected alone (driver
-    holds at most ~tile_rows x dim x 8 bytes + slack at a time, ~33 MB
-    at the 65536x64 default), broadcast, and scored by the same kernel;
-    each tile's candidate stream is eagerly materialized
-    (localCheckpoint) and its broadcast destroyed before the next tile
-    starts, so broadcast-manager footprint is one tile — not O(corpus)
-    — and the final union reads checkpointed rows.  Cos values are
-    tiling-invariant (each (corpus row, query) pair is scored exactly
-    once, same fold), so the oracle hash-match holds for ANY tile_rows.
-    Cost: n_tiles corpus scans — negligible next to the O(n^2 * dim)
-    compute this baseline is labeled with.  The approximate paths
-    (``lsh_topk``, ``ivf_topk``) stand beside it as the 100 TB scale
-    path; this stays the recall yardstick."""
+    Executor-side 2-D blocking (VERDICT r6 item #2 — no driver
+    collect, no driver-created broadcast): queries hash-bucket into
+    ``n_qt = ceil(n/tile_rows)`` tiles and corpus rows into ``n_cb =
+    min(ceil(n/block_rows), KNN_MAX_BLOCKS)`` blocks, BOTH by
+    pmod(xxhash64(vec_id)); each side is tagged with the other axis's
+    full id range (explode over sequence — a flat JVM-side fan, not a
+    join), and ``cogroup().applyInPandas`` on (cb, qt) hands every
+    (corpus block, query tile) pair to one executor task.  Every
+    (corpus row, query) pair lands in exactly ONE task — cos values
+    are blocking-invariant for ANY (tile_rows, block_rows), so the
+    oracle hash-match holds (pinned by the tiling-invariance test).
+    The kernel emits chunk-local top-k per query (never the n^2 score
+    matrix; inner chunking over _KNN_CHUNK corpus rows bounds the
+    accumulator at chunk x |tile| x 8 B); one global window finishes
+    the rank.  Shuffle volume is n x n_qt + n x n_cb replicated input
+    rows — the block-nested-loop classic — and the n^2 work is pure
+    executor-side numpy; the driver never touches a vector."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
     d = _with_norm(emb)
     n = d.count()
-    n_tiles = max(1, -(-n // max(1, tile_rows)))
+    n_qt = max(1, -(-n // max(1, tile_rows)))
+    n_cb = max(1, min(-(-n // max(1, block_rows)), KNN_MAX_BLOCKS))
+    kk = k
     # Deterministic hash bucketing spreads ids uniformly across tiles
     # regardless of id distribution (no global sort / zipWithIndex).
-    tile_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_tiles))
-    kk = k
-    cand = None
-    for t in range(n_tiles):
-        qrows = (
-            d.where(tile_col == t).orderBy("vec_id").collect()
-            if n_tiles > 1
-            else d.orderBy("vec_id").collect()
-        )
-        if not qrows:
-            continue
-        q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-        Q = np.array([list(r.v) for r in qrows], dtype=np.float64)
-        qn = np.array([r.nrm for r in qrows], dtype=np.float64)
-        bc = spark.sparkContext.broadcast((q_ids, Q, qn))
+    c_rep = d.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cb)).cast("int").alias("cb"),
+    ).withColumn("qt", F.explode(F.sequence(F.lit(0), F.lit(n_qt - 1))))
+    q_rep = d.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_qt)).cast("int").alias("qt"),
+    ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(n_cb - 1))))
 
-        def part_topk(batches, bc=bc):
-            q_ids_, Q_, qn_ = bc.value
-            nq, dim = Q_.shape
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                A = np.array([list(v) for v in pdf["v"]], dtype=np.float64)  # (na, dim)
-                an = pdf["nrm"].to_numpy(dtype=np.float64)
-                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                na = len(ids)
-                acc = np.zeros((na, nq), dtype=np.float64)
-                for i in range(dim):  # sequential fold over dims = _dot's order
-                    acc += A[:, i : i + 1] * Q_[:, i]
-                cos = acc / (an[:, None] * qn_[None, :])
-                cos[ids[:, None] == q_ids_[None, :]] = -np.inf  # mask self-pairs
-                # local top-k per query by the global order (cos desc, id asc)
-                order = np.lexsort(
-                    (np.broadcast_to(ids[:, None], (na, nq)), -cos), axis=0
-                )
-                top = order[: min(na, kk)]
-                qi = np.broadcast_to(np.arange(nq)[None, :], top.shape)
-                sel_c = cos[top, qi].ravel()
-                keep = np.isfinite(sel_c)
-                yield pd.DataFrame(
+    def block_topk(c_pdf, q_pdf):
+        if len(c_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "q_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        q_ids_ = q_pdf["q_id"].to_numpy(dtype=np.int64)
+        Q_ = np.array([list(v) for v in q_pdf["qv"]], dtype=np.float64)
+        qn_ = q_pdf["qn"].to_numpy(dtype=np.float64)
+        nq, dim = Q_.shape
+        ids_all = c_pdf["vec_id"].to_numpy(dtype=np.int64)
+        A_all = np.array([list(v) for v in c_pdf["v"]], dtype=np.float64)
+        an_all = c_pdf["nrm"].to_numpy(dtype=np.float64)
+        outs = []
+        for s in range(0, len(ids_all), _KNN_CHUNK):
+            ids = ids_all[s : s + _KNN_CHUNK]
+            A = A_all[s : s + _KNN_CHUNK]
+            an = an_all[s : s + _KNN_CHUNK]
+            na = len(ids)
+            acc = np.zeros((na, nq), dtype=np.float64)
+            for i in range(dim):  # sequential fold over dims = _dot's order
+                acc += A[:, i : i + 1] * Q_[:, i]
+            cos = acc / (an[:, None] * qn_[None, :])
+            cos[ids[:, None] == q_ids_[None, :]] = -np.inf  # mask self-pairs
+            # chunk-local top-k per query by the global order
+            # (cos desc, id asc) — a superset of each query's block
+            # contribution to the global top-k, so the window finish
+            # is exact.
+            order = np.lexsort(
+                (np.broadcast_to(ids[:, None], (na, nq)), -cos), axis=0
+            )
+            top = order[: min(na, kk)]
+            qi = np.broadcast_to(np.arange(nq)[None, :], top.shape)
+            sel_c = cos[top, qi].ravel()
+            keep = np.isfinite(sel_c)
+            outs.append(
+                pd.DataFrame(
                     {
                         "q_id": q_ids_[qi].ravel()[keep],
                         "neighbor_id": ids[top].ravel()[keep],
                         "cos": sel_c[keep],
                     }
                 )
+            )
+        return pd.concat(outs, ignore_index=True)
 
-        # Materialize this tile's candidates NOW (eager localCheckpoint)
-        # and destroy its broadcast before the next tile is collected:
-        # without this, every tile's broadcast stays referenced by the
-        # unioned lazy plan and aggregate broadcast-manager footprint is
-        # O(corpus) even though per-collect driver heap is tiled
-        # (round-5 verdict "What's wrong" #3).  The checkpointed rows
-        # are bounded — per-partition top-k only, never the n² score
-        # matrix — so at most ONE tile broadcast is live at any moment
-        # (pinned by tests/test_skew_and_ivf.py).
-        tile_cand = d.mapInPandas(
-            part_topk, schema="q_id long, neighbor_id long, cos double"
-        ).localCheckpoint(eager=True)
-        bc.destroy()
-        cand = tile_cand if cand is None else cand.unionAll(tile_cand)
-    if cand is None:
-        cand = spark.createDataFrame([], "q_id long, neighbor_id long, cos double")
+    cand = (
+        c_rep.groupby("cb", "qt")
+        .cogroup(q_rep.groupby("cb", "qt"))
+        .applyInPandas(block_topk, schema="q_id long, neighbor_id long, cos double")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         cand.select("q_id", "neighbor_id", "cos", F.row_number().over(w).alias("rank"))

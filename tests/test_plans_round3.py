@@ -89,20 +89,18 @@ def test_edit_distance_blocks_before_levenshtein(spark):
 
 
 def test_knn_join_kernel_shape(spark):
-    """Exact kNN self-join: the numpy kernel (MapInPandas) scores each
-    corpus partition against the broadcast query matrix — there must
-    be NO join node at all (the 30s-at-sf0.1 per-pair cross join is
-    the regression this pins against), and the global finish is a
-    windowed rank with WindowGroupLimit pruning.  Since the round-6
-    broadcast-hygiene fix each tile's kernel output is EAGERLY
-    materialized (localCheckpoint, so the tile broadcast can be
-    destroyed); the returned plan therefore scans checkpointed rows
-    ("Scan ExistingRDD") instead of showing the MapInPandas node —
-    the kernel's no-join shape is pinned at runtime by
-    test_skew_and_ivf.py (tiling invariance + single-live-broadcast)."""
+    """Exact kNN self-join (r7 executor-side rewrite): the numpy
+    kernel runs as ONE cogroup node (FlatMapCoGroupsInPandas) over
+    the 2-D (corpus block x query tile) grid — no join node at all
+    (the 30s-at-sf0.1 per-pair cross join is the regression this pins
+    against), no checkpoint scan (the pre-r7 driver-collect tiling
+    materialized per-tile ExistingRDDs), and the global finish is a
+    windowed rank with WindowGroupLimit pruning.  The no-driver-data
+    property is pinned at runtime by test_skew_and_ivf.py."""
     df = _q(spark, "similarity_knn_join")
     plan = formatted_plan(df)
-    assert "ExistingRDD" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "ExistingRDD" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan

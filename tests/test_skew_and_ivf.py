@@ -136,56 +136,57 @@ def test_centroid_assign_planted_clusters(spark):
 
 
 def test_knn_join_tiling_invariant(spark):
-    """Query-side tiling (VERDICT r3 #3): forcing multiple broadcast
-    tiles must produce EXACTLY the single-tile result — same rows, same
-    float bits — because every (corpus row, query) pair is scored once
-    with the same sequential-dim fold regardless of which tile the
-    query rides in.  Also pins that no per-tile collect exceeds the
-    tile size (driver memory bound)."""
+    """Blocking invariance: forcing many (query tile x corpus block)
+    cells must produce EXACTLY the default-blocking result — same
+    rows, same float bits — because every (corpus row, query) pair is
+    scored once with the same sequential-dim fold regardless of which
+    cell it lands in."""
     from quacfka_service_spark.operators.similarity import knn_join
 
     emb = load_table(spark, SF_DIR, "embeddings")
     single = knn_join(emb).orderBy("q_id", "rank").collect()
-    tiled = knn_join(emb, tile_rows=37).orderBy("q_id", "rank").collect()
+    tiled = (
+        knn_join(emb, tile_rows=37, block_rows=29).orderBy("q_id", "rank").collect()
+    )
     assert len(single) == len(tiled) > 0
     for a, b in zip(single, tiled):
         assert a == b  # includes exact float equality on cos
 
 
-def test_knn_join_at_most_one_live_tile_broadcast(spark, monkeypatch):
-    """Broadcast hygiene (VERDICT r5 #4): the tiled kNN self-join must
-    hold at most ONE tile broadcast at a time — each tile's candidates
-    are eagerly materialized and its broadcast destroyed before the
-    next tile is collected.  Without the destroy, the unioned lazy plan
-    pins every tile's broadcast and aggregate footprint is O(corpus)."""
+def test_knn_join_is_fully_executor_side(spark, monkeypatch):
+    """VERDICT r6 item #2: the exact kNN self-join must never move
+    vectors through the driver — no ``.collect()`` of corpus tiles, no
+    driver-created broadcast (the pre-r7 implementation collected each
+    query tile to the driver and re-broadcast it; at 100x scale the
+    whole corpus transited the driver tile by tile).  Pins (a) zero
+    SparkContext.broadcast calls during execution, (b) the cogroup
+    kernel node in the executed plan, (c) no collect call in the
+    operator's source."""
+    import inspect
+
     from pyspark import SparkContext
 
+    from quacfka_service_spark.operators import similarity
     from quacfka_service_spark.operators.similarity import knn_join
 
-    live = {"now": 0, "max": 0, "created": 0}
+    src = inspect.getsource(similarity.knn_join)
+    assert ".collect(" not in src, "knn_join collects data to the driver"
+    assert "broadcast(" not in src, "knn_join broadcasts from the driver"
+
+    created = {"n": 0}
     orig_broadcast = SparkContext.broadcast
 
     def counting_broadcast(self, value):
-        b = orig_broadcast(self, value)
-        live["now"] += 1
-        live["created"] += 1
-        live["max"] = max(live["max"], live["now"])
-        orig_destroy = b.destroy
-
-        def counted_destroy(*a, **kw):
-            live["now"] -= 1
-            return orig_destroy(*a, **kw)
-
-        b.destroy = counted_destroy
-        return b
+        created["n"] += 1
+        return orig_broadcast(self, value)
 
     monkeypatch.setattr(SparkContext, "broadcast", counting_broadcast)
     emb = load_table(spark, SF_DIR, "embeddings")
-    n = knn_join(emb, tile_rows=37).count()
-    assert n > 0
-    assert live["created"] >= 2, "tile size did not force multiple tiles"
-    assert live["max"] == 1, f"{live['max']} tile broadcasts live at once"
-    assert live["now"] == 0, "broadcasts left alive after the join"
+    df = knn_join(emb, tile_rows=37, block_rows=29)
+    assert df.count() > 0
+    assert created["n"] == 0, f"{created['n']} driver broadcasts created"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
 
 
 def test_mmr_topk_matches_pure_python_reference(spark):
