@@ -112,19 +112,28 @@ def dsir_resample(
     than average (weight >= 1) are always kept; the rest thin out
     proportionally — the standard importance-resampling acceptance.
 
-    Scale note: the BIGINT product reaches ~buckets x r_mass x t_total;
-    at extreme corpus scale pre-divide the totals (they are global
-    constants) or move the rule to DECIMAL(38) — both engines overflow
-    loudly (ANSI / DuckDB), never silently."""
+    Scale note (ADVICE r6 #2): the triple product reaches
+    buckets x r_mass x t_total, which blows past 2^63 at around a
+    1e9-token corpus — and with Spark's default non-ANSI mode a BIGINT
+    compare would WRAP silently.  Both sides of the comparison are
+    therefore computed in 128-bit integer arithmetic: decimal(38,0)
+    on Spark (exact int128 up to 38 digits), HUGEINT in the DuckDB
+    oracle — bit-identical, with ~10^38 headroom (buckets 10^3 x
+    masses 10^15 x totals 10^15 = 10^33 at the most extreme real
+    scale)."""
     m = _masses_with_totals(docs, dim, target_mod)
     b = hash_bucket(F.col("doc_id"), buckets)
+
+    def _d38(c):
+        return c.cast("decimal(38,0)")
+
     return m.select(
         "doc_id",
         "t_mass",
         "r_mass",
         (
-            b * F.col("r_mass") * F.col("t_total")
-            < F.lit(buckets) * F.col("t_mass") * F.col("r_total")
+            _d38(b) * _d38(F.col("r_mass")) * _d38(F.col("t_total"))
+            < _d38(F.lit(buckets)) * _d38(F.col("t_mass")) * _d38(F.col("r_total"))
         ).alias("kept"),
     )
 
@@ -280,9 +289,9 @@ masses AS (
   GROUP BY f.doc_id
 )
 SELECT doc_id, t_mass, r_mass,
-       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS})
-         * r_mass * t_total
-       < {BUCKETS} * t_mass * r_total AS kept
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS})::HUGEINT
+         * r_mass::HUGEINT * t_total::HUGEINT
+       < {BUCKETS}::HUGEINT * t_mass::HUGEINT * r_total::HUGEINT AS kept
 FROM masses, tot
 """,
     "corpus_drift_tv": f"""

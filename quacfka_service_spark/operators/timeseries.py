@@ -93,16 +93,35 @@ def ts_motif_topk(
 
     cm, cv = _stats(cand)
     qm, qv = _stats(qry)
-    scored = ex.select(
-        "event_type",
-        "start",
-        cand.alias("c"),
-        qry.alias("q"),
-        cm.alias("cm"),
-        F.sqrt(cv).alias("cs"),
-        qm.alias("qm"),
-        F.sqrt(qv).alias("qs"),
-    ).where((F.col("cs") > 0) & (F.col("qs") > 0))
+    # Zero-variance guard on the RAW variance, before sqrt: for a
+    # constant window E[x^2]-mean^2 can land a few ulp NEGATIVE (e.g.
+    # a window of constant 0.1 gives var = -2e-18), and sqrt(<0) is
+    # NaN — which both Spark and DuckDB order GREATER than 0, so a
+    # flat window would pass a sqrt(var) > 0 filter and poison every
+    # distance with NaN (ADVICE r6 #1).  var > 0 has no NaN path.
+    scored = (
+        ex.select(
+            "event_type",
+            "start",
+            cand.alias("c"),
+            qry.alias("q"),
+            cm.alias("cm"),
+            cv.alias("cv"),
+            qm.alias("qm"),
+            qv.alias("qv"),
+        )
+        .where((F.col("cv") > 0) & (F.col("qv") > 0))
+        .select(
+            "event_type",
+            "start",
+            "c",
+            "q",
+            "cm",
+            F.sqrt("cv").alias("cs"),
+            "qm",
+            F.sqrt("qv").alias("qs"),
+        )
+    )
     diff = F.zip_with(
         F.col("c"),
         F.col("q"),
@@ -158,12 +177,23 @@ def ts_discord_topk(
     wnd = F.slice("s", F.col("start"), window)
     mean = _fold_sum(wnd) / w
     var = _fold_sum(F.transform(wnd, lambda x: x * x)) / w - mean * mean
-    zx = ex.select(
-        "event_type",
-        "start",
-        F.transform(wnd, lambda x: (x - mean) / F.sqrt(var)).alias("z"),
-        F.sqrt(var).alias("sd"),
-    ).where(F.col("sd") > 0)
+    # Raw-variance guard (not sqrt(var) > 0): a constant window's var
+    # can be a few ulp negative, sqrt of that is NaN, and NaN orders
+    # greater than 0 in BOTH engines — see the motif guard above
+    # (ADVICE r6 #1).
+    zx = (
+        ex.select(
+            "event_type", "start", wnd.alias("wv"), mean.alias("m"), var.alias("var")
+        )
+        .where(F.col("var") > 0)
+        .select(
+            "event_type",
+            "start",
+            F.transform(
+                "wv", lambda x: (x - F.col("m")) / F.sqrt("var")
+            ).alias("z"),
+        )
+    )
     a = zx.select("event_type", F.col("start").alias("ia"), F.col("z").alias("za"))
     b = zx.select("event_type", F.col("start").alias("ib"), F.col("z").alias("zb"))
     pairs = a.join(
@@ -297,18 +327,26 @@ wnd AS (
   FROM ex
 ),
 stats AS (
+  -- raw variances (no sqrt yet): the zero-variance guard must filter
+  -- on var > 0 because a constant window's E[x^2]-mean^2 can be a few
+  -- ulp NEGATIVE and sqrt of that is NaN, which DuckDB (and Spark)
+  -- order GREATER than 0.
   SELECT event_type, start, c, q,
          list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)} AS cm,
-         sqrt(list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, b) -> a + b)
+         list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, b) -> a + b)
               / {float(TS_WINDOW)}
               - (list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)})
-                * (list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)})) AS cs,
+                * (list_reduce(list_prepend(0.0, c), (a, b) -> a + b) / {float(TS_WINDOW)}) AS cv,
          list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)} AS qm,
-         sqrt(list_reduce(list_prepend(0.0, list_transform(q, x -> x * x)), (a, b) -> a + b)
+         list_reduce(list_prepend(0.0, list_transform(q, x -> x * x)), (a, b) -> a + b)
               / {float(TS_WINDOW)}
               - (list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)})
-                * (list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)})) AS qs
+                * (list_reduce(list_prepend(0.0, q), (a, b) -> a + b) / {float(TS_WINDOW)}) AS qv
   FROM wnd
+),
+zs AS (
+  SELECT event_type, start, c, q, cm, sqrt(cv) AS cs, qm, sqrt(qv) AS qs
+  FROM stats WHERE cv > 0 AND qv > 0
 ),
 scored AS (
   SELECT event_type, start,
@@ -317,7 +355,7 @@ scored AS (
              i -> ((c[i] - cm) / cs - (q[i] - qm) / qs)
                 * ((c[i] - cm) / cs - (q[i] - qm) / qs))),
            (a, b) -> a + b)) AS dist
-  FROM stats WHERE cs > 0 AND qs > 0
+  FROM zs
 )
 SELECT event_type, start::BIGINT AS start, dist, rank::BIGINT AS rank FROM (
   SELECT event_type, start, dist,
@@ -344,18 +382,21 @@ ex AS (
   FROM series
 ),
 zx AS (
-  SELECT event_type, start, list_transform(wv, x -> (x - m) / sd) AS z
+  -- guard on the RAW variance (var > 0), not sqrt(var) > 0: constant
+  -- windows can compute var a few ulp negative, sqrt is NaN, and NaN
+  -- orders greater than 0 in both engines.
+  SELECT event_type, start, list_transform(wv, x -> (x - m) / sqrt(var)) AS z
   FROM (
     SELECT event_type, start, wv,
            list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)} AS m,
-           sqrt(list_reduce(list_prepend(0.0, list_transform(wv, x -> x * x)), (a, b) -> a + b)
+           list_reduce(list_prepend(0.0, list_transform(wv, x -> x * x)), (a, b) -> a + b)
                 / {float(TS_WINDOW)}
                 - (list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)})
-                  * (list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)})) AS sd
+                  * (list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / {float(TS_WINDOW)}) AS var
     FROM (SELECT event_type, start,
                  list_slice(s, start, start + {TS_WINDOW} - 1) AS wv
           FROM ex))
-  WHERE sd > 0
+  WHERE var > 0
 ),
 pairs AS (
   SELECT a.event_type, a.start AS ia,

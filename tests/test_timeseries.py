@@ -52,6 +52,30 @@ def test_motif_skips_constant_windows_and_short_series(spark):
     assert ts_motif_topk(_events(spark, [float(i) for i in range(30)])).count() == 0
 
 
+def test_flat_window_of_nonrepresentable_constant_is_skipped(spark):
+    """ADVICE r6 #1 regression: for a constant window of 0.1 (not
+    exactly representable in binary), E[x^2] - mean^2 evaluates to a
+    tiny NEGATIVE float, sqrt of that is NaN, and NaN orders greater
+    than 0 — so a sqrt(var) > 0 guard let flat windows through with
+    NaN z-scores, and under discord's DESC ordering a flat window
+    became the #1 "discord".  The guard must filter on the RAW
+    variance."""
+    from quacfka_service_spark.operators.timeseries import ts_discord_topk
+
+    # flat type at 0.1; one genuinely varying type alongside
+    flat = _events(spark, [0.1] * 100, "flat")
+    vary = _events(spark, [float((7 * h) % 13) for h in range(100)], "vary")
+    ev = flat.unionByName(vary)
+
+    motif = ts_motif_topk(ev).collect()
+    assert {r["event_type"] for r in motif} == {"vary"}
+    assert all(r["dist"] == r["dist"] for r in motif)  # no NaN
+
+    disc = ts_discord_topk(ev).collect()
+    assert {r["event_type"] for r in disc} == {"vary"}
+    assert all(r["nn_dist"] == r["nn_dist"] for r in disc)  # no NaN
+
+
 def test_motif_types_are_independent(spark):
     a = _events(spark, [float((3 * h) % 7) for h in range(80)], "view")
     b = _events(spark, [float((5 * h) % 11) for h in range(80)], "click")
