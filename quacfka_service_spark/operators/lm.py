@@ -69,7 +69,21 @@ _QSCALE = 1_000_000_000  # nano-nat quantization grid for log terms
 
 
 def _qlog(ratio):
-    """floor(ln(ratio) * 1e9) as BIGINT — the engine-exact log term."""
+    """floor(ln(ratio) * 1e9) as BIGINT — the cross-engine log term.
+
+    Residual risk (ADVICE r6 #5): this quantization is probabilistic,
+    not deterministic.  Java Math.log and libm ln may differ in the
+    last ulp, so when a log term lands within ~1 ulp of a 1e-9 grid
+    boundary the floored integer can flip between engines.  The inputs
+    here are ratios of smoothed BIGINT counts, so the set of possible
+    log arguments is data-bounded; at the driver's corpus sizes the
+    straddle probability per term is ~1 ulp / grid step ≈ 2e-7 and the
+    per-query flip probability stays ~1e-4.  This is an accepted
+    trade: a coarser grid shrinks the risk linearly but discards score
+    resolution that the argmax tie-breaks need.  If a flake is ever
+    observed, the documented remedies are (a) coarsen _QSCALE one
+    decade, or (b) compare quantized sums with an off-by-one-per-term
+    tolerance instead of exact equality."""
     return F.floor(F.log(ratio) * F.lit(float(_QSCALE))).cast("long")
 
 

@@ -182,12 +182,15 @@ def hll_registers(ev: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
-def hll_estimate(regs: DataFrame) -> DataFrame:
-    """Estimate tail over a register table (event_type, bucket, r) —
+def hll_estimate(regs: DataFrame, group_cols=("event_type",)) -> DataFrame:
+    """Estimate tail over a register table (*group_cols, bucket, r) —
     shared verbatim by batch ``hll_distinct`` and the streaming
     ``IncrementalHLL`` so the two provably run the same plan over the
-    same registers."""
-    agg = regs.groupBy("event_type").agg(
+    same registers.  ``group_cols`` lets callers key registers on a
+    compound group (e.g. set-algebra's (type_a, type_b) pairs) without
+    packing several strings into one delimited column — a delimiter
+    occurring in the data would corrupt the key (ADVICE r6 #4)."""
+    agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("nonzero_buckets"),
         F.sum(F.expr("cast(shiftleft(1L, 53 - r) as decimal(38,0))")).alias("sp"),
         F.md5(
@@ -211,7 +214,7 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         (raw <= 2.5 * HLL_M) & (zeros > 0), m.cast("double") * F.log(m.cast("double") / zeros.cast("double"))
     ).otherwise(raw)
     return agg.select(
-        "event_type",
+        *group_cols,
         F.round(est).cast("long").alias("hll_users"),
         "nonzero_buckets",
         "registers_md5",
@@ -271,14 +274,12 @@ def hll_set_algebra(ev: DataFrame) -> DataFrame:
         tagged_a.unionByName(tagged_b)
         .groupBy("type_a", "type_b", "bucket")
         .agg(F.max("r").alias("r"))
-        .select(
-            F.concat_ws("|", "type_a", "type_b").alias("event_type"), "bucket", "r"
-        )
     )
-    union_est = hll_estimate(union_regs).select(
-        F.split(F.col("event_type"), r"\|")[0].alias("type_a"),
-        F.split(F.col("event_type"), r"\|")[1].alias("type_b"),
-        F.col("hll_users").alias("est_union"),
+    # compound group key straight through the shared estimate tail —
+    # no delimiter packing, so a '|' inside an event_type cannot
+    # corrupt the pair key (ADVICE r6 #4).
+    union_est = hll_estimate(union_regs, group_cols=("type_a", "type_b")).select(
+        "type_a", "type_b", F.col("hll_users").alias("est_union")
     )
     ea = est.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
     eb = est.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))

@@ -77,6 +77,120 @@ from pyspark.sql import DataFrame, SparkSession
 VERSION_DIGITS = 20
 
 
+_IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top_and(pred: str) -> list[str]:
+    """Split a SQL predicate on top-level ``AND`` — outside parens and
+    outside single-quoted strings.  (``BETWEEN x AND y`` gets split
+    too; its fragments simply parse as nothing, which is safe.)"""
+    import re
+
+    parts, depth, in_q, start, i = [], 0, False, 0, 0
+    up = pred.upper()
+    while i < len(pred):
+        c = pred[i]
+        if in_q:
+            in_q = c != "'"
+        elif c == "'":
+            in_q = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not re.match(r"[A-Za-z0-9_]", pred[i - 1]))
+            and not re.match(r"[A-Za-z0-9_]", pred[i + 3 : i + 4] or " ")
+        ):
+            parts.append(pred[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(pred[start:])
+    return parts
+
+
+def _parse_sql_literal(s: str):
+    """A bare numeric or simple single-quoted string literal, else None
+    (None also means 'not derivable' — callers skip the conjunct)."""
+    import re
+
+    s = s.strip()
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?", s):
+        return float(s)
+    m = re.fullmatch(r"'([^']*)'", s)
+    if m:
+        return m.group(1)
+    return None
+
+
+def derive_prune_hints(predicate: str):
+    """(ranges, point) manifest-pruning hints PROVABLY implied by the
+    predicate (ADVICE r6 #3): every top-level AND conjunct of the form
+    ``col <op> literal`` (or flipped) tightens that column's bound —
+    since the full predicate implies each conjunct, a file whose stats
+    exclude the conjunct cannot contain a matching row.  Anything not
+    of that shape (ORs, function calls, BETWEEN, column-to-column)
+    derives nothing for its columns, which only costs pruning, never
+    correctness."""
+    import re
+
+    flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+    lo: dict[str, Any] = {}
+    hi: dict[str, Any] = {}
+    point: dict[str, Any] = {}
+    for conj in _split_top_and(predicate):
+        c = conj.strip()
+        # peel fully-enclosing balanced parens
+        while c.startswith("(") and c.endswith(")"):
+            depth = 0
+            whole = True
+            for j, ch in enumerate(c):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0 and j < len(c) - 1:
+                    whole = False
+                    break
+            if not whole:
+                break
+            c = c[1:-1].strip()
+        m = re.fullmatch(
+            rf"({_IDENT_RE})\s*(==|=|<=|>=|<|>)\s*(.+)", c, re.S
+        ) or re.fullmatch(rf"(.+?)\s*(==|=|<=|>=|<|>)\s*({_IDENT_RE})", c, re.S)
+        if not m:
+            continue
+        a, op, b = m.group(1), m.group(2), m.group(3)
+        if re.fullmatch(_IDENT_RE, a.strip()) and _parse_sql_literal(b) is not None:
+            col, val = a.strip(), _parse_sql_literal(b)
+        elif re.fullmatch(_IDENT_RE, b.strip()) and _parse_sql_literal(a) is not None:
+            col, val = b.strip(), _parse_sql_literal(a)
+            if op in flip:
+                op = flip[op]
+        else:
+            continue
+        if col.upper() in ("AND", "OR", "NOT", "TRUE", "FALSE", "NULL"):
+            continue
+        try:
+            if op in ("=", "=="):
+                point[col] = val
+                lo[col] = hi[col] = val
+            elif op in (">", ">="):
+                lo[col] = val if col not in lo else max(lo[col], val)
+            elif op in ("<", "<="):
+                hi[col] = val if col not in hi else min(hi[col], val)
+        except TypeError:  # mixed-type conjuncts: keep the first bound
+            continue       # (each conjunct alone is still implied)
+    ranges = {
+        c: (lo.get(c), hi.get(c)) for c in set(lo) | set(hi)
+    }
+    return ranges, point
+
+
 class CommitConflict(Exception):
     """A concurrent commit logically conflicts (overlapping partition
     rewrite); the caller must re-derive its write from fresh data."""
@@ -996,6 +1110,40 @@ class TxTable:
             "inserted": source.count() - updated,
         }
 
+    def _resolve_hints(self, predicate, ranges, point):
+        """Derived-first pruning hints (ADVICE r6 #3).  Hints are
+        DERIVED from the predicate's top-level equality/range
+        conjuncts — provably sound, so a hinted prune can never skip a
+        file holding a matching row.  Caller-supplied ``ranges`` /
+        ``point`` are no longer trusted: each is accepted only when it
+        is IMPLIED by a derived constraint on the same column (then
+        it's redundant) and rejected loudly otherwise — a caller hint
+        that excluded a matching file used to silently under-delete,
+        the worst possible failure for the GDPR-erasure use case."""
+        d_ranges, d_point = derive_prune_hints(predicate)
+        sv = self._stat_value
+        for col, val in (point or {}).items():
+            if col not in d_point or sv(d_point[col]) != sv(val):
+                raise ValueError(
+                    f"point hint {col}={val!r} is not implied by the "
+                    f"predicate {predicate!r}; drop the hint — sound "
+                    "hints now derive automatically"
+                )
+        for col, (lo, hi) in (ranges or {}).items():
+            dlo, dhi = d_ranges.get(col, (None, None))
+            try:
+                ok_lo = lo is None or (dlo is not None and sv(dlo) >= sv(lo))
+                ok_hi = hi is None or (dhi is not None and sv(dhi) <= sv(hi))
+            except TypeError:
+                ok_lo = ok_hi = False
+            if not (ok_lo and ok_hi):
+                raise ValueError(
+                    f"range hint {col}=({lo!r}, {hi!r}) is not implied "
+                    f"by the predicate {predicate!r}; drop the hint — "
+                    "sound hints now derive automatically"
+                )
+        return d_ranges, d_point
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -1011,14 +1159,15 @@ class TxTable:
         row are rewritten (GDPR erasure and retention enforcement at
         100 TB rewrite what they touch, never the table).
 
-        Stages: optional manifest pruning via ``ranges``/``point``
-        hints (an arbitrary predicate can't be stats-pruned
-        automatically — pass the indexed form when you have it, e.g.
-        ``point={'user_id': 42}`` for an erasure request against a
-        bloom-indexed key); one provenance scan marks files holding a
-        match; touched files rewrite as survivors-only.  NULL
-        predicate rows are NOT matches (SQL DELETE semantics) and
-        survive.
+        Stages: manifest pruning hints DERIVE automatically from the
+        predicate's top-level equality/range conjuncts (e.g.
+        ``user_id = 42`` prunes via stats + the per-file bloom) — see
+        ``_resolve_hints``; caller ``ranges``/``point`` are validated
+        assertions only, rejected unless implied by the predicate, so
+        a wrong hint can no longer silently under-delete.  One
+        provenance scan marks files holding a match; touched files
+        rewrite as survivors-only.  NULL predicate rows are NOT
+        matches (SQL DELETE semantics) and survive.
 
         Concurrency: commits as a ``rewrite`` — racing commits that
         removed a touched file first raise ``CommitConflict``;
@@ -1036,6 +1185,7 @@ class TxTable:
         if not snap.files:
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_deleted": 0}
+        ranges, point = self._resolve_hints(predicate, ranges, point)
         cand = self.live_files(ranges=ranges, point=point, _snap=snap)
         if not cand:
             return {"version": snap.version, "files_rewritten": 0,
@@ -1118,6 +1268,7 @@ class TxTable:
         bad = sorted(set(assignments) & set(partition_by))
         if bad:
             raise ValueError(f"update_where cannot assign partition columns: {bad}")
+        ranges, point = self._resolve_hints(predicate, ranges, point)
         cand = self.live_files(ranges=ranges, point=point, _snap=snap)
         if not cand:
             return {"version": snap.version, "files_rewritten": 0,
@@ -1248,11 +1399,17 @@ class TxTable:
                         continue
                     lo_n = self._stat_value(lo) if lo is not None else None
                     hi_n = self._stat_value(hi) if hi is not None else None
-                    if (hi_n is not None and st[0] > hi_n) or (
-                        lo_n is not None and st[1] < lo_n
-                    ):
-                        skip = True
-                        break
+                    try:
+                        if (hi_n is not None and st[0] > hi_n) or (
+                            lo_n is not None and st[1] < lo_n
+                        ):
+                            skip = True
+                            break
+                    except TypeError:
+                        # hint/stat types incomparable (e.g. a string
+                        # bound against numeric stats): keep the file —
+                        # pruning is an optimization, never a filter.
+                        continue
                 if skip:
                     continue
             out.append(p)

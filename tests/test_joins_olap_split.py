@@ -234,6 +234,26 @@ def test_hll_estimate_accuracy(spark):
         assert abs(est[t] - e) <= max(1, 0.05 * e), (t, est[t], e)
 
 
+def test_hll_set_algebra_survives_delimiter_in_type(spark):
+    """ADVICE r6 #4 regression: pair keys used to be packed as
+    concat_ws('|', type_a, type_b) then split — an event_type
+    containing '|' corrupted the key ('a|b' + 'c' -> 'a|b|c' split as
+    ('a', 'b')) and misattributed union estimates.  The compound
+    group key must survive any characters in the type names."""
+    from quacfka_service_spark.operators.olap import hll_set_algebra
+
+    rows = [("a|b", i) for i in range(40)] + [("c", i) for i in range(20, 60)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = hll_set_algebra(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a|b", "c")
+    # 40 + 40 users with 20 shared: estimates must be near those counts
+    assert abs(r["est_a"] - 40) <= 4 and abs(r["est_b"] - 40) <= 4
+    assert abs(r["est_union"] - 60) <= 6
+    assert abs(r["est_intersection"] - 20) <= 8
+
+
 def test_asof_join_on_events(spark):
     """Every purchase_ts is <= its click ts (semantics sanity at sf0.001)."""
     import __spark_entry__ as entry

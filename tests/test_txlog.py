@@ -1320,6 +1320,71 @@ def test_delete_where_point_hint_prunes_via_bloom(spark, tmp_path):
     assert t.read(spark).count() == 3999
 
 
+def test_delete_where_hints_derive_from_predicate(spark, tmp_path):
+    """ADVICE r6 #3: pruning hints derive from the predicate itself —
+    no hint argument needed for the indexed shapes."""
+    from quacfka_service_spark.sinks.txlog import derive_prune_hints
+
+    r, p = derive_prune_hints("id = 1500")
+    assert p == {"id": 1500} and r == {"id": (1500, 1500)}
+    r, p = derive_prune_hints("id >= 10 AND id < 20 AND name = 'x'")
+    assert p == {"name": "x"}
+    assert r["id"] == (10, 20) and r["name"] == ("x", "x")
+    # flipped operand order
+    r, p = derive_prune_hints("5 < id")
+    assert r == {"id": (5, None)} and p == {}
+    # non-derivable shapes contribute nothing (but never corrupt)
+    r, p = derive_prune_hints("id % 10 = 3")
+    assert r == {} and p == {}
+    r, p = derive_prune_hints("id = 1 OR id = 2")
+    assert r == {} and p == {}
+    r, p = derive_prune_hints("(a = 1 OR b = 2) AND c = 3")
+    assert p == {"c": 3} and "a" not in r and "b" not in r
+    r, p = derive_prune_hints("upper(name) = 'X'")
+    assert r == {} and p == {}
+
+
+def test_delete_where_rejects_unsound_hint(spark, tmp_path):
+    """A caller hint that the predicate does not imply used to
+    silently under-delete (skip a matching file); it must now be
+    rejected loudly."""
+    import pytest
+
+    t = TxTable(str(tmp_path / "d7"))
+    t.append(_mk(spark, 0, 50, "a"), partition_by=["p"], bloom_cols=["id"])
+    t.append(_mk(spark, 50, 100, "b"), partition_by=["p"], bloom_cols=["id"])
+    with pytest.raises(ValueError, match="not implied"):
+        t.delete_where(spark, "id = 60", point={"id": 10})
+    with pytest.raises(ValueError, match="not implied"):
+        t.delete_where(spark, "id >= 40", ranges={"id": (50, None)})
+    with pytest.raises(ValueError, match="not implied"):
+        # predicate gives no constraint on id at all
+        t.update_where(spark, "v > 0", {"v": "0"}, ranges={"id": (0, 10)})
+    # nothing was deleted by the rejected calls
+    assert t.read(spark).count() == 100
+    # implied hints (redundant restatements) still pass
+    stats = t.delete_where(spark, "id = 60", point={"id": 60})
+    assert stats["rows_deleted"] == 1
+
+
+def test_delete_where_autoprunes_without_hints(spark, tmp_path):
+    """Equality predicate on a bloom-indexed key prunes the scan with
+    NO hint argument — the derived hints match the explicit-hint
+    behavior of test_delete_where_point_hint_prunes_via_bloom."""
+    t = TxTable(str(tmp_path / "d8"))
+    for i in range(4):
+        t.append(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id"), F.lit("a").alias("p"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            partition_by=["p"],
+            bloom_cols=["id"],
+        )
+    stats = t.delete_where(spark, "id = 1500")
+    assert stats["rows_deleted"] == 1 and stats["files_rewritten"] == 1
+    assert t.read(spark).count() == 3999
+
+
 # --- UPDATE WHERE ----------------------------------------------------------
 
 
