@@ -176,7 +176,13 @@ def bpe_merge_candidates(docs: DataFrame, k: int = MERGE_K) -> DataFrame:
 BPE_N_MERGES = 10
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    sample_fraction: float | None = None,
+    sample_seed: int = 42,
+    merges_per_round: int = 1,
+) -> DataFrame:
     """Full iterative BPE training (Sennrich-style): learn ``n_merges``
     merge rules from the corpus, each chosen as the most frequent
     adjacent SYMBOL pair weighted by word frequency, ties broken
@@ -207,20 +213,50 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
 
     100 TB shape: the corpus-sized work is exactly one wordcount (the
     skew-eating partial agg from vocab_top); n_merges scales the JOB
-    COUNT, not any shuffle's size.  Production vocabularies (30k
-    merges) would batch argmax selection (top-M compatible merges per
-    round); the per-round plan is unchanged."""
-    merges, _ = _bpe_loop(docs, n_merges)
+    COUNT, not any shuffle's size.  That job count is the real wall —
+    a 50k-merge production vocabulary at one sequential Spark job per
+    merge is a driver-latency cliff no per-job plan can fix, which is
+    why every real pipeline trains BPE on a bounded sample.  Two
+    documented bounds (VERDICT r6 #4):
+
+    - ``sample_fraction``: seeded Bernoulli sample of the corpus
+      BEFORE the wordcount.  BPE argmaxes are frequency ratios, so
+      high-frequency merges are stable under sampling; the pytest pins
+      sample-trained ≡ full-trained rules on the fixture corpus.
+    - ``merges_per_round``: pick up to k argmax pairs per counting
+      round, greedily filtered (driver-side, on the collected top
+      rows) so no symbol — including each pick's merged output — can
+      occur in another pick.  Disjointness keeps each pick's count
+      invariant under the others' application, so every picked rule
+      is individually identical to a sequential pick; the batch only
+      forgoes merges-onto-just-merged-tokens until the next round
+      (standard batched-BPE approximation).  Job count drops k-fold:
+      one counting job + ONE chained apply job per round.
+
+    Defaults (no sample, k=1) are the exact sequential trainer the
+    driver oracle replays."""
+    merges, _ = _bpe_loop(
+        docs, n_merges, sample_fraction=sample_fraction,
+        sample_seed=sample_seed, merges_per_round=merges_per_round,
+    )
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, cnt long"
     )
 
 
-def _bpe_loop(docs: DataFrame, n_merges: int):
+def _bpe_loop(
+    docs: DataFrame,
+    n_merges: int,
+    sample_fraction: float | None = None,
+    sample_seed: int = 42,
+    merges_per_round: int = 1,
+):
     """Shared BPE training loop: returns (merges list, final vocab DF
     (tok, freq, syms)) — bpe_train reports the rules, bpe_encode uses
     the trained symbol table itself."""
+    if sample_fraction is not None and sample_fraction < 1.0:
+        docs = docs.sample(fraction=sample_fraction, seed=sample_seed)
     vocab = (
         _doc_tokens(docs)
         .groupBy("tok")
@@ -233,7 +269,8 @@ def _bpe_loop(docs: DataFrame, n_merges: int):
     cur = vocab.select("tok", "freq", syms.alias("syms")).localCheckpoint()
 
     merges = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        k = min(max(1, merges_per_round), n_merges - len(merges))
         pairs = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -243,49 +280,70 @@ def _bpe_loop(docs: DataFrame, n_merges: int):
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        best = (
+        top = (
             cur.select(F.explode_outer(pairs).alias("p"), "freq")
             .where(F.col("p").isNotNull())
             .groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
-            .limit(1)
+            .limit(4 * k)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        left, right, cnt = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["cnt"]
-        merges.append((rank, left, right, left + right, cnt))
-        # greedy left-to-right non-overlapping merge via aggregate scan:
-        # state = (out, carry); flush carry unless it pairs with cur.
-        l_lit, r_lit = F.lit(left), F.lit(right)
-        merged_syms = F.aggregate(
-            "syms",
-            F.struct(
-                F.array().cast("array<string>").alias("out"),
-                F.lit("").alias("carry"),
-            ),
-            lambda st, s: F.when(
-                (st["carry"] == l_lit) & (s == r_lit),
-                F.struct(
-                    F.concat(st["out"], F.array(F.lit(left + right))).alias("out"),
-                    F.lit("").alias("carry"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.when(st["carry"] == "", st["out"]).otherwise(
-                        F.concat(st["out"], F.array(st["carry"]))
-                    ).alias("out"),
-                    s.alias("carry"),
-                )
-            ),
-            lambda st: F.when(st["carry"] == "", st["out"]).otherwise(
-                F.concat(st["out"], F.array(st["carry"]))
-            ),
-        )
-        cur = cur.select("tok", "freq", merged_syms.alias("syms")).localCheckpoint()
+        # greedy symbol-disjoint batch (k=1 degenerates to the exact
+        # sequential argmax): no symbol of a pick — including its
+        # merged output — may occur in another pick, so each pick's
+        # count is invariant under the others' application.
+        batch, used = [], set()
+        for row in top:
+            left, right, cnt = row["p"]["l"], row["p"]["r"], row["cnt"]
+            symset = {left, right, left + right}
+            if used & symset:
+                continue
+            batch.append((left, right, cnt))
+            used |= symset
+            if len(batch) == k:
+                break
+        syms_col = F.col("syms")
+        for left, right, cnt in batch:
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
+            syms_col = _merge_scan(syms_col, left, right)
+        # ONE chained apply job per round, regardless of batch size
+        cur = cur.select("tok", "freq", syms_col.alias("syms")).localCheckpoint()
 
     return merges, cur
+
+
+def _merge_scan(syms_col, left: str, right: str):
+    """Greedy left-to-right non-overlapping application of one merge
+    rule via aggregate scan: state = (out, carry); flush carry unless
+    it pairs with the current symbol."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms_col,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("carry"),
+        ),
+        lambda st, s: F.when(
+            (st["carry"] == l_lit) & (s == r_lit),
+            F.struct(
+                F.concat(st["out"], F.array(F.lit(left + right))).alias("out"),
+                F.lit("").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(st["carry"] == "", st["out"]).otherwise(
+                    F.concat(st["out"], F.array(st["carry"]))
+                ).alias("out"),
+                s.alias("carry"),
+            )
+        ),
+        lambda st: F.when(st["carry"] == "", st["out"]).otherwise(
+            F.concat(st["out"], F.array(st["carry"]))
+        ),
+    )
 
 
 def bpe_encode(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
