@@ -158,6 +158,17 @@ def drift_tv(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
     scan); the |sources| x 64 matrix is broadcast-sized; everything
     after the first agg is driver-trivial arithmetic kept distributed
     only for uniformity."""
+    sd = source_dim_counts(docs, dim)
+    cd = sd.groupBy("dim").agg(F.sum("s_cnt").alias("c_cnt"))
+    return tv_against(sd, cd)
+
+
+def source_dim_counts(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """(source, dim, s_cnt): the hashed-token histogram ``drift_tv``
+    compares on — factored out because these integer counts are the
+    SUM-mergeable drift STATE: histograms built per micro-batch and
+    re-aggregated equal the histogram of the union for any batching
+    (streaming/incremental_drift.py maintains exactly this)."""
     toks = docs.select(
         "source", F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     ).where(F.col("tok").isNotNull() & (F.col("tok") != ""))
@@ -165,15 +176,28 @@ def drift_tv(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
         F.lit(dim),
     )
-    sd = toks.select("source", d.alias("dim")).groupBy("source", "dim").agg(
+    return toks.select("source", d.alias("dim")).groupBy("source", "dim").agg(
         F.count(F.lit(1)).alias("s_cnt")
     )
-    cd = sd.groupBy("dim").agg(F.sum("s_cnt").alias("c_cnt"))
+
+
+def tv_against(sd: DataFrame, cd: DataFrame) -> DataFrame:
+    """TV tail shared by batch ``drift_tv`` (cd = corpus-wide counts
+    derived from sd itself) and the streaming monitor (cd = a FROZEN
+    reference histogram): per source, sum_f |s_f*C - c_f*S| / (2*S*C)
+    in exact BIGINTs to one final division.  ``sd`` carries
+    (source, dim, s_cnt); ``cd`` carries (dim, c_cnt)."""
     s_tot = sd.groupBy("source").agg(F.sum("s_cnt").alias("s_total"))
     c_tot = cd.agg(F.sum("c_cnt").alias("c_total"))
-    # a source may have zero mass on a dim the corpus has: right-join
-    # the dim universe per source so |0*C - c_f*S| terms still count.
-    grid = s_tot.crossJoin(F.broadcast(cd))
+    # the dim universe is the UNION of both sides' dims: a source may
+    # have zero mass on a dim the reference has (|0*C - c_f*S| still
+    # counts) and, under a frozen reference, vice versa (|s_f*C - 0*S|
+    # still counts).  Both frames are <= dim rows — broadcast-trivial.
+    dims = (
+        cd.join(sd.select("dim").distinct(), "dim", "full")
+        .select("dim", F.coalesce("c_cnt", F.lit(0).cast("long")).alias("c_cnt"))
+    )
+    grid = s_tot.crossJoin(F.broadcast(dims))
     full = grid.join(sd, ["source", "dim"], "left").select(
         "source",
         "s_total",
