@@ -501,7 +501,17 @@ def main() -> None:
             "early-position queries match r1 exactly (tpch_q1 0.92 vs 0.94, "
             "hourly_agg 1.04 vs 1.45) — the drift was suite-growth/session "
             "contention in the measurement, not plan regressions. Timing is "
-            "min-of-3 since r3; SPARK_GRAFT_BENCH_KEYS reruns any subset."
+            "min-of-3 since r3; SPARK_GRAFT_BENCH_KEYS reruns any subset. "
+            "r7 reconciliation (VERDICT r6 #5): two quiet full runs on an "
+            "idle box agree (56.97/57.42 -> 56.4 total, ratio 1.21/1.22) vs "
+            "0.98 at r6 close — the swing is duck-side (-15%, 52.9 -> 45.0 s, "
+            "page-cache/machine state) plus ~6% uniform Spark drift; per-key "
+            "Spark times sit within the established +-20% noise of the r6 "
+            "numbers (drifted keys re-timed in an isolated subset run came "
+            "back down: ngram_lm 2.01 -> 1.14, semantic 4.1 -> 2.7), and "
+            "similarity_knn_join dropped 8.9 -> 0.9 s from the executor-side "
+            "tile equi-join. No plan regressions; ratio movement is "
+            "measurement state, bounded by the r2-set 1.15."
         ),
         "skew_demo": skew,
         "lake_demo": lake_demo,
