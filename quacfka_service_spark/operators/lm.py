@@ -225,6 +225,60 @@ def nb_lang_classifier(docs: DataFrame) -> DataFrame:
     )
 
 
+N_QUALITY_BUCKETS = 10
+
+
+def lm_quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS) -> DataFrame:
+    """Per-source LM-quality mix: bucket every document into global
+    ``n_buckets``-iles of its ``ngram_lm_score`` (the perplexity
+    proxy), then count each source's documents per bucket — the
+    release dashboard that shows WHICH feed supplies the lowest-scoring
+    decile before a filter threshold is chosen.
+
+    Exactness: the decile boundary is rank arithmetic on the already
+    engine-exact (avg_logp, doc_id) ordering — bucket =
+    (rank-1) * n_buckets DIV n, all integers, no ntile (whose tie
+    semantics would be moot here but whose remainder placement is one
+    more thing to trust).
+
+    100 TB shape: a naive global rank is a single-task sort.  Same cure
+    as corpus_shuffle_order, generalized to a VALUE ordering: pre-shard
+    by a coarse MONOTONE function of the sort key (floor(avg_logp * 8)
+    — log-band integer, bounded by the score range, not the corpus),
+    rank within shards in parallel, add the broadcast running offset of
+    earlier shards.  Ordering by (band, avg_logp, doc_id) IS ordering
+    by (avg_logp, doc_id) because the band is monotone in the score."""
+    from pyspark.sql.window import Window
+
+    per = ngram_lm_score(docs).select(
+        "doc_id", "avg_logp", F.floor(F.col("avg_logp") * 8).cast("long").alias("band")
+    )
+    w = Window.partitionBy("band").orderBy("avg_logp", "doc_id")
+    ranked = per.select("doc_id", "avg_logp", "band", F.row_number().over(w).alias("intra"))
+    counts = per.groupBy("band").agg(F.count(F.lit(1)).alias("n_band"))
+    off_w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "band",
+        F.coalesce(F.sum("n_band").over(off_w), F.lit(0).cast("long")).alias("off"),
+    )
+    total = per.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    bucket = F.expr(f"CAST((off + intra - 1) * {n_buckets} DIV n_total AS BIGINT)")
+    bucketed = (
+        ranked.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "avg_logp", bucket.alias("bucket"))
+    )
+    return (
+        bucketed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logp").alias("lo_logp"),
+            F.max("avg_logp").alias("hi_logp"),
+        )
+    )
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(load_table(spark, sf_dir, "documents"))
 
@@ -233,9 +287,14 @@ def _q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_lang_classifier(load_table(spark, sf_dir, "documents"))
 
 
+def _q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "corpus_ngram_lm_score": _q_lm_score,
     "corpus_nb_lang_classifier": _q_nb_lang,
+    "corpus_lm_quality_buckets": _q_lm_quality_buckets,
 }
 
 ORACLES = {
@@ -312,3 +371,24 @@ SELECT doc_id, lang, predicted,
 FROM best WHERE rn = 1
 """,
 }
+
+# Composed from the hash-verified lm-score oracle so the decile
+# arithmetic can never drift from the score it buckets.
+ORACLES["corpus_lm_quality_buckets"] = f"""
+WITH lm AS ({ORACLES["corpus_ngram_lm_score"]}),
+ranked AS (
+  SELECT doc_id, avg_logp,
+         row_number() OVER (ORDER BY avg_logp, doc_id) AS rn,
+         count(*) OVER () AS n_total
+  FROM lm
+),
+b AS (
+  SELECT doc_id, avg_logp,
+         ((rn - 1) * {N_QUALITY_BUCKETS}) // n_total AS bucket
+  FROM ranked
+)
+SELECT d.source, b.bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min(b.avg_logp) AS lo_logp, max(b.avg_logp) AS hi_logp
+FROM b JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""

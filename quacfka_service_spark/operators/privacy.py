@@ -95,6 +95,41 @@ def pii_stats_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+K_ANON = 5
+
+
+def k_anonymize(
+    docs: DataFrame, quasi: tuple[str, ...] = ("source", "lang", "len_bin"), k: int = K_ANON
+) -> DataFrame:
+    """k-anonymity suppression over quasi-identifier combinations —
+    the other half of the privacy release gate beside ``redact_pii``:
+    redaction strips direct identifiers; suppression keeps rare
+    ATTRIBUTE COMBINATIONS (the classic linkage-attack surface,
+    Sweeney 2002) out of published per-group statistics.  Any group
+    of fewer than ``k`` documents has its quasi-identifiers recoded
+    to ``<SUPPRESSED>`` and is re-aggregated into one bucket, so
+    every released row describes >= k documents or is the labeled
+    suppression remainder.
+
+    Expects ``len_bin`` pre-derived (the registered query bins
+    n_chars DIV 100 — integer-exact on both engines).
+
+    100 TB shape: two map-side-combined hash aggs on the quasi-id key
+    space (bounded by attribute cardinalities, not corpus size); zero
+    data-sized exchanges."""
+    g = docs.groupBy(*quasi).agg(F.count(F.lit(1)).alias("n"))
+    rec = g.select(
+        *[
+            F.when(F.col("n") >= k, F.col(c).cast("string"))
+            .otherwise(F.lit("<SUPPRESSED>"))
+            .alias(c)
+            for c in quasi
+        ],
+        "n",
+    )
+    return rec.groupBy(*quasi).agg(F.sum("n").cast("long").alias("n_docs"))
+
+
 # --- queries()/oracle_sql() registrations ---------------------------------
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +142,18 @@ def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats_by_source(planted)
 
 
-QUERIES = {"pii_redact": _q_pii_redact, "pii_stats_by_source": _q_pii_stats}
+def _q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.expr("CAST(n_chars DIV 100 AS STRING)").alias("len_bin")
+    )
+    return k_anonymize(docs)
+
+
+QUERIES = {
+    "pii_redact": _q_pii_redact,
+    "pii_stats_by_source": _q_pii_stats,
+    "privacy_k_anonymity": _q_k_anonymize,
+}
 
 _PLANT_SQL = (
     "text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-01'"
@@ -116,6 +162,22 @@ _PLANT_SQL = (
 )
 
 ORACLES = {
+    "privacy_k_anonymity": f"""
+WITH g AS (
+  SELECT source, lang, (n_chars // 100)::VARCHAR AS len_bin,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+rec AS (
+  SELECT CASE WHEN n >= {K_ANON} THEN source ELSE '<SUPPRESSED>' END AS source,
+         CASE WHEN n >= {K_ANON} THEN lang ELSE '<SUPPRESSED>' END AS lang,
+         CASE WHEN n >= {K_ANON} THEN len_bin ELSE '<SUPPRESSED>' END AS len_bin,
+         n
+  FROM g
+)
+SELECT source, lang, len_bin, sum(n)::BIGINT AS n_docs
+FROM rec GROUP BY 1, 2, 3
+""",
     "pii_stats_by_source": rf"""
 WITH planted AS (
   SELECT d.source,

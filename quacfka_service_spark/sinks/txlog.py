@@ -1507,6 +1507,41 @@ class TxTable:
             return reader.parquet(*paths).select(*[f.name for f in schema])
         return reader.parquet(*paths)
 
+    def count_rows(
+        self, version: int | None = None, where: dict[str, str] | None = None
+    ) -> int:
+        """COUNT(*) from the manifest alone — zero file opens, zero
+        Spark jobs: every commit records per-file row counts, so the
+        snapshot's total is driver-side addition.  ``where`` filters on
+        partition values (same contract as ``read``).  This is the
+        metadata fast path every table format owes its users: on a
+        10^5-file table the difference between one manifest read and a
+        full scan — and it stays exact through delete/update/optimize/
+        restore because rewrites re-count what they stage."""
+        snap = self.snapshot(version)
+        return sum(
+            meta["rows"]
+            for meta in snap.files.values()
+            if not where
+            or all(meta["partition"].get(k) == v for k, v in where.items())
+        )
+
+    def describe_detail(self, version: int | None = None) -> dict[str, Any]:
+        """DESCRIBE DETAIL: snapshot-level metadata summary from the
+        manifest (no file opens) — version, live file/row totals, the
+        partition values present, and registered constraints."""
+        snap = self.snapshot(version)
+        parts: set[tuple] = set()
+        for meta in snap.files.values():
+            parts.add(tuple(sorted(meta["partition"].items())))
+        return {
+            "version": snap.version,
+            "n_files": len(snap.files),
+            "n_rows": sum(m["rows"] for m in snap.files.values()),
+            "partitions": sorted((dict(p) for p in parts), key=str),
+            "constraints": dict(snap.constraints),
+        }
+
     def history(self) -> list[dict[str, Any]]:
         commits, _ = self._list_log()
         out = []

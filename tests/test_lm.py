@@ -90,3 +90,26 @@ def test_lm_plans_have_no_cartesian_on_data(docs):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, op.__name__
         assert "BroadcastNestedLoopJoin" in plan, op.__name__  # the model fan
+
+
+def test_quality_buckets_partition_the_corpus_evenly(spark, docs):
+    """Global decile semantics: buckets 0..9, sizes differ by at most
+    1 across deciles, every scored doc lands in exactly one bucket,
+    and bucket score ranges are ordered and non-overlapping."""
+    from quacfka_service_spark.operators.lm import lm_quality_buckets
+
+    out = lm_quality_buckets(docs).collect()
+    n_scored = ngram_lm_score(docs).count()
+    assert sum(r["n_docs"] for r in out) == n_scored
+    per_bucket = {}
+    for r in out:
+        assert 0 <= r["bucket"] <= 9
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + r["n_docs"]
+    sizes = [per_bucket.get(b, 0) for b in range(10)]
+    assert max(sizes) - min(sizes) <= 1
+    # non-overlapping, ordered score ranges across buckets
+    lo = {b: min(r["lo_logp"] for r in out if r["bucket"] == b) for b in per_bucket}
+    hi = {b: max(r["hi_logp"] for r in out if r["bucket"] == b) for b in per_bucket}
+    bs = sorted(per_bucket)
+    for a, b in zip(bs, bs[1:]):
+        assert hi[a] <= lo[b]

@@ -92,6 +92,8 @@ _MUST_BE_NONEMPTY = {
     "events_ts_discord_topk", "events_ts_seasonality",
     "events_approx_distinct", "corpus_ngram_lm_score",
     "corpus_nb_lang_classifier",
+    # round 7
+    "privacy_k_anonymity", "corpus_lm_quality_buckets",
 }
 
 

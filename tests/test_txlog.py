@@ -1597,3 +1597,30 @@ def test_three_writer_pileup_serializes_with_no_lost_rows(spark, tmp_path):
     # the pre-append snapshot ([9,109,209]); a conflicted retry claims
     # the post-append snapshot, where 2009 also matches
     assert upd == ([9, 109, 209, 2009] if conflicted else [9, 109, 209])
+
+
+# --- manifest-only COUNT(*) / DESCRIBE DETAIL (r7) ------------------------
+
+
+def test_count_rows_from_manifest_tracks_every_dml(spark, tmp_path):
+    """count_rows() opens no files and must stay exact through append,
+    delete, update, optimize, and restore — rewrites re-count staged
+    files, so manifest totals never drift from the data."""
+    t = TxTable(str(tmp_path / "cnt"))
+    t.append(_mk(spark, 0, 60, "a"), partition_by=["p"])
+    t.append(_mk(spark, 60, 100, "b"), partition_by=["p"])
+    assert t.count_rows() == 100 == t.read(spark).count()
+    assert t.count_rows(where={"p": "a"}) == 60
+    v_before = t.latest_version()
+    t.delete_where(spark, "id < 10")
+    assert t.count_rows() == 90 == t.read(spark).count()
+    t.update_where(spark, "id >= 95", {"v": "0"})  # cardinality unchanged
+    assert t.count_rows() == 90
+    t.optimize(spark)
+    assert t.count_rows() == 90
+    assert t.count_rows(version=v_before) == 100  # time travel
+    t.restore(v_before)
+    assert t.count_rows() == 100 == t.read(spark).count()
+    d = t.describe_detail()
+    assert d["n_rows"] == 100 and d["n_files"] >= 2
+    assert {"p": "a"} in d["partitions"] and {"p": "b"} in d["partitions"]
