@@ -126,3 +126,24 @@ def test_pack_blocks_column_pruning(spark):
     docs = load_table(spark, SF_DIR, "documents")
     rs = read_schema(corpus_pack_blocks(docs))
     assert "lang" not in rs and "n_chars" not in rs
+
+def test_lm_quality_buckets_has_no_global_sort_window(spark):
+    """The decile rank must NOT plan a single-task global sort.  Two
+    Window nodes are expected: the per-doc row_number PARTITIONED by
+    the monotone log-band (parallel), and the running-offset sum over
+    the band-count frame (unpartitioned but band-cardinality-sized —
+    it sorts ~|log bands| rows, not the corpus).  Guard: the
+    row_number window carries a partition spec."""
+    from quacfka_service_spark.operators.lm import lm_quality_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    q = lm_quality_buckets(docs)
+    plan = formatted_plan(q)
+    rn = [
+        a for a in plan.splitlines()
+        if "row_number() windowspecdefinition" in a
+    ]
+    assert rn, "decile rank window missing from plan"
+    # partitioned on the band: windowspecdefinition(band#..L, avg_logp ...)
+    assert all("windowspecdefinition(band#" in a for a in rn), rn
+    assert q.count() > 0
