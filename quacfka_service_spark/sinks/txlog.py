@@ -1021,61 +1021,22 @@ class TxTable:
                             bloom_cols=bloom_cols, conflict_keys=ck)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
-        # stage 1: manifest-stats pruning on the first key column
-        cand = self.live_files(
-            ranges={key_cols[0]: (lohi["lo"], lohi["hi"])}, _snap=snap
-        )
+        # stages 1 + 1b: manifest-stats + bloom candidate pruning
         if partition_by is None:
             any_part = next(iter(snap.files.values()))["partition"]
             partition_by = sorted(any_part.keys())
         keys = source.select(*key_cols).distinct()
-        # stage 1b: bloom pruning — on id-like keys every file's
-        # [min,max] spans the space and stats prune nothing; a per-file
-        # bloom (written by append/merge with bloom_cols) skips files
-        # that provably contain NO source key.  Bounded: collect the
-        # key set only when it is micro-batch-sized.
         k0 = key_cols[0]
-        if cand and any(snap.files[p].get("bloom", {}).get(k0) for p in cand):
-            krows = keys.select(k0).limit(100_001).collect()
-            if len(krows) <= 100_000:
-                kvals = [r[0] for r in krows]
-                kept = []
-                for pth in cand:
-                    b = snap.files[pth].get("bloom", {}).get(k0)
-                    if b is None or any(
-                        self._bloom_maybe_contains(b, v) for v in kvals
-                    ):
-                        kept.append(pth)
-                cand = kept
+        cand = self._merge_prune(snap, keys, key_cols, lohi["lo"], lohi["hi"])
         if not cand:
             v = self.append(source, partition_by, txn=txn,
                             bloom_cols=bloom_cols, conflict_keys=ck)
             return {"version": v, "files_rewritten": 0, "updated": 0,
                     "inserted": source.count()}
         # stage 2: which candidate files hold >= 1 matching key?
-        schema = None
-        if snap.schema_json:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(snap.schema_json))
-        reader = spark.read.option("basePath", self._data_dir)
-        if schema is not None:
-            reader = reader.schema(schema)
-        cand_abs = {os.path.realpath(os.path.join(self.root, p)): p for p in cand}
-        cdf = reader.parquet(*[os.path.join(self.root, p) for p in cand]).select(
-            *([f.name for f in schema] if schema else ["*"]),
-            F.col("_metadata.file_path").alias("__file"),
+        touched, reader, schema = self._merge_touched(
+            spark, snap, cand, keys, key_cols
         )
-        touched_abs = [
-            r["__file"]
-            for r in cdf.join(F.broadcast(keys), key_cols, "left_semi")
-            .select("__file").distinct().collect()
-        ]
-        def _rel(uri: str) -> str:
-            path = uri[len("file:"):] if uri.startswith("file:") else uri
-            return cand_abs[os.path.realpath(path)]
-
-        touched = sorted(_rel(u) for u in touched_abs)
         if not touched:
             v = self.append(source, partition_by, txn=txn,
                             bloom_cols=bloom_cols, conflict_keys=ck)
@@ -1108,6 +1069,219 @@ class TxTable:
             "files_rewritten": len(touched),
             "updated": updated,
             "inserted": source.count() - updated,
+        }
+
+    def _merge_prune(self, snap, keys, key_cols, lo, hi) -> list[str]:
+        """Stages 1 + 1b of MERGE: manifest-stats candidate pruning on
+        the first key column's [lo, hi], then per-file bloom pruning
+        when blooms exist and the key set is micro-batch-sized (the
+        id-like-key case where every file's min/max spans the space
+        and stats alone prune nothing)."""
+        cand = self.live_files(ranges={key_cols[0]: (lo, hi)}, _snap=snap)
+        k0 = key_cols[0]
+        if cand and any(snap.files[p].get("bloom", {}).get(k0) for p in cand):
+            krows = keys.select(k0).limit(100_001).collect()
+            if len(krows) <= 100_000:
+                kvals = [r[0] for r in krows]
+                kept = []
+                for pth in cand:
+                    b = snap.files[pth].get("bloom", {}).get(k0)
+                    if b is None or any(
+                        self._bloom_maybe_contains(b, v) for v in kvals
+                    ):
+                        kept.append(pth)
+                cand = kept
+        return cand
+
+    def _merge_touched(self, spark, snap, cand, keys, key_cols):
+        """Stage 2 of MERGE: ``(touched, reader, schema)`` — the
+        candidate files holding >= 1 source key, found with ONE
+        provenance scan (``_metadata.file_path`` + broadcast
+        semi-join); reader/schema are returned so stage 3 reads the
+        touched files under the snapshot schema."""
+        from pyspark.sql import functions as F
+
+        schema = None
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+        reader = spark.read.option("basePath", self._data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        cand_abs = {os.path.realpath(os.path.join(self.root, p)): p for p in cand}
+        cdf = reader.parquet(*[os.path.join(self.root, p) for p in cand]).select(
+            *([f.name for f in schema] if schema else ["*"]),
+            F.col("_metadata.file_path").alias("__file"),
+        )
+        touched_abs = [
+            r["__file"]
+            for r in cdf.join(F.broadcast(keys), key_cols, "left_semi")
+            .select("__file").distinct().collect()
+        ]
+
+        def _rel(uri: str) -> str:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            return cand_abs[os.path.realpath(path)]
+
+        return sorted(_rel(u) for u in touched_abs), reader, schema
+
+    def merge_when(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        *,
+        matched_set: dict[str, str] | None = None,
+        matched_delete: str | None = None,
+        insert_unmatched: bool = True,
+        partition_by: list[str] | None = None,
+        txn: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Full conditional MERGE (the Delta clause surface beyond
+        ``merge_upsert``'s whole-row replace):
+
+        - WHEN MATCHED [AND ``matched_delete``] THEN DELETE — matched
+          target rows satisfying the condition are removed (NULL
+          condition = no match, row kept: SQL semantics);
+        - WHEN MATCHED THEN UPDATE SET ``matched_set`` — remaining
+          matched rows get {column: SQL expr} assignments; expressions
+          see the TARGET row's columns under their own names and the
+          matching SOURCE row's non-key columns as ``s_<name>``
+          (e.g. ``{"v": "v + s_v"}`` accumulates);
+        - WHEN NOT MATCHED THEN INSERT — ``insert_unmatched`` appends
+          source rows whose key matches nothing (source must carry the
+          table schema, same as merge_upsert).
+
+        Same machinery end-to-end: key-unique materialized source,
+        stats+bloom candidate pruning, one provenance scan, rewrite of
+        exactly the touched files, the WriteSerializable key-range
+        guard, (app, epoch) txn replay no-op.  Assignments may not
+        touch partition or key columns (a key update is a
+        delete+insert — do it explicitly).
+        Returns {version, files_rewritten, updated, deleted, inserted}.
+        """
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn["app_id"], -1) >= txn["epoch"]:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "updated": 0, "deleted": 0, "inserted": 0,
+                    "replayed": True}
+        if partition_by is None and snap.files:
+            any_part = next(iter(snap.files.values()))["partition"]
+            partition_by = sorted(any_part.keys())
+        bad = sorted(set(matched_set or {}) & (set(partition_by or []) | set(key_cols)))
+        if bad:
+            raise ValueError(f"merge_when cannot assign key/partition columns: {bad}")
+        source = source.localCheckpoint()
+        if source.groupBy(*key_cols).count().where("count > 1").limit(1).count():
+            raise ValueError("merge source has duplicate keys")
+        lohi = source.agg(
+            F.min(key_cols[0]).alias("lo"), F.max(key_cols[0]).alias("hi")
+        ).collect()[0]
+        # the insert path can race a concurrent append of the same key
+        # (WriteSerializable anomaly) — guard exactly as merge_upsert;
+        # matched-only merges claim only their snapshot's rows, but the
+        # guard is kept for uniformity (conservative, never wrong).
+        ck = None if lohi["lo"] is None else {
+            "col": key_cols[0],
+            "lo": lohi["lo"],
+            "hi": lohi["hi"],
+            "known_files": sorted(snap.files),
+        }
+
+        def _insert_only(inserted_df):
+            if not insert_unmatched or inserted_df.limit(1).count() == 0:
+                return {"version": snap.version, "files_rewritten": 0,
+                        "updated": 0, "deleted": 0, "inserted": 0}
+            self._check_constraints(inserted_df)
+            v = self.append(inserted_df, partition_by or [], txn=txn,
+                            bloom_cols=bloom_cols, conflict_keys=ck)
+            return {"version": v, "files_rewritten": 0, "updated": 0,
+                    "deleted": 0, "inserted": inserted_df.count()}
+
+        if not snap.files:
+            return _insert_only(source)
+        keys = source.select(*key_cols).distinct()
+        cand = self._merge_prune(snap, keys, key_cols, lohi["lo"], lohi["hi"])
+        if not cand:
+            return _insert_only(source)
+        touched, reader, schema = self._merge_touched(
+            spark, snap, cand, keys, key_cols
+        )
+        if not touched:
+            return _insert_only(source)
+        tdf = reader.parquet(*[os.path.join(self.root, p) for p in touched])
+        cols = [f.name for f in schema] if schema else tdf.columns
+        tdf = tdf.select(*cols)
+        if matched_set is None and matched_delete is None:
+            # no matched clause: WHEN NOT MATCHED INSERT alone never
+            # rewrites a file — append only the unmatched source rows.
+            mk = keys.join(tdf, key_cols, "left_semi")
+            unmatched = source.join(
+                F.broadcast(mk), key_cols, "left_anti"
+            ).select(*cols)
+            if not insert_unmatched:
+                return {"version": snap.version, "files_rewritten": 0,
+                        "updated": 0, "deleted": 0, "inserted": 0}
+            return _insert_only(unmatched)
+        unknown = sorted(set(matched_set or {}) - set(cols))
+        if unknown:
+            raise ValueError(f"merge_when assigns unknown columns: {unknown}")
+        src_pref = source.select(
+            *key_cols,
+            *[F.col(c).alias(f"s_{c}") for c in source.columns if c not in key_cols],
+            F.lit(True).alias("__m"),
+        )
+        joined = tdf.join(F.broadcast(src_pref), key_cols, "left")
+        m = F.coalesce(F.col("__m"), F.lit(False))
+        kill = (
+            m & F.coalesce(F.expr(matched_delete), F.lit(False))
+            if matched_delete is not None
+            else F.lit(False)
+        )
+        deleted = joined.where(kill).count()
+        kept = joined.where(~kill)
+        dtypes = dict(tdf.dtypes)
+        out_cols = [
+            F.when(m, F.expr((matched_set or {})[c]))
+            .otherwise(F.col(c))
+            .cast(dtypes[c])
+            .alias(c)
+            if c in (matched_set or {})
+            else F.col(c)
+            for c in cols
+        ]
+        updated_targets = kept.select(*out_cols)
+        updated = (
+            kept.where(m).count() if matched_set else 0
+        )
+        matched_keys = keys.join(tdf, key_cols, "left_semi")
+        inserts = (
+            source.join(F.broadcast(matched_keys), key_cols, "left_anti")
+            .select(*cols)
+            if insert_unmatched
+            else None
+        )
+        new_data = (
+            updated_targets.unionByName(inserts)
+            if inserts is not None
+            else updated_targets
+        )
+        self._check_constraints(new_data)
+        adds = self._stage(new_data, partition_by or [], bloom_cols=bloom_cols)
+        v = self._commit_loop(
+            adds, "rewrite", new_data.schema.json(), txn=txn,
+            rewrite_removes=touched, conflict_keys=ck,
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(touched),
+            "updated": updated,
+            "deleted": deleted,
+            "inserted": inserts.count() if inserts is not None else 0,
         }
 
     def _resolve_hints(self, predicate, ranges, point):

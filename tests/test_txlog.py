@@ -1624,3 +1624,98 @@ def test_count_rows_from_manifest_tracks_every_dml(spark, tmp_path):
     d = t.describe_detail()
     assert d["n_rows"] == 100 and d["n_files"] >= 2
     assert {"p": "a"} in d["partitions"] and {"p": "b"} in d["partitions"]
+
+
+# --- conditional MERGE: WHEN MATCHED UPDATE SET / DELETE, INSERT (r7) -----
+
+
+def test_merge_when_update_set_sees_source_columns(spark, tmp_path):
+    """UPDATE SET expressions see target columns by name and source
+    columns as s_<name> — the CDC accumulate shape (v = v + s_v)."""
+    t = TxTable(str(tmp_path / "mw1"))
+    t.append(_mk(spark, 0, 50, "a"), partition_by=["p"])       # v = id*2
+    src = spark.range(40, 60).select(
+        F.col("id"), F.lit("a").alias("p"), F.lit(1000).cast("long").alias("v")
+    )
+    stats = t.merge_when(
+        spark, src, ["id"], matched_set={"v": "v + s_v"}
+    )
+    assert (stats["updated"], stats["deleted"], stats["inserted"]) == (10, 0, 10)
+    assert stats["files_rewritten"] >= 1
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 60
+    assert got[45] == 45 * 2 + 1000      # matched: accumulated
+    assert got[10] == 20                 # untouched
+    assert got[55] == 1000               # inserted source row as-is
+
+
+def test_merge_when_matched_delete_condition(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN DELETE: only matched rows passing
+    the condition vanish; other matched rows still update."""
+    t = TxTable(str(tmp_path / "mw2"))
+    t.append(_mk(spark, 0, 30, "a"), partition_by=["p"])
+    # source marks ids 10..19 with s_v = -1 => delete; others update
+    src = spark.range(10, 25).select(
+        F.col("id"), F.lit("a").alias("p"),
+        F.when(F.col("id") < 20, -1).otherwise(7).cast("long").alias("v"),
+    )
+    stats = t.merge_when(
+        spark, src, ["id"],
+        matched_set={"v": "s_v"},
+        matched_delete="s_v < 0",
+        insert_unmatched=False,
+    )
+    assert stats["deleted"] == 10 and stats["updated"] == 5
+    assert stats["inserted"] == 0
+    back = t.read(spark)
+    assert back.count() == 20
+    assert back.where("id >= 10 AND id < 20").count() == 0    # deleted
+    assert back.where("v = 7").count() == 5                   # 20..24 updated
+    assert back.where("id < 10 AND v <> id * 2").count() == 0  # untouched
+
+
+def test_merge_when_insert_only_never_rewrites(spark, tmp_path):
+    """No matched clause => pure WHEN NOT MATCHED INSERT: matched rows
+    keep their files byte-identical (no rewrite commit), unmatched
+    source rows append."""
+    t = TxTable(str(tmp_path / "mw3"))
+    t.append(_mk(spark, 0, 20, "a"), partition_by=["p"])
+    files_before = set(t.live_files())
+    src = _mk(spark, 10, 30, "a")  # 10 matched, 10 new
+    stats = t.merge_when(spark, src, ["id"])
+    assert stats["files_rewritten"] == 0 and stats["inserted"] == 10
+    assert files_before <= set(t.live_files())  # originals untouched
+    back = t.read(spark)
+    assert back.count() == 30
+    assert back.groupBy("id").count().where("count > 1").count() == 0
+
+
+def test_merge_when_txn_replay_and_guards(spark, tmp_path):
+    t = TxTable(str(tmp_path / "mw4"))
+    t.append(_mk(spark, 0, 10, "a"), partition_by=["p"])
+    src = _mk(spark, 5, 15, "a")
+    txn = {"app_id": "cdc", "epoch": 3}
+    t.merge_when(spark, src, ["id"], matched_set={"v": "0"}, txn=txn)
+    again = t.merge_when(spark, src, ["id"], matched_set={"v": "0"}, txn=txn)
+    assert again.get("replayed") is True
+    assert t.read(spark).count() == 15
+    # key/partition assignment and dup sources rejected loudly
+    with pytest.raises(ValueError, match="key/partition"):
+        t.merge_when(spark, src, ["id"], matched_set={"id": "1"})
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_when(spark, src.union(src), ["id"], matched_set={"v": "0"})
+
+
+def test_merge_when_equals_upsert_when_set_replaces_whole_row(spark, tmp_path):
+    """Sanity bridge: UPDATE SET of every non-key column to the source
+    value == merge_upsert's whole-row replace."""
+    t1 = TxTable(str(tmp_path / "mw5a"))
+    t2 = TxTable(str(tmp_path / "mw5b"))
+    for t in (t1, t2):
+        t.append(_mk(spark, 0, 40, "a"), partition_by=["p"])
+    src = spark.range(20, 50).select(
+        F.col("id"), F.lit("a").alias("p"), (-F.col("id")).cast("long").alias("v")
+    )
+    t1.merge_upsert(spark, src, ["id"])
+    t2.merge_when(spark, src, ["id"], matched_set={"v": "s_v"})
+    assert _rows(t1.read(spark)) == _rows(t2.read(spark))
