@@ -1213,3 +1213,82 @@ FROM m JOIN first USING (o_custkey)
 GROUP BY 1, 2
 """,
 }
+
+
+# --- round-7 addition: association rules over basket pairs ----------------
+
+
+def basket_lift(li: DataFrame, min_orders: int = BASKET_MIN_ORDERS) -> DataFrame:
+    """(part_a, part_b, n_ab, n_a, n_b, support, confidence, lift):
+    association-rule strength for the frequent pairs from
+    ``basket_pairs`` — the standard support / confidence / lift triple
+    (Agrawal et al., public association-rule mining literature).
+
+    Float parity: every ratio is ONE IEEE division of exact BIGINTs
+    (``lift`` cross-multiplies numerator and denominator first:
+    n_ab*N / (n_a*n_b)), so both engines convert the same integers and
+    divide once — bit-equal results, no float-accumulation ordering to
+    pin.  Overflow headroom: products of per-part order counts stay
+    far under 2^63 until well past 10^9 baskets per part.
+
+    100 TB shape: the pair generation is basket_pairs' bounded
+    per-group fanout; per-item counts are parts-sized (broadcast here;
+    at a scale where parts outgrow broadcast, the join key is
+    l_partkey on both sides so it degrades to one co-partitioned
+    shuffle); the grand total is a 1-row broadcast.
+    """
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    total = op.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    pairs = basket_pairs(li, min_orders).withColumnRenamed("n_orders", "n_ab")
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.col("n_total")).alias("support"),
+            (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            ((F.col("n_ab") * F.col("n_total")) / (F.col("n_a") * F.col("n_b"))).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return basket_lift(load_table(spark, sf_dir, "lineitem"))
+
+
+QUERIES.update({"basket_lift": _q_basket_lift})
+
+ORACLES.update(
+    {
+        "basket_lift": f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item AS (SELECT l_partkey, count(*)::BIGINT AS n_item FROM op GROUP BY 1),
+total AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_total FROM op),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_ORDERS}
+)
+SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       n_ab / n_total AS support,
+       n_ab / ia.n_item AS confidence,
+       (n_ab * n_total) / (ia.n_item * ib.n_item) AS lift
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN total
+""",
+    }
+)

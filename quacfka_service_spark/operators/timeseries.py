@@ -458,3 +458,155 @@ SELECT event_type, lag, acf,
 FROM acfs
 """,
 }
+
+
+# --- round-7 additions: changepoint + EWMA --------------------------------
+
+CUSUM_TOP_K = 3
+EWMA_ALPHA = 0.25  # exactly representable in binary: parity-safe
+
+
+def ts_changepoint_cusum(ev: DataFrame, k: int = CUSUM_TOP_K) -> DataFrame:
+    """(event_type, h, stat, rank): top-k CUSUM changepoint boundaries
+    per type over the hourly COUNT series.
+
+    CUSUM picks the split hour i maximizing |cum_i - i*T/n| (observed
+    cumulative count vs the uniform-rate expectation).  Multiplying
+    through by n keeps the statistic in exact BIGINTs:
+
+        stat_i = | n * cum_i - i * T |
+
+    so the driver hash-check is integer-exact — no float tolerance
+    needed.  Overflow headroom: n is calendar-bounded (a year of hours
+    = 8760), so n*cum <= 8.8e3 * total-rows; even a 10^12-row type
+    stays under 2^63 (9.2e18).  Beyond that, cast the products to
+    DECIMAL(38,0).
+
+    100 TB shape: the only data-sized stage is the (type, hour) count
+    agg (map-side combined); the window functions then run over
+    calendar-bounded series — one hash exchange on event_type, and the
+    cumulative/rank windows share that partitioning (single sort).
+    Same histogram-collapse discipline as the motif/discord family.
+    """
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "h",
+        F.sum("c").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wc).cast("long").alias("i"),
+        F.sum("c").over(wall).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        "event_type",
+        "h",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("t")).alias("stat"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("stat"), F.asc("h"))
+    return (
+        scored.select(
+            "event_type", "h", "stat", F.row_number().over(wr).cast("long").alias("rank")
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def ts_ewma(ev: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """(event_type, idx, ewma): exponentially weighted moving average
+    of each type's hour-ordered value series.
+
+    The recurrence s_i = alpha*x_i + (1-alpha)*s_{i-1} (s_1 = x_1) is
+    evaluated as a SEQUENTIAL left fold appending to the accumulator
+    array — the same fold DuckDB's recursive-CTE oracle performs, and
+    since alpha = 0.25 and 1-alpha = 0.75 are exact binary fractions,
+    every multiply/add is the identical IEEE op in both engines: the
+    smoothed doubles are bit-equal (same discipline as the motif
+    distances).
+
+    100 TB shape: identical to the rest of this module — one data-
+    sized (type, hour) DECIMAL agg, then per-type arrays bounded by
+    calendar hours; the fold is O(series length) per type with no
+    additional exchange.
+    """
+    series = _hourly_series(ev)
+    a, b = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    smoothed = series.where(F.size("s") >= 1).select(
+        "event_type",
+        F.aggregate(
+            F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            F.array(F.element_at("s", 1)),
+            lambda acc, x: F.concat(
+                acc, F.array(a * x + b * F.element_at(acc, -1))
+            ),
+        ).alias("e"),
+    )
+    return smoothed.select(
+        "event_type", F.posexplode("e").alias("idx0", "ewma")
+    ).select("event_type", (F.col("idx0") + 1).cast("long").alias("idx"), "ewma")
+
+
+def _q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_changepoint_cusum(load_table(spark, sf_dir, "events"))
+
+
+def _q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_ewma(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update(
+    {
+        "events_ts_changepoint": _q_ts_changepoint,
+        "events_ts_ewma": _q_ts_ewma,
+    }
+)
+
+ORACLES.update(
+    {
+        "events_ts_changepoint": f"""
+WITH hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, h,
+         abs((count(*) OVER (PARTITION BY event_type))
+               * (sum(c) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS UNBOUNDED PRECEDING))
+             - (row_number() OVER (PARTITION BY event_type ORDER BY h))
+               * (sum(c) OVER (PARTITION BY event_type)))::BIGINT AS stat
+  FROM hourly
+)
+SELECT event_type, h, stat, rank FROM (
+  SELECT event_type, h, stat,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY stat DESC, h ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {CUSUM_TOP_K}
+""",
+        # recursive-CTE mirror of the sequential fold: same
+        # 0.25*x + 0.75*prev IEEE ops in series order.
+        "events_ts_ewma": f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, v::DOUBLE AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h)::BIGINT AS idx
+  FROM hourly
+),
+ew AS (
+  SELECT event_type, idx, x AS ewma FROM pts WHERE idx = 1
+  UNION ALL
+  SELECT p.event_type, p.idx, {EWMA_ALPHA} * p.x + {1.0 - EWMA_ALPHA} * e.ewma
+  FROM ew e JOIN pts p
+    ON p.event_type = e.event_type AND p.idx = e.idx + 1
+)
+SELECT event_type, idx, ewma FROM ew
+""",
+    }
+)

@@ -1,0 +1,210 @@
+"""Round-7 operators: SCD2 build, Bloom-prefiltered semi-join,
+association-rule lift, CUSUM changepoint, EWMA smoothing.
+
+Oracle parity for all five keys is covered by the sweep
+(tools/parity_sweep.py); these tests pin SEMANTICS (invariants the
+hash-compare can't see) and plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.operators.olap import basket_lift
+from quacfka_service_spark.operators.timeseries import (
+    ts_changepoint_cusum,
+    ts_ewma,
+)
+from quacfka_service_spark.operators.warehouse import (
+    bloom_bitmap,
+    bloom_semi_join,
+    scd2_user_attr,
+)
+from quacfka_service_spark.session import load_table
+
+from .conftest import SF_DIR
+
+
+# --- SCD2 -----------------------------------------------------------------
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = scd2_user_attr(ev).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval per user, and it is last
+        currents = [r for r in rows if r.is_current]
+        assert len(currents) == 1 and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # seamless chain
+            assert a.attr != b.attr  # islands collapse equal runs
+        assert sum(r.n_events for r in rows) > 0
+
+
+def test_scd2_rebuilds_point_in_time_state(spark):
+    """SCD2 contract: joining an event's ts into the intervals yields
+    that event's own attribute (history round-trips)."""
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    scd = scd2_user_attr(load_table(spark, SF_DIR, "events"))
+    probe = ev.select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.get_json_object("props", "$.k").cast("long").alias("want"),
+    )
+    got = probe.join(scd, "user_id").where(
+        (F.col("pts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to")))
+    )
+    bad = got.where(F.col("attr") != F.col("want")).count()
+    assert bad == 0
+    assert got.count() == probe.count()  # every probe lands in exactly 1 interval
+
+
+def test_scd2_single_exchange_plan(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plan = scd2_user_attr(ev)._jdf.queryExecution().executedPlan().toString()
+    # every window + the island groupBy ride ONE hash exchange on user_id
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+# --- Bloom semi-join ------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key must probe positive — the property that makes
+    prefilter+verify exactly equal to the plain semi-join."""
+    keys = spark.range(1, 4000, 7).select(F.col("id").alias("k"))
+    bm = bloom_bitmap(keys, "k")
+    probed = keys.join(F.broadcast(bm)).select(
+        "k",
+        F.expr(
+            "(element_at(bitmap, CAST((pmod(xxhash64(k, 0), 65536)) DIV 64 AS INT) + 1)"
+            " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(k, 0), 65536) % 64 AS INT))) != 0"
+        ).alias("h0"),
+    )
+    assert probed.where(~F.col("h0")).count() == 0
+
+
+def test_bloom_semi_join_equals_plain(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    got = bloom_semi_join(orders, customer)
+    dim = customer.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)
+    ).select("c_custkey")
+    want = orders.select("o_orderkey", "o_custkey", "o_totalprice").join(
+        dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_bloom_prefilter_actually_filters(spark):
+    """The bitmap stage must reject (nearly) every non-member: probe
+    keys far outside the dim keyspace and check the candidate rate is
+    bloom-small (m=2^16, k=3, n~300 inserts -> FPR well under 1%)."""
+    dim = spark.range(1, 300).select(F.col("id").alias("k"))
+    bm = bloom_bitmap(dim, "k")
+    alien = spark.range(10_000_000, 10_020_000).select(F.col("id").alias("o_custkey"))
+    probed = alien.join(F.broadcast(bm))
+    hit = None
+    for i in range(3):
+        probed = probed.withColumn(f"p{i}", F.pmod(F.xxhash64("o_custkey", F.lit(i)), F.lit(65536)))
+        t = F.expr(
+            f"(element_at(bitmap, CAST(p{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT))) != 0"
+        )
+        hit = t if hit is None else (hit & t)
+    fp = probed.where(hit).count()
+    assert fp < 200  # < 1% of 20k probes
+
+
+# --- basket lift ----------------------------------------------------------
+
+
+def test_basket_lift_consistency(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = basket_lift(li).collect()
+    assert out
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_total = op.select("l_orderkey").distinct().count()
+    counts = {r.l_partkey: r.n for r in op.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()}
+    for r in out:
+        assert r.part_a < r.part_b
+        assert r.n_a == counts[r.part_a] and r.n_b == counts[r.part_b]
+        assert r.n_ab >= 2 and r.n_ab <= min(r.n_a, r.n_b)
+        assert r.support == r.n_ab / n_total
+        assert r.confidence == r.n_ab / r.n_a
+        assert r.lift == (r.n_ab * n_total) / (r.n_a * r.n_b)
+        assert 0 < r.support <= 1 and 0 < r.confidence <= 1
+
+
+# --- CUSUM changepoint ----------------------------------------------------
+
+
+def test_cusum_finds_planted_step(spark):
+    """A series that is 1/hour for 48 h then 10/hour for 48 h must put
+    its #1 changepoint at (or adjacent to) the step boundary."""
+    rows = []
+    eid = 0
+    for h in range(96):
+        per = 1 if h < 48 else 10
+        for j in range(per):
+            eid += 1
+            rows.append((eid, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:15:00", 1, "step", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    top = ts_changepoint_cusum(df, k=1).collect()[0]
+    # boundary hour: last hour of the low regime (cum deviation peaks there)
+    assert top.h.strftime("%Y-%m-%d %H") == "2024-01-02 23"
+    assert top.rank == 1 and top.stat > 0
+
+
+def test_cusum_exact_integer_stat(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = ts_changepoint_cusum(ev)
+    kinds = dict(out.dtypes)
+    assert kinds["stat"] == "bigint" and kinds["rank"] == "bigint"
+    rows = out.collect()
+    assert rows and all(r.stat >= 0 for r in rows)
+    # top-k per type, ranks contiguous from 1
+    per = {}
+    for r in rows:
+        per.setdefault(r.event_type, []).append(r.rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# --- EWMA -----------------------------------------------------------------
+
+
+def test_ewma_matches_recurrence(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.h, float(r.v)))
+    got = {(r.event_type, r.idx): r.ewma for r in ts_ewma(ev).collect()}
+    n_checked = 0
+    for t, pts in series.items():
+        pts.sort()
+        s = pts[0][1]
+        assert got[(t, 1)] == s
+        for i, (_, x) in enumerate(pts[1:], start=2):
+            s = 0.25 * x + 0.75 * s
+            assert got[(t, i)] == s  # bit-exact sequential fold
+            n_checked += 1
+    assert n_checked > 10
