@@ -1292,3 +1292,124 @@ CROSS JOIN total
 """,
     }
 )
+
+
+# --- round-7 addition: ABC / Pareto revenue classification ----------------
+
+ABC_BANDS = 32
+
+
+def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
+    """(o_custkey, revenue, cum, rank, abc_class): Pareto/ABC customer
+    classification — rank customers by exact DECIMAL revenue and class
+    them A (first 80% of cumulative revenue), B (to 95%), C (rest).
+
+    The interesting part is the DISTRIBUTED PREFIX SUM: a naive
+    cumulative window over all customers collapses to ONE partition
+    (Spark's no-partition window), an entity-sized bottleneck at 10^8+
+    customers.  Instead revenue space is cut into ``n_bands`` ordered
+    bands; per-band totals (n_bands rows) take the only global window;
+    each row's cumulative = its band's higher-bands offset + a
+    within-band running sum (window PARTITIONED by band).  Because
+    DECIMAL addition is associative, the banded sum is EXACTLY the
+    naive cumulative — which is what the oracle computes, so the
+    hash-check proves the rewrite.
+
+    Banding uses double math (floor(rev/max * B)) — band boundaries
+    only need to respect revenue order and be engine-deterministic,
+    which single IEEE ops are.  Class thresholds compare integer
+    CENTS cross-multiplied (cum*100 <= total*80), no float ratios.
+    Headroom: total cents * 100 stays under 2^63 to ~9e14 dollars of
+    corpus revenue; past that, lift to DECIMAL(38,0).
+    """
+    from pyspark.sql.window import Window as W
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    mx = rev.agg(F.max(F.col("rev").cast("double")).alias("mx"))
+    banded = rev.join(F.broadcast(mx)).select(
+        "o_custkey",
+        "rev",
+        F.least(
+            F.floor(F.col("rev").cast("double") / F.col("mx") * n_bands).cast("int"),
+            F.lit(n_bands - 1),
+        ).alias("band"),
+    )
+    per_band = banded.groupBy("band").agg(
+        F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
+    )
+    # global window over <= n_bands rows: offset of strictly-HIGHER bands
+    wb = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, -1)
+    offs = per_band.select(
+        "band",
+        F.coalesce(F.sum("brev").over(wb), F.lit(0).cast("decimal(22,2)")).alias(
+            "boff"
+        ),
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("long").alias("noff"),
+    )
+    total = rev.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total")
+    )
+    ww = W.partitionBy("band").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    cum = (
+        banded.join(F.broadcast(offs), "band")
+        .join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "rev",
+            (F.col("boff").cast("decimal(38,2)")
+             + F.sum("rev").over(ww.rowsBetween(W.unboundedPreceding, 0))
+            ).cast("decimal(38,2)").alias("cum"),
+            (F.col("noff") + F.row_number().over(ww)).cast("long").alias("rank"),
+            "total",
+        )
+    )
+    cents = (F.col("cum") * 100).cast("long")
+    tcents = (F.col("total") * 100).cast("long")
+    return cum.select(
+        "o_custkey",
+        F.col("rev").cast("decimal(38,2)").cast("string").alias("revenue"),
+        F.col("cum").cast("string").alias("cum"),
+        "rank",
+        F.when(cents * 100 <= tcents * 80, F.lit("A"))
+        .when(cents * 100 <= tcents * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+def _q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return abc_pareto(load_table(spark, sf_dir, "orders"))
+
+
+QUERIES.update({"orders_abc_pareto": _q_abc_pareto})
+
+ORACLES.update(
+    {
+        # the NAIVE global cumulative: exact-DECIMAL associativity makes
+        # the banded distributed prefix sum hash-identical to this.
+        "orders_abc_pareto": """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(12,2)) AS rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT o_custkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING)::DECIMAL(38,2) AS cum,
+         row_number() OVER (ORDER BY rev DESC, o_custkey)::BIGINT AS rank,
+         (SELECT sum(rev)::DECIMAL(38,2) FROM rev) AS total
+  FROM rev
+)
+SELECT o_custkey,
+       rev::DECIMAL(38,2)::VARCHAR AS revenue,
+       cum::VARCHAR AS cum,
+       rank,
+       CASE WHEN (cum * 100)::BIGINT * 100 <= (total * 100)::BIGINT * 80 THEN 'A'
+            WHEN (cum * 100)::BIGINT * 100 <= (total * 100)::BIGINT * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+""",
+    }
+)

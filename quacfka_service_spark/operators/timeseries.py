@@ -610,3 +610,105 @@ SELECT event_type, idx, ewma FROM ew
 """,
     }
 )
+
+
+HOLT_ALPHA = 0.5   # exact binary fractions: parity-safe
+HOLT_BETA = 0.25
+
+
+def ts_holt(ev: DataFrame, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA) -> DataFrame:
+    """(event_type, idx, level, trend, forecast): Holt's linear
+    (double-exponential) smoothing of each type's hour-ordered value
+    series — EWMA's forecasting twin, tracking a local trend so
+    ``forecast = level + trend`` is the 1-step-ahead prediction.
+
+        level_i = a*x_i + (1-a)*(level_{i-1} + trend_{i-1})
+        trend_i = b*(level_i - level_{i-1}) + (1-b)*trend_{i-1}
+        level_1 = x_1,  trend_1 = x_2 - x_1   (types with < 2 points skip)
+
+    Parity: one SEQUENTIAL fold appending (level, trend) pairs; the
+    DuckDB oracle replays the identical recurrence in a recursive CTE
+    with the same literal expression shapes, and a = 0.5, b = 0.25 are
+    exact binary fractions — every multiply/add is the same IEEE op in
+    the same order, so the doubles are bit-equal.
+
+    100 TB shape: same as the rest of the module — the only data-sized
+    stage is the (type, hour) DECIMAL agg; the fold runs over
+    calendar-bounded per-type arrays.
+    """
+    series = _hourly_series(ev)
+    a, na = F.lit(float(alpha)), F.lit(1.0 - alpha)
+    b, nb = F.lit(float(beta)), F.lit(1.0 - beta)
+    x1 = F.element_at("s", 1)
+    x2 = F.element_at("s", 2)
+    init = F.struct(
+        F.array(x1).alias("ls"), F.array(x2 - x1).alias("ts")
+    )
+
+    def step(acc, x):
+        lp = F.element_at(acc["ls"], -1)
+        tp = F.element_at(acc["ts"], -1)
+        lvl = a * x + na * (lp + tp)
+        trd = b * (lvl - lp) + nb * tp
+        return F.struct(
+            F.concat(acc["ls"], F.array(lvl)).alias("ls"),
+            F.concat(acc["ts"], F.array(trd)).alias("ts"),
+        )
+
+    folded = series.where(F.size("s") >= 2).select(
+        "event_type",
+        F.aggregate(F.slice("s", 2, F.size("s") - 1), init, step).alias("acc"),
+    )
+    return (
+        folded.select(
+            "event_type",
+            F.posexplode(F.arrays_zip(F.col("acc.ls"), F.col("acc.ts"))).alias(
+                "idx0", "z"
+            ),
+        )
+        .select(
+            "event_type",
+            (F.col("idx0") + 1).cast("long").alias("idx"),
+            F.col("z.ls").alias("level"),
+            F.col("z.ts").alias("trend"),
+            (F.col("z.ls") + F.col("z.ts")).alias("forecast"),
+        )
+    )
+
+
+def _q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_holt(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_ts_holt": _q_ts_holt})
+
+ORACLES.update(
+    {
+        "events_ts_holt": f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, v::DOUBLE AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h)::BIGINT AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+hl AS (
+  SELECT p1.event_type, p1.idx, p1.x AS level, p2.x - p1.x AS trend
+  FROM pts p1 JOIN pts p2 ON p2.event_type = p1.event_type AND p2.idx = 2
+  WHERE p1.idx = 1 AND p1.n >= 2
+  UNION ALL
+  SELECT p.event_type, p.idx,
+         {HOLT_ALPHA} * p.x + {1.0 - HOLT_ALPHA} * (e.level + e.trend),
+         {HOLT_BETA} * (({HOLT_ALPHA} * p.x + {1.0 - HOLT_ALPHA} * (e.level + e.trend)) - e.level)
+           + {1.0 - HOLT_BETA} * e.trend
+  FROM hl e JOIN pts p
+    ON p.event_type = e.event_type AND p.idx = e.idx + 1
+)
+SELECT event_type, idx, level, trend, level + trend AS forecast FROM hl
+""",
+    }
+)

@@ -208,3 +208,94 @@ def test_ewma_matches_recurrence(spark):
             assert got[(t, i)] == s  # bit-exact sequential fold
             n_checked += 1
     assert n_checked > 10
+
+
+# --- Holt linear ----------------------------------------------------------
+
+
+def test_holt_matches_recurrence(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+        .collect()
+    )
+    from quacfka_service_spark.operators.timeseries import ts_holt
+
+    series = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.h, float(r.v)))
+    got = {(r.event_type, r.idx): r for r in ts_holt(ev).collect()}
+    n = 0
+    for t, pts in series.items():
+        pts.sort()
+        if len(pts) < 2:
+            assert (t, 1) not in got
+            continue
+        xs = [x for _, x in pts]
+        lvl, trd = xs[0], xs[1] - xs[0]
+        assert got[(t, 1)].level == lvl and got[(t, 1)].trend == trd
+        for i, x in enumerate(xs[1:], start=2):
+            lp = lvl
+            lvl = 0.5 * x + 0.5 * (lvl + trd)
+            trd = 0.25 * (lvl - lp) + 0.75 * trd
+            r = got[(t, i)]
+            assert r.level == lvl and r.trend == trd  # bit-exact fold
+            assert r.forecast == lvl + trd
+            n += 1
+    assert n > 10
+
+
+# --- ABC / Pareto ---------------------------------------------------------
+
+
+def test_abc_pareto_banded_equals_naive_and_classes(spark):
+    from decimal import Decimal
+
+    from quacfka_service_spark.operators.olap import abc_pareto
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rows = abc_pareto(orders).collect()
+    assert rows
+    rows.sort(key=lambda r: r.rank)
+    # ranks contiguous, cumulative strictly increasing, revenue non-increasing
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cums = [Decimal(r.cum) for r in rows]
+    revs = [Decimal(r.revenue) for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+    # banded prefix sum == naive: cum_i - cum_{i-1} == revenue_i exactly
+    for i in range(1, len(rows)):
+        assert cums[i] - cums[i - 1] == revs[i]
+    assert cums[0] == revs[0]
+    # class boundaries: A then B then C contiguous by rank, thresholds hold
+    total = cums[-1]
+    classes = [r.abc_class for r in rows]
+    assert "".join(sorted(set(classes))) in ("ABC", "AB", "AC", "A")
+    joined = "".join(classes)
+    assert joined == "A" * joined.count("A") + "B" * joined.count("B") + "C" * joined.count("C")
+    for r, c in zip(rows, cums):
+        if r.abc_class == "A":
+            assert c * 100 <= total * 80
+        elif r.abc_class == "B":
+            assert c * 100 > total * 80 and c * 100 <= total * 95
+        else:
+            assert c * 100 > total * 95
+
+
+def test_abc_pareto_no_global_data_window(spark):
+    """The only empty-partition (global) window may touch band rows
+    (<= 32), never the full customer set: assert every Window with an
+    empty partition spec sits above the per-band aggregate."""
+    from quacfka_service_spark.operators.olap import abc_pareto
+
+    orders = load_table(spark, SF_DIR, "orders")
+    plan = abc_pareto(orders)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    # exactly 2 Window nodes: the <=32-row band-offset window (global,
+    # but band-count-bounded) and the within-band running sum, which
+    # must list band in its partition spec.
+    wins = _re.findall(r"Window .*", plan)
+    assert len(wins) == 2, plan
+    assert any("band" in w and "rev" in w for w in wins), wins
