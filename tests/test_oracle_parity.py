@@ -94,6 +94,10 @@ _MUST_BE_NONEMPTY = {
     "corpus_nb_lang_classifier",
     # round 7
     "privacy_k_anonymity", "corpus_lm_quality_buckets",
+    # round 7 batch 2: warehouse + time-series + association rules
+    "scd2_user_attr", "bloom_semi_join", "basket_lift",
+    "events_ts_changepoint", "events_ts_ewma", "events_ts_holt",
+    "orders_abc_pareto",
 }
 
 
