@@ -1,0 +1,216 @@
+"""Principal component of the embedding corpus via distributed
+covariance + power iteration.
+
+The LLM-pipeline use: the top principal direction of an embedding
+table is the first thing you inspect for anisotropy ("is everything
+pointing one way?"), for whitening decisions, and as the projection
+axis for 1-D curriculum sorts.  Public method: plain PCA, power
+iteration (Golub & Van Loan), computed exactly as published — no
+library dependence on either engine.
+
+Parity discipline (two regimes, one proof each):
+
+1. Data-sized sums (mean vector, covariance entries) are computed in
+   arbitrary partial-agg order — float accumulation there would
+   diverge between engines.  Fix: floor-quantize each addend to an
+   integer (floor(x * 1e12) -> BIGINT), sum EXACTLY (DECIMAL(38,0) /
+   HUGEINT), convert the identical integer back to double.  Unlike a
+   half-way decimal CAST, floor has no rounding-mode dependence, and
+   because BOTH engines floor the SAME IEEE double (the products are
+   computed with identical ops), there is no boundary-straddle risk —
+   the lm.py caveat applies only when the two engines compute the
+   input with different libm functions.
+2. Everything after the covariance is fixed-order scalar IEEE math on
+   identical doubles: the matrix-vector products fold per-row arrays
+   sequentially (F.aggregate over zip_with == DuckDB
+   list_dot_product, the established idiom), the norm is one sqrt,
+   v0 = 1/8 exactly (binary fraction), 8 unrolled iterations.  Sign
+   and convergence state are therefore deterministic and hash-equal.
+
+100 TB shape: the data-sized stages are the two quantized partial
+aggs — mean (one pass) and the d^2 outer-product agg (explode d^2 per
+row, map-side combined; at d=64 that is a 4096-way fanout, the
+standard dense-covariance cost — for d in the thousands you'd switch
+to a blocked Gram via mapInArrow, same agg skeleton).  After that the
+operator touches only d- and d^2-sized frames: the 8 iterations are
+joins against a broadcast 1-row vector over a d-row matrix — driver
+never sees data, executors never reshuffle the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+PCA_DIM = 64
+PCA_ITERS = 8
+PCA_Q = 1e12  # floor-quantization scale for order-free exact sums
+
+
+def _dot(a, b):
+    """Sequential fold of the elementwise product — bit-equal to
+    DuckDB's list_dot_product (dedup.py:386 idiom)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def pca_power(
+    emb: DataFrame, dim: int = PCA_DIM, n_iter: int = PCA_ITERS
+) -> DataFrame:
+    """(j, loading, eigenvalue): top principal component of the
+    embedding corpus — component index, loadings of the unit
+    eigenvector, and the Rayleigh-quotient eigenvalue (module
+    docstring)."""
+    x = emb.select(F.col("embedding").cast("array<double>").alias("x")).where(
+        F.size("x") == dim
+    )
+    n1 = x.agg(F.count(F.lit(1)).alias("n"))  # 1 row
+
+    # mean vector: quantized exact sums, then (S / Q) / n per component
+    ex = x.select(F.posexplode("x").alias("j", "xj"))
+    mu_rows = ex.groupBy("j").agg(
+        F.sum(F.floor(F.col("xj") * PCA_Q).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("s")
+    )
+    mu1 = (
+        mu_rows.join(F.broadcast(n1))
+        .select("j", (F.col("s") / PCA_Q / F.col("n")).alias("mu"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "mu"))), lambda s: s["mu"]
+            ).alias("mu")
+        )
+    )
+
+    # centered outer products, quantized, exact d^2 sums
+    cent = x.join(F.broadcast(mu1)).select(
+        F.zip_with("x", "mu", lambda a, b: a - b).alias("c")
+    )
+    cj = cent.select(F.posexplode("c").alias("j", "cj"), "c")
+    prods = cj.select("j", "cj", F.posexplode("c").alias("k", "ck")).select(
+        "j",
+        "k",
+        F.floor((F.col("cj") * F.col("ck")) * PCA_Q).cast("decimal(38,0)").alias("p"),
+    )
+    cov_rows = (
+        prods.groupBy("j", "k")
+        .agg(F.sum("p").cast("decimal(38,0)").cast("double").alias("s"))
+        .join(F.broadcast(n1))
+        .select("j", "k", (F.col("s") / PCA_Q / F.col("n")).alias("cv"))
+        .groupBy("j")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("k", "cv"))), lambda s: s["cv"]
+            ).alias("row")
+        )
+    )
+
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.expr(f"array_repeat(0.125D, {dim})").alias("v")
+    )  # 1/8: exact binary fraction
+    for _ in range(n_iter):
+        w = cov_rows.join(F.broadcast(v)).select("j", _dot("row", "v").alias("wj"))
+        v = (
+            w.groupBy()
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "wj"))), lambda s: s["wj"]
+                ).alias("w")
+            )
+            .select(
+                F.transform(
+                    "w", lambda x: x / F.sqrt(_dot(F.col("w"), F.col("w")))
+                ).alias("v")
+            )
+        )
+
+    # Rayleigh quotient on the final vector
+    wf = cov_rows.join(F.broadcast(v)).select("j", _dot("row", "v").alias("wj"), "v")
+    lam1 = (
+        wf.groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "wj"))), lambda s: s["wj"]
+            ).alias("w"),
+            F.first("v").alias("v"),
+        )
+        .select(_dot("v", "w").alias("eigenvalue"), "v")
+    )
+    return lam1.select(
+        F.posexplode("v").alias("j0", "loading"), "eigenvalue"
+    ).select(
+        (F.col("j0") + 1).cast("long").alias("j"), "loading", "eigenvalue"
+    )
+
+
+def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_power(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {"embedding_pca_power": _q_pca}
+
+
+def _pca_oracle() -> str:
+    d, q, it = PCA_DIM, "1000000000000.0", PCA_ITERS
+    # unrolled power iterations: w_t = C v_{t-1} (list_dot_product per
+    # row), v_t = w_t / ||w_t||
+    steps = []
+    prev = "v0"
+    for t in range(1, it + 1):
+        steps.append(
+            f"w{t} AS (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),\n"
+            f"v{t} AS (SELECT list_transform(w, e -> e / sqrt(list_dot_product(w, w))) AS v\n"
+            f"         FROM (SELECT list(wj ORDER BY j) AS w FROM w{t}))"
+        )
+        prev = f"v{t}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH x AS (
+  SELECT list_transform(embedding, e -> e::DOUBLE) AS x
+  FROM embeddings WHERE len(embedding) = {d}
+),
+n AS (SELECT count(*)::BIGINT AS n FROM x),
+muL AS (
+  SELECT g.j,
+         sum(floor(x[g.j] * {q})::BIGINT)::DOUBLE / {q} / (SELECT n FROM n) AS mu
+  FROM x, (SELECT unnest(generate_series(1, {d})) AS j) g
+  GROUP BY g.j
+),
+mu AS (SELECT list(mu ORDER BY j) AS mu FROM muL),
+cent AS (
+  -- mu joined in (not a scalar subquery): DuckDB disallows
+  -- subqueries inside lambda bodies
+  SELECT list_transform(generate_series(1, {d}),
+                        i -> x.x[i] - mu.mu[i]) AS c
+  FROM x, mu
+),
+covL AS (
+  SELECT g.j, g.k,
+         sum(floor((c[g.j] * c[g.k]) * {q})::BIGINT)::DOUBLE / {q}
+           / (SELECT n FROM n) AS cv
+  FROM cent,
+       (SELECT a.j, b.k
+        FROM (SELECT unnest(generate_series(1, {d})) AS j) a,
+             (SELECT unnest(generate_series(1, {d})) AS k) b) g
+  GROUP BY g.j, g.k
+),
+rows AS (SELECT j, list(cv ORDER BY k) AS row FROM covL GROUP BY j),
+v0 AS (SELECT list_transform(generate_series(1, {d}), i -> 0.125) AS v),
+{steps_sql},
+wF AS (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),
+lam AS (SELECT list_dot_product((SELECT v FROM {prev}),
+                                list(wj ORDER BY j)) AS eigenvalue
+        FROM wF)
+SELECT g.j::BIGINT AS j,
+       (SELECT v FROM {prev})[g.j] AS loading,
+       (SELECT eigenvalue FROM lam) AS eigenvalue
+FROM (SELECT unnest(generate_series(1, {d})) AS j) g
+"""
+
+
+ORACLES = {"embedding_pca_power": _pca_oracle()}

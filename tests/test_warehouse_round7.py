@@ -299,3 +299,49 @@ def test_abc_pareto_no_global_data_window(spark):
     wins = _re.findall(r"Window .*", plan)
     assert len(wins) == 2, plan
     assert any("band" in w and "rev" in w for w in wins), wins
+
+
+# --- PCA power iteration --------------------------------------------------
+
+
+def test_pca_recovers_planted_direction(spark):
+    """Embeddings = t*u + small orthogonal jitter must yield a top
+    component nearly parallel to u, unit-norm loadings, and an
+    eigenvalue close to var(t)."""
+    import math
+
+    from quacfka_service_spark.operators.pca import pca_power
+
+    d = 64
+    u = [1.0 if i % 2 == 0 else -1.0 for i in range(d)]
+    nu = math.sqrt(d)
+    u = [x / nu for x in u]
+    rows = []
+    for r in range(400):
+        t = (r % 21) - 10  # mean-zero coefficient, var ~ 36.67
+        eps = [((r * 131 + i * 31) % 17 - 8) / 80.0 for i in range(d)]
+        rows.append((r, [t * u[i] + eps[i] for i in range(d)], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = pca_power(emb.select("vec_id", F.col("embedding"), "label")).collect()
+    assert sorted(r.j for r in out) == list(range(1, d + 1))
+    v = [r.loading for r in sorted(out, key=lambda r: r.j)]
+    lam = out[0].eigenvalue
+    assert all(r.eigenvalue == lam for r in out)
+    nrm = sum(x * x for x in v)
+    assert abs(nrm - 1.0) < 1e-9
+    cos = abs(sum(a * b for a, b in zip(v, u)))
+    assert cos > 0.99, cos
+    t_var = sum((t - 0) ** 2 for t in [((r % 21) - 10) for r in range(400)]) / 400
+    assert abs(lam - t_var) / t_var < 0.05, (lam, t_var)
+
+
+def test_pca_on_corpus_is_deterministic_and_sane(spark):
+    from quacfka_service_spark.operators.pca import pca_power
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = pca_power(emb).collect()
+    b = pca_power(emb).collect()
+    assert {(r.j, r.loading, r.eigenvalue) for r in a} == {
+        (r.j, r.loading, r.eigenvalue) for r in b
+    }
+    assert a and a[0].eigenvalue > 0
