@@ -491,6 +491,15 @@ def ts_changepoint_cusum(ev: DataFrame, k: int = CUSUM_TOP_K) -> DataFrame:
     hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    return cusum_from_hourly(hourly, k)
+
+
+def cusum_from_hourly(hourly: DataFrame, k: int = CUSUM_TOP_K) -> DataFrame:
+    """CUSUM tail over an (event_type, h, c) hourly-count frame —
+    shared verbatim by the batch operator and IncrementalCusum, so the
+    streaming readout is bit-identical to the batch one by
+    construction (integer counts SUM-merge exactly for any
+    batching)."""
     wc = Window.partitionBy("event_type").orderBy("h")
     wall = Window.partitionBy("event_type")
     scored = hourly.select(
