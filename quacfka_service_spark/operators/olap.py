@@ -1413,3 +1413,77 @@ FROM cum
 """,
     }
 )
+
+
+# --- round-7 addition: robust (MAD) outlier detection ---------------------
+
+MAD_K = 3 * 1.4826  # 3 sigma-equivalents; 1.4826 = consistency constant
+
+
+def outliers_mad(ev: DataFrame) -> DataFrame:
+    """(event_type, event_id, value, dev): robust per-type outliers —
+    rows whose |value - median| exceeds 3 sigma-equivalents of the
+    Median Absolute Deviation (dev > 3*1.4826*MAD), the standard
+    outlier rule that a few extreme points cannot poison (unlike
+    z-scores, where the outliers inflate their own sigma).
+
+    Parity: median and MAD come from the exact interpolated
+    percentile both engines share (events_quantiles idiom), ROUNDED to
+    6 dp before reuse so a 1-ulp interpolation difference cannot flip
+    a row across the threshold; after that every per-row op (one
+    subtract, one abs, one multiply-compare against the Python-folded
+    constant) is the same single IEEE op on both sides.
+
+    100 TB shape: two aggregate passes (median, then MAD over the
+    deviations) plus two broadcast joins of the per-type medians
+    (|types| rows).  Exact percentiles sort per type inside the agg;
+    for value spaces where that bites, the approx_percentile twin is
+    the documented fallback — the rule's robustness doesn't depend on
+    exactness.
+    """
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > F.lit(MAD_K) * F.col("mad"))
+        .select("event_type", "event_id", "value", "dev")
+    )
+
+
+def _q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return outliers_mad(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_outlier_mad": _q_outliers_mad})
+
+ORACLES.update(
+    {
+        "events_outlier_mad": f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.event_id, d.value, d.dev
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev > {MAD_K!r} * m.mad
+""",
+    }
+)

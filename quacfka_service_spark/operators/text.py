@@ -13,7 +13,7 @@ in Spark and DuckDB, so doubles match bit-for-bit (FIXTURES.md §5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table
@@ -382,3 +382,90 @@ ORDER BY n DESC, bigram ASC
 LIMIT {TOP_BIGRAMS_K}
 """,
 }
+
+
+# --- round-7 addition: per-document TF-IDF top-k --------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, term, tf, df, score, rank): top-k most
+    document-characteristic terms — term frequency weighted against
+    document frequency, the standard keyword/search-signal extraction
+    over a corpus.
+
+    Scoring uses LINEAR inverse document frequency (score = tf/df;
+    equivalently tf*N/df with the constant N dropped): one IEEE
+    division of two exact BIGINTs, bit-equal in both engines, so the
+    driver hash-checks exact scores.  Classic log-idf compresses the
+    ordering but needs ln() — cross-engine libm parity would fall back
+    to the lm.py nanolog-quantization idiom; linear idf ranks
+    rare-term-heavy docs the same way for the top-k cut and keeps the
+    whole operator float-exact.  Tokens are the whitespace words of
+    the shared ``_words`` normalizer (empty-string artifact of
+    split('') filtered identically on both sides).
+
+    100 TB shape: two corpus-sized map-side-combined aggs (tf keyed by
+    (doc, term), df keyed by term), one term-keyed exchange pair for
+    the join (vocabulary-sized right side — broadcast when it fits, or
+    it degrades to co-partitioned shuffle on term), then the top-k
+    window partitioned by doc_id.  No driver state, no all-pairs
+    anything.
+    """
+    ex = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = ex.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "df", "score",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_tfidf_topk": _q_tfidf})
+
+ORACLES.update(
+    {
+        "text_tfidf_topk": f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(w) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM ex WHERE term <> '' GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM ex WHERE term <> '' GROUP BY 1
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf::DOUBLE / df.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf::DOUBLE / df.df DESC,
+                                     tf.term ASC)::BIGINT AS rank
+  FROM tf JOIN df USING (term)
+) WHERE rank <= {TFIDF_TOP_K}
+""",
+    }
+)

@@ -97,7 +97,8 @@ _MUST_BE_NONEMPTY = {
     # round 7 batch 2: warehouse + time-series + association rules
     "scd2_user_attr", "bloom_semi_join", "basket_lift",
     "events_ts_changepoint", "events_ts_ewma", "events_ts_holt",
-    "orders_abc_pareto",
+    "orders_abc_pareto", "embedding_pca_power", "text_tfidf_topk",
+    "events_outlier_mad",
 }
 
 

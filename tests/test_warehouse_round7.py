@@ -345,3 +345,66 @@ def test_pca_on_corpus_is_deterministic_and_sane(spark):
         (r.j, r.loading, r.eigenvalue) for r in b
     }
     assert a and a[0].eigenvalue > 0
+
+
+# --- TF-IDF ---------------------------------------------------------------
+
+
+def test_tfidf_topk_matches_bruteforce(spark):
+    from quacfka_service_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    out = tfidf_topk(docs).collect()
+    assert out
+    # brute force in Python over the same normalization
+    corpus = {r.doc_id: r.text.strip().lower().split() for r in docs.collect()}
+    import collections
+
+    df = collections.Counter()
+    for terms in corpus.values():
+        for t in set(terms):
+            if t:
+                df[t] += 1
+    for doc_id, terms in corpus.items():
+        tf = collections.Counter(t for t in terms if t)
+        scored = sorted(
+            ((tf[t] / df[t], t) for t in tf), key=lambda s: (-s[0], s[1])
+        )[:5]
+        got = sorted(
+            [(r.score, r.term) for r in out if r.doc_id == doc_id],
+            key=lambda s: (-s[0], s[1]),
+        )
+        assert got == scored, doc_id
+    for r in out:
+        assert r.score == r.tf / r.df and 1 <= r.rank <= 5
+
+
+# --- MAD outliers ---------------------------------------------------------
+
+
+def test_outliers_mad_flags_planted_extremes(spark):
+    from quacfka_service_spark.operators.olap import outliers_mad
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "2024-01-01 00:00:00", 1, "m", 10.0 + (i % 7) * 0.1, "{}"))
+    rows.append((900, "2024-01-01 00:00:00", 1, "m", 500.0, "{}"))  # extreme
+    rows.append((901, "2024-01-01 00:00:00", 1, "m", -500.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    flagged = {r.event_id for r in outliers_mad(df).collect()}
+    assert flagged == {900, 901}
+
+
+def test_outliers_mad_zero_mad_degrades_gracefully(spark):
+    """Constant values -> MAD 0 -> any deviation is an outlier; a
+    fully constant type flags nothing."""
+    from quacfka_service_spark.operators.olap import outliers_mad
+
+    rows = [(i, "2024-01-01 00:00:00", 1, "c", 5.0, "{}") for i in range(50)]
+    rows.append((99, "2024-01-01 00:00:00", 1, "c", 5.1, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert {r.event_id for r in outliers_mad(df).collect()} == {99}
