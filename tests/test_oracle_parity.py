@@ -98,7 +98,7 @@ _MUST_BE_NONEMPTY = {
     "scd2_user_attr", "bloom_semi_join", "basket_lift",
     "events_ts_changepoint", "events_ts_ewma", "events_ts_holt",
     "orders_abc_pareto", "embedding_pca_power", "text_tfidf_topk",
-    "events_outlier_mad",
+    "events_outlier_mad", "quality_expectations",
 }
 
 

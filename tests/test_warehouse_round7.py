@@ -408,3 +408,67 @@ def test_outliers_mad_zero_mad_degrades_gracefully(spark):
         rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
     ).withColumn("ts", F.to_timestamp("ts"))
     assert {r.event_id for r in outliers_mad(df).collect()} == {99}
+
+
+# --- data-quality expectations --------------------------------------------
+
+
+def test_expectations_planted_violations(spark):
+    """Inject one violation of each kind and check exactly the right
+    counters trip."""
+    from quacfka_service_spark.operators.expectations import expectations_report
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "a", 1.0, "{}"),
+            (1, "2024-01-01 01:00:00", 7, "a", 2.0, "{}"),  # dup event_id
+            (2, None, None, "b", 5e9, "{}"),  # null ts, null user, range
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orders = spark.createDataFrame(
+        [(10, 100, "O", 5.0, "2024-01-01", "1-URGENT"),
+         (11, 999, "O", -2.0, "2024-01-01", "1-URGENT")],  # orphan cust, neg price
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    lineitem = spark.createDataFrame(
+        [(10, 1), (77, 1)], "l_orderkey long, l_partkey long"  # 77 orphan
+    )
+    customer = spark.createDataFrame(
+        [(100, "c", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "abcd", "en", "s", 99)],  # bad n_chars
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = {
+        (r.table_name, r.check_name): (r.n_violations, r.passed)
+        for r in expectations_report(ev, orders, lineitem, customer, docs).collect()
+    }
+    assert rep[("events", "event_id_unique")] == (1, False)
+    assert rep[("events", "ts_not_null")] == (1, False)
+    assert rep[("events", "user_id_not_null")] == (1, False)
+    assert rep[("events", "value_in_range")] == (1, False)
+    assert rep[("orders", "o_orderkey_unique")] == (0, True)
+    assert rep[("orders", "o_totalprice_nonneg")] == (1, False)
+    assert rep[("orders", "o_custkey_fk_customer")] == (1, False)
+    assert rep[("lineitem", "l_orderkey_fk_orders")] == (1, False)
+    assert rep[("documents", "doc_id_unique")] == (0, True)
+    assert rep[("documents", "n_chars_consistent")] == (1, False)
+
+
+def test_expectations_single_pass_per_scalar_suite(spark):
+    """The events scalar suite must be ONE aggregate over the table
+    (no per-constraint jobs): its plan contains exactly one pair of
+    partial/final HashAggregate pairs feeding the explode."""
+    from quacfka_service_spark.operators.expectations import _scalar_suite
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = _scalar_suite(
+        ev, "events",
+        [("u", None, "event_id"), ("nn", F.col("ts").isNull(), None)],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one scan of the events parquet only
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
