@@ -76,6 +76,13 @@ HEADLINE = [
     "corpus_importance_weights",
     "corpus_ngram_lm_score",
     "events_approx_distinct",
+    # round-7 additions (same non-comparability caveat)
+    "scd2_user_attr",
+    "bloom_semi_join",
+    "orders_abc_pareto",
+    "embedding_pca_power",
+    "text_tfidf_topk",
+    "quality_expectations",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.

@@ -163,33 +163,33 @@ def _pca_oracle() -> str:
     prev = "v0"
     for t in range(1, it + 1):
         steps.append(
-            f"w{t} AS (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),\n"
-            f"v{t} AS (SELECT list_transform(w, e -> e / sqrt(list_dot_product(w, w))) AS v\n"
+            f"w{t} AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),\n"
+            f"v{t} AS MATERIALIZED (SELECT list_transform(w, e -> e / sqrt(list_dot_product(w, w))) AS v\n"
             f"         FROM (SELECT list(wj ORDER BY j) AS w FROM w{t}))"
         )
         prev = f"v{t}"
     steps_sql = ",\n".join(steps)
     return f"""
-WITH x AS (
+WITH x AS MATERIALIZED (
   SELECT list_transform(embedding, e -> e::DOUBLE) AS x
   FROM embeddings WHERE len(embedding) = {d}
 ),
-n AS (SELECT count(*)::BIGINT AS n FROM x),
-muL AS (
+n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM x),
+muL AS MATERIALIZED (
   SELECT g.j,
          sum(floor(x[g.j] * {q})::BIGINT)::DOUBLE / {q} / (SELECT n FROM n) AS mu
   FROM x, (SELECT unnest(generate_series(1, {d})) AS j) g
   GROUP BY g.j
 ),
-mu AS (SELECT list(mu ORDER BY j) AS mu FROM muL),
-cent AS (
+mu AS MATERIALIZED (SELECT list(mu ORDER BY j) AS mu FROM muL),
+cent AS MATERIALIZED (
   -- mu joined in (not a scalar subquery): DuckDB disallows
   -- subqueries inside lambda bodies
   SELECT list_transform(generate_series(1, {d}),
                         i -> x.x[i] - mu.mu[i]) AS c
   FROM x, mu
 ),
-covL AS (
+covL AS MATERIALIZED (
   SELECT g.j, g.k,
          sum(floor((c[g.j] * c[g.k]) * {q})::BIGINT)::DOUBLE / {q}
            / (SELECT n FROM n) AS cv
@@ -199,10 +199,10 @@ covL AS (
              (SELECT unnest(generate_series(1, {d})) AS k) b) g
   GROUP BY g.j, g.k
 ),
-rows AS (SELECT j, list(cv ORDER BY k) AS row FROM covL GROUP BY j),
-v0 AS (SELECT list_transform(generate_series(1, {d}), i -> 0.125) AS v),
+rows AS MATERIALIZED (SELECT j, list(cv ORDER BY k) AS row FROM covL GROUP BY j),
+v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, {d}), i -> 0.125) AS v),
 {steps_sql},
-wF AS (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),
+wF AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),
 lam AS (SELECT list_dot_product((SELECT v FROM {prev}),
                                 list(wj ORDER BY j)) AS eigenvalue
         FROM wF)
