@@ -1487,3 +1487,112 @@ WHERE d.dev > {MAD_K!r} * m.mad
 """,
     }
 )
+
+
+# --- round-7 addition: exact audience overlap via chunked bitmaps ---------
+
+
+def bitmap_overlap(ev: DataFrame) -> DataFrame:
+    """(type_a, type_b, n_a, n_b, n_inter, jaccard): EXACT audience
+    overlap between event types — the number events_hll_set_algebra
+    ESTIMATES, computed exactly with chunked bitmap indexes (the
+    public roaring-bitmap idea reduced to its Spark-native core).
+
+    Each type's user set becomes a sharded bitmap: word = user DIV 32,
+    bits = bit_or of 1<<(user%32) — one map-side-combined agg produces
+    |users|/32-sized state per type (32-bit payloads in BIGINT words:
+    DuckDB's signed << overflows loudly at bit 63, so the portable
+    chunk is a half-word).  Intersections are then a
+    word-equi join + sum(bit_count(a & b)): exchanges carry BITMAP
+    words, never user rows, which is what makes exact audience overlap
+    affordable where HLL would otherwise be the only option.  Pairs
+    sharing no word fall out of the join and are restored as
+    n_inter=0 via the totals cross (|types|^2 rows).
+
+    Everything is integer until the final jaccard = n_inter /
+    (n_a + n_b - n_inter), one IEEE division of exact BIGINTs.
+    """
+    base = ev.select("event_type", "user_id").distinct()
+    bm = base.select(
+        "event_type",
+        F.expr("user_id DIV 32").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("m"),
+    ).groupBy("event_type", "word").agg(F.bit_or("m").alias("bits"))
+    totals = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_inter", F.lit(0).cast("long")).alias("n_inter"),
+        )
+        .select(
+            "*",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bitmap_overlap(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_bitmap_overlap": _q_bitmap_overlap})
+
+ORACLES.update(
+    {
+        "events_bitmap_overlap": """
+WITH base AS (SELECT DISTINCT event_type, user_id FROM events),
+bm AS (
+  SELECT event_type, user_id // 32 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+  FROM base GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(bit_count(bits))::BIGINT AS n FROM bm GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         sum(bit_count(a.bits & b.bits))::BIGINT AS n_inter
+  FROM bm a JOIN bm b
+    ON a.word = b.word AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+       coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+       coalesce(i.n_inter, 0) / (p.n_a + p.n_b - coalesce(i.n_inter, 0)) AS jaccard
+FROM (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         ta.n AS n_a, tb.n AS n_b
+  FROM totals ta JOIN totals tb ON ta.event_type < tb.event_type
+) p LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+""",
+    }
+)

@@ -186,3 +186,63 @@ FROM b
 
 
 ORACLES["split_group_safe"] = _group_safe_oracle()
+
+
+# --- round-7 addition: temporal holdout split -----------------------------
+
+TEMPORAL_CUTS = (0.8, 0.9)  # train | valid | test
+
+
+def split_temporal(ev: DataFrame, cuts: tuple = TEMPORAL_CUTS) -> DataFrame:
+    """(event_id, split): time-ordered train/valid/test assignment —
+    the split every forecasting/causal pipeline needs (random splits
+    leak the future into training; the holdout must be LATER than the
+    train window).
+
+    Cutoffs are the exact interpolated quantiles of epoch-millis (the
+    events_quantiles idiom on INTEGER inputs — both engines interpolate
+    the same two order statistics with the same formula, so the double
+    cutoffs are bit-equal and row membership cannot straddle).  The
+    two cutoff scalars broadcast; assignment is a map-only projection.
+
+    100 TB shape: one exact-percentile agg over epoch millis (per-type
+    sort inside the agg; swap in approx_percentile past the NDV where
+    that bites — membership tolerance is a product decision there),
+    then zero additional exchanges.
+    """
+    ms = F.unix_millis(F.col("ts"))
+    qs = ev.agg(
+        F.percentile(ms, F.lit(cuts[0])).alias("t_train"),
+        F.percentile(ms, F.lit(cuts[1])).alias("t_valid"),
+    )
+    return ev.join(F.broadcast(qs)).select(
+        "event_id",
+        F.when(ms <= F.col("t_train"), F.lit("train"))
+        .when(ms <= F.col("t_valid"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_temporal(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"split_temporal": _q_split_temporal})
+
+ORACLES.update(
+    {
+        "split_temporal": f"""
+WITH qs AS (
+  SELECT quantile_cont(epoch_ms(ts), {TEMPORAL_CUTS[0]}) AS t_train,
+         quantile_cont(epoch_ms(ts), {TEMPORAL_CUTS[1]}) AS t_valid
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN epoch_ms(ts) <= t_train THEN 'train'
+            WHEN epoch_ms(ts) <= t_valid THEN 'valid'
+            ELSE 'test' END AS split
+FROM events, qs
+""",
+    }
+)

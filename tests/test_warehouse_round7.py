@@ -472,3 +472,45 @@ def test_expectations_single_pass_per_scalar_suite(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # one scan of the events parquet only
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+# --- bitmap overlap -------------------------------------------------------
+
+
+def test_bitmap_overlap_is_exact(spark):
+    """The bitmap intersection must equal the brute-force distinct
+    intersection for every type pair."""
+    from quacfka_service_spark.operators.olap import bitmap_overlap
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {(r.type_a, r.type_b): (r.n_a, r.n_b, r.n_inter) for r in bitmap_overlap(ev).collect()}
+    assert got
+    users = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            na, nb, ni = got[(a, b)]
+            assert na == len(users[a]) and nb == len(users[b])
+            assert ni == len(users[a] & users[b])
+
+
+# --- temporal split -------------------------------------------------------
+
+
+def test_split_temporal_is_time_ordered(spark):
+    from quacfka_service_spark.operators.split import split_temporal
+
+    ev = load_table(spark, SF_DIR, "events")
+    joined = split_temporal(ev).join(ev.select("event_id", "ts"), "event_id").collect()
+    by = {}
+    for r in joined:
+        by.setdefault(r.split, []).append(r.ts)
+    assert set(by) == {"train", "valid", "test"}
+    # strict temporal ordering between splits
+    assert max(by["train"]) <= min(by["valid"])
+    assert max(by["valid"]) <= min(by["test"])
+    n = len(joined)
+    assert abs(len(by["train"]) / n - 0.8) < 0.02
+    assert abs(len(by["valid"]) / n - 0.1) < 0.02
