@@ -55,13 +55,10 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
-def pca_power(
-    emb: DataFrame, dim: int = PCA_DIM, n_iter: int = PCA_ITERS
-) -> DataFrame:
-    """(j, loading, eigenvalue): top principal component of the
-    embedding corpus — component index, loadings of the unit
-    eigenvector, and the Rayleigh-quotient eigenvalue (module
-    docstring)."""
+def _pca_state(emb: DataFrame, dim: int, n_iter: int):
+    """Shared tail state: (mu1 1-row mean array, cov_rows d-row
+    covariance, v 1-row final unit eigenvector) — used by pca_power
+    and pca_project so both expose the identical converged vector."""
     x = emb.select(F.col("embedding").cast("array<double>").alias("x")).where(
         F.size("x") == dim
     )
@@ -129,6 +126,17 @@ def pca_power(
             )
         )
 
+    return mu1, cov_rows, v
+
+
+def pca_power(
+    emb: DataFrame, dim: int = PCA_DIM, n_iter: int = PCA_ITERS
+) -> DataFrame:
+    """(j, loading, eigenvalue): top principal component of the
+    embedding corpus — component index, loadings of the unit
+    eigenvector, and the Rayleigh-quotient eigenvalue (module
+    docstring)."""
+    _, cov_rows, v = _pca_state(emb, dim, n_iter)
     # Rayleigh quotient on the final vector
     wf = cov_rows.join(F.broadcast(v)).select("j", _dot("row", "v").alias("wj"), "v")
     lam1 = (
@@ -148,14 +156,43 @@ def pca_power(
     )
 
 
+def pca_project(
+    emb: DataFrame, dim: int = PCA_DIM, n_iter: int = PCA_ITERS
+) -> DataFrame:
+    """(vec_id, proj): each embedding's coordinate along the top
+    principal direction — the 1-D curriculum/anisotropy score.  A
+    map-only projection after broadcasting the mean and the converged
+    unit vector: proj = <x - mu, v>, one sequential fold per row
+    (same list_dot_product parity as the iteration)."""
+    mu1, _, v = _pca_state(emb, dim, n_iter)
+    xid = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).where(F.size("x") == dim)
+    return (
+        xid.join(F.broadcast(mu1))
+        .join(F.broadcast(v))
+        .select(
+            "vec_id",
+            _dot(F.zip_with("x", "mu", lambda a, b: a - b), F.col("v")).alias("proj"),
+        )
+    )
+
+
 def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_power(load_table(spark, sf_dir, "embeddings"))
 
 
-QUERIES = {"embedding_pca_power": _q_pca}
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_project(load_table(spark, sf_dir, "embeddings"))
 
 
-def _pca_oracle() -> str:
+QUERIES = {
+    "embedding_pca_power": _q_pca,
+    "embedding_pca_project": _q_pca_project,
+}
+
+
+def _pca_prefix() -> tuple:
     d, q, it = PCA_DIM, "1000000000000.0", PCA_ITERS
     # unrolled power iterations: w_t = C v_{t-1} (list_dot_product per
     # row), v_t = w_t / ||w_t||
@@ -169,9 +206,9 @@ def _pca_oracle() -> str:
         )
         prev = f"v{t}"
     steps_sql = ",\n".join(steps)
-    return f"""
+    prefix = f"""
 WITH x AS MATERIALIZED (
-  SELECT list_transform(embedding, e -> e::DOUBLE) AS x
+  SELECT vec_id, list_transform(embedding, e -> e::DOUBLE) AS x
   FROM embeddings WHERE len(embedding) = {d}
 ),
 n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM x),
@@ -185,7 +222,7 @@ mu AS MATERIALIZED (SELECT list(mu ORDER BY j) AS mu FROM muL),
 cent AS MATERIALIZED (
   -- mu joined in (not a scalar subquery): DuckDB disallows
   -- subqueries inside lambda bodies
-  SELECT list_transform(generate_series(1, {d}),
+  SELECT x.vec_id, list_transform(generate_series(1, {d}),
                         i -> x.x[i] - mu.mu[i]) AS c
   FROM x, mu
 ),
@@ -201,7 +238,13 @@ covL AS MATERIALIZED (
 ),
 rows AS MATERIALIZED (SELECT j, list(cv ORDER BY k) AS row FROM covL GROUP BY j),
 v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, {d}), i -> 0.125) AS v),
-{steps_sql},
+{steps_sql}"""
+    return prefix, prev, d
+
+
+def _pca_power_oracle() -> str:
+    prefix, prev, d = _pca_prefix()
+    return f"""{prefix},
 wF AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),
 lam AS (SELECT list_dot_product((SELECT v FROM {prev}),
                                 list(wj ORDER BY j)) AS eigenvalue
@@ -213,4 +256,15 @@ FROM (SELECT unnest(generate_series(1, {d})) AS j) g
 """
 
 
-ORACLES = {"embedding_pca_power": _pca_oracle()}
+def _pca_project_oracle() -> str:
+    prefix, prev, d = _pca_prefix()
+    return f"""{prefix}
+SELECT vec_id, list_dot_product(c, (SELECT v FROM {prev})) AS proj
+FROM cent
+"""
+
+
+ORACLES = {
+    "embedding_pca_power": _pca_power_oracle(),
+    "embedding_pca_project": _pca_project_oracle(),
+}

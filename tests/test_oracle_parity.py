@@ -99,7 +99,7 @@ _MUST_BE_NONEMPTY = {
     "events_ts_changepoint", "events_ts_ewma", "events_ts_holt",
     "orders_abc_pareto", "embedding_pca_power", "text_tfidf_topk",
     "events_outlier_mad", "quality_expectations",
-    "events_bitmap_overlap", "split_temporal",
+    "events_bitmap_overlap", "split_temporal", "embedding_pca_project",
 }
 
 

@@ -514,3 +514,23 @@ def test_split_temporal_is_time_ordered(spark):
     n = len(joined)
     assert abs(len(by["train"]) / n - 0.8) < 0.02
     assert abs(len(by["valid"]) / n - 0.1) < 0.02
+
+
+def test_pca_project_matches_loadings(spark):
+    """proj must equal <x - mu, v> with the published loadings, and
+    its variance must approximate the eigenvalue."""
+    from quacfka_service_spark.operators.pca import pca_power, pca_project
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    comps = sorted(pca_power(emb).collect(), key=lambda r: r.j)
+    v = [r.loading for r in comps]
+    lam = comps[0].eigenvalue
+    projs = [r.proj for r in pca_project(emb).collect()]
+    assert len(projs) == emb.count()
+    n = len(projs)
+    mean = sum(projs) / n
+    var = sum((p - mean) ** 2 for p in projs) / n
+    # Rayleigh quotient equals the variance of the projection exactly
+    # in exact arithmetic; allow float slack + convergence gap
+    assert abs(var - lam) / lam < 0.05, (var, lam)
+    assert abs(sum(x * x for x in v) - 1) < 1e-9
