@@ -83,20 +83,36 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
         )
     )
 
-    # centered outer products, quantized, exact d^2 sums
+    # centered outer products, quantized, exact sums — SYMMETRY-HALVED:
+    # only j <= k pairs are generated (the upper triangle, d(d+1)/2
+    # instead of d^2 per row) and the lower triangle is mirrored AFTER
+    # the aggregate.  Exactness is untouched: IEEE multiplication
+    # commutes bit-for-bit, so sum(floor(cj*ck*Q)) == sum(floor(ck*cj*Q)).
     cent = x.join(F.broadcast(mu1)).select(
         F.zip_with("x", "mu", lambda a, b: a - b).alias("c")
     )
     cj = cent.select(F.posexplode("c").alias("j", "cj"), "c")
-    prods = cj.select("j", "cj", F.posexplode("c").alias("k", "ck")).select(
+    upper = cj.select(
         "j",
-        "k",
+        "cj",
+        F.posexplode(
+            F.slice(F.col("c"), F.col("j") + 1, F.lit(dim) - F.col("j"))
+        ).alias("k0", "ck"),
+    ).select(
+        "j",
+        (F.col("j") + F.col("k0")).alias("k"),
         F.floor((F.col("cj") * F.col("ck")) * PCA_Q).cast("decimal(38,0)").alias("p"),
     )
+    tri = upper.groupBy("j", "k").agg(
+        F.sum("p").cast("decimal(38,0)").cast("double").alias("s")
+    )
+    full = tri.unionByName(
+        tri.where(F.col("j") != F.col("k")).select(
+            F.col("k").alias("j"), F.col("j").alias("k"), "s"
+        )
+    )
     cov_rows = (
-        prods.groupBy("j", "k")
-        .agg(F.sum("p").cast("decimal(38,0)").cast("double").alias("s"))
-        .join(F.broadcast(n1))
+        full.join(F.broadcast(n1))
         .select("j", "k", (F.col("s") / PCA_Q / F.col("n")).alias("cv"))
         .groupBy("j")
         .agg(
