@@ -534,3 +534,44 @@ def test_pca_project_matches_loadings(spark):
     # in exact arithmetic; allow float slack + convergence gap
     assert abs(var - lam) / lam < 0.05, (var, lam)
     assert abs(sum(x * x for x in v) - 1) < 1e-9
+
+
+# --- PageRank -------------------------------------------------------------
+
+
+def test_pagerank_hub_wins_star_graph(spark):
+    """A star (one hub similar to many spokes, spokes dissimilar to
+    each other) must rank the hub #1."""
+    from quacfka_service_spark.operators.graph import pagerank_neardup
+
+    d = 64
+    hub = [1.0] * d
+    rows = [(0, hub, 0)]
+    for i in range(1, 9):
+        # spoke_i = hub + big orthogonal kick in dim i -> cos(hub, spoke) high,
+        # cos(spoke_i, spoke_j) lower
+        v = list(hub)
+        v[i] += 6.0
+        v[i + 30] -= 6.0
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = sorted(pagerank_neardup(emb, threshold=0.5).collect(), key=lambda r: r.rank)
+    assert out[0].vec_id == 0, [(r.vec_id, r.pr) for r in out]
+    assert out[0].rank == 1
+
+
+def test_pagerank_integer_invariants(spark):
+    from quacfka_service_spark.operators.graph import PR_Q, pagerank_neardup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = pagerank_neardup(emb).collect()
+    assert rows
+    total = sum(r.pr for r in rows)
+    assert all(r.pr > 0 for r in rows)
+    assert total <= PR_Q  # integer DIV only leaks mass, never creates it
+    assert total > PR_Q // 2
+    # ranks are a permutation 1..n
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # determinism
+    again = pagerank_neardup(emb).collect()
+    assert {(r.vec_id, r.pr) for r in rows} == {(r.vec_id, r.pr) for r in again}
