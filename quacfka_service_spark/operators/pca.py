@@ -120,6 +120,10 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
                 F.sort_array(F.collect_list(F.struct("k", "cv"))), lambda s: s["cv"]
             ).alias("row")
         )
+        # d rows total: one partition so the 8 iteration joins schedule
+        # 1 task each instead of a full shuffle-partition fan per round
+        .coalesce(1)
+        .localCheckpoint(eager=False)
     )
 
     spark = emb.sparkSession
