@@ -240,3 +240,107 @@ SELECT c.vec_id, c.cell::BIGINT AS cell, (dr.vec_id IS NULL) AS kept
 FROM cells c LEFT JOIN dropped dr ON c.vec_id = dr.vec_id
 """,
 }
+
+
+# --- round-7 addition: cluster topic labeling -----------------------------
+
+TOPIC_TOP_K = 5
+
+
+def cluster_topics(docs: DataFrame, emb: DataFrame, k: int = TOPIC_TOP_K) -> DataFrame:
+    """(cell, term, tf, df, score, rank): the top-k most
+    cluster-characteristic terms per semantic cell — "what is each
+    cluster about", the labeling step that turns SemDeDup cells from
+    opaque ids into an inspectable corpus map.
+
+    Composition: the frozen-codebook cell assignment (broadcast
+    codebook, map-only argmax — hash-proven by dedup_semantic) joined
+    onto documents (doc_id = vec_id, the corpus_curation_semantic
+    contract), then cluster-level TF-IDF: tf = term count inside the
+    cell, df = number of CELLS containing the term, score = tf/df —
+    one IEEE division of exact BIGINTs (text_tfidf_topk's linear-idf
+    parity argument, with cells as the "documents").
+
+    100 TB shape: assignment is map-only; the token agg is map-side
+    combined and keyed (cell, term); df is cell-count-sized; the top-k
+    window partitions by cell (n_clusters partitions — scale
+    n_clusters with the corpus per the SemDeDup cost model and the
+    window stays balanced).
+    """
+    cells = assign_cells(emb).select("vec_id", "cell")
+    from .text import _words
+
+    dt = docs.join(cells, docs.doc_id == cells.vec_id).select(
+        "cell", F.explode(_words(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = dt.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = dt.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "cell", "term", "tf", "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select(
+            F.col("cell").cast("long").alias("cell"),
+            "term", "tf", "df", "score",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def _q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_topics(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )
+
+
+QUERIES.update({"corpus_cluster_topics": _q_cluster_topics})
+
+ORACLES.update(
+    {
+        "corpus_cluster_topics": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm
+  FROM d WHERE vec_id IN (SELECT vec_id FROM d ORDER BY vec_id LIMIT {N_CLUSTERS})
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(d.v, c.cv) / (d.nrm * c.cnrm) DESC, cent_id ASC
+         ) AS rk
+  FROM d CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM assign WHERE rk = 1
+),
+ex AS (
+  SELECT c.cell, unnest(regexp_split_to_array(trim(lower(doc.text)), '\\s+')) AS term
+  FROM documents doc JOIN cells c ON doc.doc_id = c.vec_id
+),
+tf AS (
+  SELECT cell, term, count(*)::BIGINT AS tf
+  FROM ex WHERE term <> '' GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT cell)::BIGINT AS df
+  FROM ex WHERE term <> '' GROUP BY 1
+)
+SELECT cell, term, tf, df, score, rank FROM (
+  SELECT tf.cell::BIGINT AS cell, tf.term, tf.tf, df.df,
+         tf.tf::DOUBLE / df.df AS score,
+         row_number() OVER (PARTITION BY tf.cell
+                            ORDER BY tf.tf::DOUBLE / df.df DESC,
+                                     tf.term ASC)::BIGINT AS rank
+  FROM tf JOIN df USING (term)
+) WHERE rank <= {TOPIC_TOP_K}
+""",
+    }
+)

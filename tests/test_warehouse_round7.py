@@ -575,3 +575,28 @@ def test_pagerank_integer_invariants(spark):
     # determinism
     again = pagerank_neardup(emb).collect()
     assert {(r.vec_id, r.pr) for r in rows} == {(r.vec_id, r.pr) for r in again}
+
+
+# --- cluster topics ---------------------------------------------------------
+
+
+def test_cluster_topics_shape_and_scores(spark):
+    from quacfka_service_spark.operators.semdedup import cluster_topics
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = cluster_topics(docs, emb).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r.cell, []).append(r)
+        assert r.score == r.tf / r.df and r.df >= 1 and r.tf >= 1
+    for cell, rs in per.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # within a cell the ordering is (score desc, term asc)
+        rs.sort(key=lambda r: r.rank)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, b.term) >= (b.score, a.term) or a.score > b.score or (
+                a.score == b.score and a.term < b.term
+            )
