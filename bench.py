@@ -534,10 +534,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Persist the FULL result as a committed artifact (per-query Spark
-    # timings, notes, demos) — the canonical record.
+    # timings, notes, demos) — the canonical record.  Subset runs
+    # (SPARK_GRAFT_BENCH_KEYS bisects) go to a sidecar so they never
+    # clobber the canonical full-run artifact.
+    default_name = "BENCH_local_subset.json" if _ONLY else "BENCH_local.json"
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     try:
         with open(out_path, "w") as f:
