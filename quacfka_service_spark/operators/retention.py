@@ -333,3 +333,85 @@ UNION ALL
 SELECT 3::BIGINT, 'purchase', count(*) FROM t3
 """,
 }
+
+
+# --- round-7 addition: first/last-touch attribution ------------------------
+
+
+def attribution(ev: DataFrame) -> DataFrame:
+    """(event_id, user_id, first_touch, last_touch, touches): for each
+    purchase, the marketing-attribution credit assignment — the FIRST
+    and the LAST non-purchase event type in the user's preceding
+    journey, plus how many touches preceded (first-touch / last-touch
+    attribution, the two standard credit models).
+
+    Purchases with no preceding touch keep NULL types and touches = 0
+    (organic conversions are a real reporting row, not a dropped one).
+
+    Determinism: one per-user window over the total order (ts,
+    event_id); first/last use IGNORE NULLS over a frame ending at
+    1 PRECEDING so the purchase itself never self-attributes — the
+    same window semantics in both engines, all strings/BIGINTs.
+
+    100 TB shape: ONE hash exchange on user_id + one sort carries all
+    three window aggregates (same-frame expressions share the window
+    operator); the purchase filter projects after, so no second pass.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+            F.sum(F.when(touch.isNotNull(), 1).otherwise(0))
+            .over(w)
+            .alias("t_raw"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "first_touch",
+            "last_touch",
+            F.coalesce("t_raw", F.lit(0)).cast("long").alias("touches"),
+        )
+    )
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_attribution": _q_attribution})
+
+ORACLES.update(
+    {
+        "events_attribution": """
+SELECT event_id, user_id, first_touch, last_touch,
+       coalesce(t_raw, 0)::BIGINT AS touches
+FROM (
+  SELECT event_id, user_id, event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS) OVER w AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS last_touch,
+         sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+             OVER w AS t_raw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = 'purchase'
+""",
+    }
+)

@@ -100,7 +100,7 @@ _MUST_BE_NONEMPTY = {
     "orders_abc_pareto", "embedding_pca_power", "text_tfidf_topk",
     "events_outlier_mad", "quality_expectations",
     "events_bitmap_overlap", "split_temporal", "embedding_pca_project",
-    "dedup_graph_pagerank", "corpus_cluster_topics",
+    "dedup_graph_pagerank", "corpus_cluster_topics", "events_attribution",
 }
 
 

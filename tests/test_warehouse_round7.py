@@ -600,3 +600,35 @@ def test_cluster_topics_shape_and_scores(spark):
             assert (a.score, b.term) >= (b.score, a.term) or a.score > b.score or (
                 a.score == b.score and a.term < b.term
             )
+
+
+# --- attribution ------------------------------------------------------------
+
+
+def test_attribution_planted_journey(spark):
+    from quacfka_service_spark.operators.retention import attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 7, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:03:00", 7, "purchase", 1.0, "{}"),  # 2nd purchase, same touches
+        (5, "2024-01-01 00:00:00", 8, "purchase", 1.0, "{}"),  # organic
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: (r.first_touch, r.last_touch, r.touches) for r in attribution(df).collect()}
+    assert got[3] == ("view", "click", 2)
+    assert got[4] == ("view", "click", 2)  # the earlier purchase is not a touch
+    assert got[5] == (None, None, 0)  # organic conversion row preserved
+    assert set(got) == {3, 4, 5}
+
+
+def test_attribution_single_exchange(spark):
+    from quacfka_service_spark.operators.retention import attribution
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = attribution(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1  # all three aggs share one window op
