@@ -82,3 +82,110 @@ FROM idx
 GROUP BY user_id, session_idx
 """,
 }
+
+
+# --- round-7 addition: top session paths -----------------------------------
+
+PATH_TOP_K = 10
+PATH_LEN = 3
+
+
+def session_paths(events: DataFrame, gap_secs: int = GAP_SECS,
+                  k: int = PATH_TOP_K) -> DataFrame:
+    """(path, n_sessions, rank): the top-k most common session
+    OPENINGS — the first ``PATH_LEN`` event types of each session,
+    joined with '>' — the navigation-pattern query behind funnel
+    design and landing-page triage ("how do sessions actually
+    start?").
+
+    Reuses the sessionizer's gap rule verbatim (same window exprs), so
+    path grouping inherits its proven determinism; the per-session
+    path is an ordered collect (sort_array of (ts, event_id, type)
+    structs == DuckDB list(... ORDER BY ts, event_id)) truncated to
+    PATH_LEN, all strings/BIGINTs — hash-exact.
+
+    100 TB shape: the session windows ride one user_id exchange (as
+    sessionize); the path agg is keyed (user, session) on the same
+    partitioning; the final count is path-cardinality-sized with a
+    TakeOrdered top-k — no global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    prev_sec = F.lag(sec).over(w)
+    is_new = F.when(prev_sec.isNull() | (sec - prev_sec > gap_secs), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_idx = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(is_new).over(run).alias("session_idx"),
+    )
+    paths = with_idx.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                PATH_LEN,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+        .select(
+            "path",
+            "n_sessions",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_paths(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_session_paths": _q_session_paths})
+
+ORACLES.update(
+    {
+        "events_session_paths": f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) // 1000000 AS sec,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > {GAP_SECS} THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+idx AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+paths AS (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, {PATH_LEN}),
+           '>') AS path
+  FROM idx GROUP BY user_id, session_idx
+)
+SELECT path, n_sessions, rank FROM (
+  SELECT path, count(*)::BIGINT AS n_sessions,
+         row_number() OVER (ORDER BY count(*) DESC, path ASC)::BIGINT AS rank
+  FROM paths GROUP BY path
+) WHERE rank <= {PATH_TOP_K}
+""",
+    }
+)

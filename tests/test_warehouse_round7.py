@@ -632,3 +632,26 @@ def test_attribution_single_exchange(spark):
     plan = attribution(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 1  # all three aggs share one window op
+
+
+# --- session paths ----------------------------------------------------------
+
+
+def test_session_paths_planted(spark):
+    from quacfka_service_spark.operators.sessionize import session_paths
+
+    rows = []
+    eid = 0
+    # 3 users x same opening view>click>purchase, one user with view only
+    for u in range(3):
+        for j, t in enumerate(["view", "click", "purchase", "error"]):
+            eid += 1
+            rows.append((eid, f"2024-01-01 00:0{j}:00", u, t, 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-01 00:00:00", 9, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(session_paths(df).collect(), key=lambda r: r.rank)
+    assert out[0].path == "view>click>purchase" and out[0].n_sessions == 3
+    assert ("view", 1) in {(r.path, r.n_sessions) for r in out}
