@@ -1393,3 +1393,90 @@ SELECT e.doc_id,
 FROM ex2 e JOIN firsts f USING (s) GROUP BY 1
 """,
 }
+
+
+# --- round-7 addition: LSH candidate-recall report -------------------------
+
+
+def lsh_recall_report(docs: DataFrame) -> DataFrame:
+    """(n_exact, n_cand, n_hit, recall, prec): how good is the banded
+    MinHash at FINDING the true near-duplicate pairs — the dedup
+    counterpart of similarity_recall_report, with a full value oracle
+    because the md5 family is engine-portable end to end.
+
+    - n_exact  true pairs: capped-universe Jaccard >= 0.2
+               (ngram_jaccard_pairs' exact semantics).
+    - n_cand   banded md5-MinHash candidate pairs (full-universe
+               signatures, the minhash_estimate construction).
+    - n_hit    candidates that are true pairs (inner count).
+    - recall   n_hit / n_exact — the number an LSH parameter choice
+               (bands x rows) is accountable to.
+    - prec     n_hit / n_cand — wasted-verify ratio.
+
+    Guarded divisions (NULL when the denominator is 0) so an
+    empty-corpus call degrades identically in both engines.
+
+    Composition note: this re-derives the exact-pair set and the
+    candidate set in one plan; the two shingle scans rotate the
+    _track_persist cache (one-cache contract) — for a 1-row report
+    that recompute is noise, and the 100 TB shapes of both inputs are
+    unchanged (LSH-bounded candidates, capped exact self-join).
+    """
+    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    cand = minhash_estimate(docs).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = cand.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        ne.join(nc)
+        .join(nh)
+        .select(
+            "n_exact",
+            "n_cand",
+            "n_hit",
+            F.when(F.col("n_exact") > 0, F.col("n_hit") / F.col("n_exact")).alias(
+                "recall"
+            ),
+            F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand")).alias(
+                "prec"
+            ),
+        )
+    )
+
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_recall_report(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_lsh_recall_report": _q_lsh_recall})
+
+ORACLES.update(
+    {
+        "dedup_lsh_recall_report": f"""
+WITH {_SHINGLE_CTE},
+{_JACCARD_CTES},
+exm AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (SELECT doc_id, {_MD5_MINS} FROM exm GROUP BY doc_id),
+bands AS (SELECT doc_id, {_MD5_BANDS} FROM sig),
+st AS (
+  {_MD5_STACK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM st a JOIN st b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+ne AS (SELECT count(*)::BIGINT AS n_exact FROM pairs),
+nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+nh AS (
+  SELECT count(*)::BIGINT AS n_hit
+  FROM cand c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+)
+SELECT n_exact, n_cand, n_hit,
+       CASE WHEN n_exact > 0 THEN n_hit / n_exact END AS recall,
+       CASE WHEN n_cand > 0 THEN n_hit / n_cand END AS prec
+FROM ne, nc, nh
+""",
+    }
+)

@@ -655,3 +655,19 @@ def test_session_paths_planted(spark):
     out = sorted(session_paths(df).collect(), key=lambda r: r.rank)
     assert out[0].path == "view>click>purchase" and out[0].n_sessions == 3
     assert ("view", 1) in {(r.path, r.n_sessions) for r in out}
+
+
+# --- LSH recall report ------------------------------------------------------
+
+
+def test_lsh_recall_report_consistency(spark):
+    from quacfka_service_spark.operators.dedup import lsh_recall_report
+
+    docs = load_table(spark, SF_DIR, "documents")
+    r = lsh_recall_report(docs).collect()[0]
+    assert r.n_exact > 0 and r.n_cand > 0
+    assert 0 <= r.n_hit <= min(r.n_exact, r.n_cand)
+    assert r.recall == r.n_hit / r.n_exact
+    assert r.prec == r.n_hit / r.n_cand
+    # 8-perm/4-band md5 LSH on this fixture should find most true pairs
+    assert r.recall >= 0.5, r
