@@ -469,3 +469,146 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 """,
     }
 )
+
+
+# --- round-7 addition: BM25 search ------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+BM25_QUERY = ["data", "model", "learning", "system", "quality"]
+
+
+def bm25_search(docs: DataFrame, query: list = None, k: int = BM25_TOP_K) -> DataFrame:
+    """(doc_id, score, rank): top-k documents for a bag-of-words query
+    under BM25 (Robertson/Sparck Jones; the Okapi saturation formula)
+    with LINEAR inverse document frequency (idf = N/df — same
+    float-exactness argument as text_tfidf_topk; log-idf would need
+    the lm.py nanolog idiom):
+
+        score(d) = sum over query terms t of
+            (N/df_t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Parity: k1/b are decimal literals (both engines parse them to the
+    same nearest double); dl/avgdl and N/df are single divisions of
+    exact BIGINTs; the per-term scores are combined by a SEQUENTIAL
+    fold over the (term-sorted) score list, so the <=|query|-term sum
+    is bit-equal to the oracle's list_reduce — never an
+    aggregation-order float sum.
+
+    100 TB shape: the only corpus-sized work is the tf explode+agg
+    filtered to the query terms (predicate on the exploded term — a
+    |query|-element IN list, pushed before the agg); df/avgdl/N are
+    broadcast scalars; the per-doc fold touches <=|query| entries; the
+    final top-k is a TakeOrdered, no global sort.
+    """
+    query = BM25_QUERY if query is None else query
+    ex = (
+        docs.select(
+            "doc_id", F.size(_words(F.col("text"))).alias("dl"),
+            F.explode(_words(F.col("text"))).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).join(
+        ex.agg(F.count(F.lit(1)).cast("long").alias("total_len"))
+    )
+    qterms = ex.where(F.col("term").isin(query))
+    tf = qterms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = qterms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    avgdl = F.col("total_len") / F.col("n_docs")
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("n_docs") / F.col("df"))
+                * (F.col("tf") * (k1 + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + k1 * (F.lit(1.0) - b + b * (F.col("dl") / avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("term", "s"))), lambda x: x["s"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_bm25_search": _q_bm25})
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+ORACLES.update(
+    {
+        "text_bm25_search": f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM d
+),
+exq AS (SELECT * FROM ex WHERE term <> '' AND term IN ({_BM25_IN})),
+stats AS (
+  SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+         (SELECT count(*)::BIGINT FROM ex WHERE term <> '') AS total_len
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+  FROM exq GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM exq GROUP BY 1
+),
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         -- every constant cast ::DOUBLE: DuckDB parses decimal
+         -- literals as exact DECIMALs (tf * 2.2 would stay exact
+         -- where Spark folds doubles -> 1-ulp drift)
+         (stats.n_docs / df.df)
+           * (tf.tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE))
+           / (tf.tf + {BM25_K1}::DOUBLE * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                + {BM25_B}::DOUBLE * (tf.dl / (stats.total_len / stats.n_docs)))) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list_transform(
+           list(s ORDER BY term), x -> x)), (a, b) -> a + b) AS score
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOP_K}
+""",
+    }
+)

@@ -671,3 +671,43 @@ def test_lsh_recall_report_consistency(spark):
     assert r.prec == r.n_hit / r.n_cand
     # 8-perm/4-band md5 LSH on this fixture should find most true pairs
     assert r.recall >= 0.5, r
+
+
+# --- BM25 -------------------------------------------------------------------
+
+
+def test_bm25_matches_bruteforce(spark):
+    from quacfka_service_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        bm25_search,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {r.doc_id: r.score for r in bm25_search(docs).collect()}
+    assert got
+    corpus = {r.doc_id: r.text.strip().lower().split() for r in docs.collect()}
+    n_docs = len(corpus)
+    total_len = sum(len([t for t in ts if t]) for ts in corpus.values())
+    avgdl = total_len / n_docs
+    import collections
+
+    df = collections.Counter()
+    for ts in corpus.values():
+        for t in set(ts):
+            if t in BM25_QUERY:
+                df[t] += 1
+    scores = {}
+    for doc_id, ts in corpus.items():
+        dl = len(ts)
+        tf = collections.Counter(t for t in ts if t in BM25_QUERY)
+        s = 0.0
+        for t in sorted(tf):  # same fold order as the operator
+            s += (n_docs / df[t]) * (tf[t] * (BM25_K1 + 1.0)) / (
+                tf[t] + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+            )
+        if tf:
+            scores[doc_id] = s
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert dict(top) == got  # bit-exact against the same fold order
