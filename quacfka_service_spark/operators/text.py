@@ -612,3 +612,68 @@ SELECT doc_id, score, rank FROM (
 """,
     }
 )
+
+
+# --- round-7 addition: Flesch readability -----------------------------------
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading-ease (Flesch 1948, the public formula) with the standard
+    cheap proxies — sentences = runs of [.!?], syllables = vowel-group
+    runs — the curation dial between text_quality's surface ratios and
+    the LM scores.
+
+        flesch = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+
+    Parity: the three counts are regex-run counts (identical simple
+    character-class patterns both engines), S is floored at 1 (a
+    fragment with no terminator is one sentence), W is never 0
+    (split('') is ['']); the score is then single IEEE ops with every
+    constant cast ::DOUBLE in the oracle (the BM25 decimal-literal
+    lesson).  Map-only: zero exchanges.
+    """
+    w = F.size(_words(F.col("text"))).cast("long")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (w / s)
+            - F.lit(84.6) * (syl / w)
+        ).alias("flesch"),
+    )
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_readability": _q_readability})
+
+ORACLES.update(
+    {
+        "text_readability": """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_words,
+       greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1) AS n_sentences,
+       len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables,
+       206.835::DOUBLE
+         - 1.015::DOUBLE * (len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT
+                            / greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1))
+         - 84.6::DOUBLE * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                           / len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT)
+         AS flesch
+FROM documents
+""",
+    }
+)

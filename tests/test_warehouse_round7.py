@@ -711,3 +711,22 @@ def test_bm25_matches_bruteforce(spark):
             scores[doc_id] = s
     top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert dict(top) == got  # bit-exact against the same fold order
+
+
+def test_readability_planted(spark):
+    from quacfka_service_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!", "en", "s", 0),
+            (2, "fragment with no terminator", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    r1 = got[1]
+    assert r1.n_words == 6 and r1.n_sentences == 2
+    # vowel groups: e,a,a,e,o,a -> in "the cat sat the dog ran": 6
+    assert r1.n_syllables == 6
+    assert abs(r1.flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+    assert got[2].n_sentences == 1  # floored, not 0
