@@ -721,3 +721,82 @@ SELECT event_type, idx, level, trend, level + trend AS forecast FROM hl
 """,
     }
 )
+
+
+def ts_forecast_backtest(ev: DataFrame) -> DataFrame:
+    """(event_type, n_scored, mae_naive, mae_seasonal, skill): backtest
+    of the two standard zero-parameter forecasting baselines over each
+    type's hourly value series — naive (h-1 carries forward) vs
+    seasonal-naive (h-24 carries forward) — and the skill ratio
+    mae_seasonal / mae_naive (< 1 means daily seasonality is real and
+    any model worth shipping must beat the seasonal line, the
+    forecasting-evaluation companion to the EWMA/Holt smoothers).
+
+    Exactness: hourly sums are DECIMAL(18,6); lags are windows over
+    the (type, hour) order; absolute errors stay DECIMAL, so their SUM
+    is exact under any aggregation order (no fold needed); each MAE is
+    ONE division of exact numbers and the skill is one more.  Only
+    hours where BOTH baselines can score (h >= 25th point) enter, so
+    the two MAEs compare the same support.
+
+    100 TB shape: one data-sized (type, hour) agg; the lag windows and
+    the error agg ride one event_type exchange over calendar-bounded
+    series rows.
+    """
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("p1"),
+        F.lag("v", 24).over(w).alias("p24"),
+    ).where(F.col("p1").isNotNull() & F.col("p24").isNotNull())
+    mae_n = F.sum(F.abs(F.col("v") - F.col("p1"))).cast("decimal(38,6)")
+    mae_s = F.sum(F.abs(F.col("v") - F.col("p24"))).cast("decimal(38,6)")
+    n = F.count(F.lit(1)).cast("long")
+    return lagged.groupBy("event_type").agg(
+        n.alias("n_scored"),
+        (mae_n.cast("double") / n).alias("mae_naive"),
+        (mae_s.cast("double") / n).alias("mae_seasonal"),
+        F.when(
+            mae_n > 0, mae_s.cast("double") / mae_n.cast("double")
+        ).alias("skill"),
+    )
+
+
+def _q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts_forecast_backtest(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_ts_forecast_backtest": _q_ts_backtest})
+
+ORACLES.update(
+    {
+        "events_ts_forecast_backtest": """
+WITH hourly AS (
+  SELECT event_type, datetrunc('hour', ts) AS h,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS p1,
+         lag(v, 24) OVER w AS p24
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_scored,
+       sum(abs(v - p1))::DECIMAL(38,6)::DOUBLE / count(*) AS mae_naive,
+       sum(abs(v - p24))::DECIMAL(38,6)::DOUBLE / count(*) AS mae_seasonal,
+       CASE WHEN sum(abs(v - p1)) > 0
+            THEN sum(abs(v - p24))::DECIMAL(38,6)::DOUBLE
+                 / sum(abs(v - p1))::DECIMAL(38,6)::DOUBLE END AS skill
+FROM lagged
+WHERE p1 IS NOT NULL AND p24 IS NOT NULL
+GROUP BY event_type
+""",
+    }
+)

@@ -730,3 +730,24 @@ def test_readability_planted(spark):
     assert r1.n_syllables == 6
     assert abs(r1.flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
     assert got[2].n_sentences == 1  # floored, not 0
+
+
+def test_forecast_backtest_seasonal_beats_naive_on_planted_cycle(spark):
+    """A clean 24h-periodic series must give mae_seasonal == 0 and a
+    skill of 0; support counts only hours both baselines can score."""
+    from quacfka_service_spark.operators.timeseries import ts_forecast_backtest
+
+    rows = []
+    eid = 0
+    for h in range(96):
+        for _ in range((h % 24) + 1):  # perfectly daily-periodic counts
+            eid += 1
+            rows.append((eid, f"2024-02-{1 + h // 24:02d} {h % 24:02d}:10:00", 1, "cyc", 2.5, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ts_forecast_backtest(df).collect()[0]
+    assert r.n_scored == 96 - 24
+    assert r.mae_seasonal == 0.0
+    assert r.mae_naive > 0
+    assert r.skill == 0.0
