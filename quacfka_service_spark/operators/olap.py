@@ -1596,3 +1596,84 @@ FROM (
 """,
     }
 )
+
+
+# --- round-7 addition: Benford first-digit audit ---------------------------
+
+# log10(1 + 1/d), precomputed in Python so both engines consume the
+# SAME repr-round-tripped double literals — no libm call in either
+# engine's query path.
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """(digit, n, share, benford_p, dev): first-significant-digit
+    distribution of order amounts vs Benford's law — the classic
+    fabricated-numbers audit (Benford 1938; Nigrini's forensic
+    accounting use).  A synthetic or manipulated amount column drifts
+    from the log-law; dev = |share - benford_p| per digit is the
+    signal a reviewer thresholds.
+
+    Exactness: amounts become integer CENTS, and the first digit comes
+    from substr(CAST(cents AS STRING), 1, 1) — BIGINT-to-string is
+    exact and identical in both engines, so no log10/float-format
+    parity risk anywhere; share is one division of exact counts and
+    the Benford constants are repr-round-tripped Python doubles
+    interpolated into BOTH sides.  Zero/negative amounts are excluded
+    (no first significant digit).
+
+    100 TB shape: one map-side-combined 9-group agg + a 1-row total
+    broadcast — nothing else.
+    """
+    # explicit floor on BOTH sides: Spark's cast-to-long truncates
+    # while DuckDB's ::BIGINT cast ROUNDS (the epoch-seconds trap from
+    # the verify notes) — floor(double) is identical in both engines.
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    d = orders.where(cents > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    bp = F.create_map(
+        *[x for dd, p in BENFORD_P.items() for x in (F.lit(dd), F.lit(p))]
+    )
+    return counts.join(F.broadcast(total)).select(
+        F.col("digit").cast("long").alias("digit"),
+        "n",
+        (F.col("n") / F.col("t")).alias("share"),
+        bp[F.col("digit")].alias("benford_p"),
+        F.abs(F.col("n") / F.col("t") - bp[F.col("digit")]).alias("dev"),
+    )
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_audit(load_table(spark, sf_dir, "orders"))
+
+
+QUERIES.update({"orders_benford_audit": _q_benford})
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}::DOUBLE" for d, p in BENFORD_P.items()
+)
+
+ORACLES.update(
+    {
+        "orders_benford_audit": f"""
+WITH d AS (
+  SELECT substr(CAST(floor(o_totalprice * 100)::BIGINT AS VARCHAR), 1, 1)::INT AS digit
+  FROM orders WHERE floor(o_totalprice * 100)::BIGINT > 0
+),
+counts AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+total AS (SELECT count(*)::BIGINT AS t FROM d)
+SELECT digit::BIGINT AS digit, n,
+       n / t AS share,
+       (CASE digit {_BENFORD_CASE} END) AS benford_p,
+       abs(n / t - (CASE digit {_BENFORD_CASE} END)) AS dev
+FROM counts, total
+""",
+    }
+)

@@ -102,7 +102,7 @@ _MUST_BE_NONEMPTY = {
     "events_bitmap_overlap", "split_temporal", "embedding_pca_project",
     "dedup_graph_pagerank", "corpus_cluster_topics", "events_attribution",
     "events_session_paths", "dedup_lsh_recall_report", "text_bm25_search",
-    "text_readability", "events_ts_forecast_backtest",
+    "text_readability", "events_ts_forecast_backtest", "orders_benford_audit",
 }
 
 

@@ -751,3 +751,35 @@ def test_forecast_backtest_seasonal_beats_naive_on_planted_cycle(spark):
     assert r.mae_seasonal == 0.0
     assert r.mae_naive > 0
     assert r.skill == 0.0
+
+
+def test_benford_audit_invariants(spark):
+    from quacfka_service_spark.operators.olap import BENFORD_P, benford_audit
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rows = benford_audit(orders).collect()
+    assert rows and {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.benford_p == BENFORD_P[r.digit]
+        assert r.dev == abs(r.share - r.benford_p)
+
+
+def test_benford_flags_fabricated_amounts(spark):
+    """Uniform fabricated amounts (first digits uniform) must deviate
+    far more from Benford than log-uniform natural ones."""
+    import math
+
+    from quacfka_service_spark.operators.olap import benford_audit
+
+    def mk(amounts):
+        return spark.createDataFrame(
+            [(i, 1, "O", a, "2024-01-01", "1-URGENT") for i, a in enumerate(amounts)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+
+    natural = [math.exp(math.log(10.0) * ((i * 0.618033988749895) % 3 + 1)) for i in range(2000)]
+    fabricated = [100.0 + (i % 900) for i in range(2000)]
+    dev_nat = max(r.dev for r in benford_audit(mk(natural)).collect())
+    dev_fab = max(r.dev for r in benford_audit(mk(fabricated)).collect())
+    assert dev_fab > 2 * dev_nat, (dev_fab, dev_nat)
