@@ -415,3 +415,79 @@ WHERE event_type = 'purchase'
 """,
     }
 )
+
+
+def conversion_time(ev: DataFrame) -> DataFrame:
+    """(n_converted, p50_ms, p90_ms, max_ms): time from a user's FIRST
+    signup to their FIRST subsequent purchase — the latency behind the
+    funnel counts (two funnels with equal conversion can hide a 10x
+    time-to-value gap).
+
+    Deltas are epoch-millis BIGINTs; exact interpolated percentiles of
+    integers round to 6 dp DECIMAL strings (the events_quantiles
+    idiom), so the single-row report hash-checks exactly.
+
+    100 TB shape: two type-filtered min aggs keyed by user (map-side
+    combined; the filters push to the scan), one user-keyed join, a
+    1-row final agg.
+    """
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.first("s_ts").alias("s_ts"))
+    )
+    delta = (F.unix_millis("p_ts") - F.unix_millis("s_ts")).alias("d")
+    deltas = pu.select(delta)
+
+    def q(p, name):
+        return (
+            F.round(F.percentile("d", F.lit(p)), 6)
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias(name)
+        )
+
+    return deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        q(0.5, "p50_ms"),
+        q(0.9, "p90_ms"),
+        F.max("d").cast("long").alias("max_ms"),
+    )
+
+
+def _q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_time(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_conversion_time": _q_conversion_time})
+
+ORACLES.update(
+    {
+        "events_conversion_time": """
+WITH su AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(e.ts) AS p_ts, min(su.s_ts) AS s_ts
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+  GROUP BY 1
+),
+d AS (SELECT epoch_ms(p_ts) - epoch_ms(s_ts) AS d FROM pu)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(d, 0.5), 6)::DECIMAL(28,6)::VARCHAR AS p50_ms,
+       round(quantile_cont(d, 0.9), 6)::DECIMAL(28,6)::VARCHAR AS p90_ms,
+       max(d)::BIGINT AS max_ms
+FROM d
+""",
+    }
+)

@@ -677,3 +677,58 @@ FROM documents
 """,
     }
 )
+
+
+# --- round-7 addition: language-ID evaluation -------------------------------
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, lang_pred, n, class_total, recall): confusion matrix of
+    the stopword language-ID against the labeled ``lang`` column — the
+    evaluation loop for text_lang_id (a classifier without a measured
+    confusion matrix is a guess).  Pure counts plus one division per
+    cell (recall = n / class_total), all exact.
+
+    100 TB shape: lang_id is map-only column algebra; the matrix agg is
+    |langs|^2-bounded with map-side combine; class totals ride a
+    broadcast of the |langs|-row aggregate.
+    """
+    pred = lang_id(docs)
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cells = joined.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("class_total"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        "class_total",
+        (F.col("n") / F.col("class_total")).alias("recall"),
+    )
+
+
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_langid_confusion": _q_langid_confusion})
+
+ORACLES.update(
+    {
+        "corpus_langid_confusion": f"""
+WITH pred AS (
+  SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+),
+cells AS (
+  SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+),
+totals AS (SELECT lang, sum(n)::BIGINT AS class_total FROM cells GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n, t.class_total,
+       c.n / t.class_total AS recall
+FROM cells c JOIN totals t USING (lang)
+""",
+    }
+)

@@ -783,3 +783,38 @@ def test_benford_flags_fabricated_amounts(spark):
     dev_nat = max(r.dev for r in benford_audit(mk(natural)).collect())
     dev_fab = max(r.dev for r in benford_audit(mk(fabricated)).collect())
     assert dev_fab > 2 * dev_nat, (dev_fab, dev_nat)
+
+
+def test_langid_confusion_consistency(spark):
+    from quacfka_service_spark.operators.text import langid_confusion
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = langid_confusion(docs).collect()
+    assert rows
+    n_docs = docs.count()
+    assert sum(r.n for r in rows) == n_docs
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+        assert r.recall == r.n / r.class_total
+    for lang, rs in per_lang.items():
+        assert sum(r.n for r in rs) == rs[0].class_total
+
+
+def test_conversion_time_planted(spark):
+    from quacfka_service_spark.operators.retention import conversion_time
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", 1, "purchase", 1.0, "{}"),  # 3600000 ms
+        (3, "2024-01-01 00:00:00", 2, "purchase", 1.0, "{}"),  # BEFORE signup
+        (4, "2024-01-01 02:00:00", 2, "signup", 1.0, "{}"),
+        (5, "2024-01-01 00:00:00", 3, "signup", 1.0, "{}"),    # never converts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = conversion_time(df).collect()[0]
+    assert r.n_converted == 1  # pre-signup purchase and non-converter excluded
+    assert r.max_ms == 3_600_000
+    assert r.p50_ms.startswith("3600000")
