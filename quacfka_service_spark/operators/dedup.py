@@ -1480,3 +1480,97 @@ FROM ne, nc, nh
 """,
     }
 )
+
+
+# --- round-7 addition: LSH parameter planner --------------------------------
+
+LSH_GRID = [(8, 1), (4, 2), (2, 4), (1, 8)]  # (bands, rows) with b*r = 8
+
+
+def lsh_power_curve(docs: DataFrame) -> DataFrame:
+    """(bands, rows, n_pairs, expected_recall): for each (bands x
+    rows) MinHash-LSH configuration over the SAME 8-permutation
+    budget, the expected candidate recall over the corpus's OWN true
+    near-duplicate pairs — the S-curve P(candidate | s) = 1-(1-s^r)^b
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets) averaged
+    over the measured pair Jaccards.  This is the planner that says
+    whether to trade precision (more rows) for recall (more bands)
+    BEFORE re-sharding a 100 TB dedup run; dedup_lsh_recall_report
+    then verifies the chosen config's realized recall.
+
+    Parity: s is the exact pair Jaccard (one BIGINT division); s^r and
+    (1-x)^b expand to EXPLICIT repeated multiplications (r, b <= 8 —
+    no pow()/libm anywhere); the average uses the floor-quantization
+    idiom (sum(floor(P*1e12)) exact under any agg order, one final
+    division) so the driver hash-checks the expectation exactly.
+
+    100 TB shape: the pair table is bounded by duplicate mass (the
+    capped self-join), the per-config projection is map-only, and the
+    report is |grid| rows from one quantized agg.
+    """
+    pairs = ngram_jaccard_pairs(docs).select("jaccard")
+    per_cfg = []
+    for bands, rows in LSH_GRID:
+        s_r = F.lit(1.0)
+        for _ in range(rows):
+            s_r = s_r * F.col("jaccard")
+        miss = F.lit(1.0) - s_r
+        miss_b = F.lit(1.0)
+        for _ in range(bands):
+            miss_b = miss_b * miss
+        p = F.lit(1.0) - miss_b
+        per_cfg.append(
+            pairs.agg(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                (
+                    F.sum(F.floor(p * F.lit(1e12)).cast("decimal(38,0)"))
+                    .cast("decimal(38,0)")
+                    .cast("double")
+                    / F.lit(1e12)
+                    / F.count(F.lit(1))
+                ).alias("expected_recall"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, per_cfg)
+
+
+def _q_lsh_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_power_curve(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_lsh_power_curve": _q_lsh_power})
+
+
+def _lsh_power_oracle() -> str:
+    cfg_selects = []
+    for bands, rows in LSH_GRID:
+        s_r = " * ".join(["j"] * rows)
+        miss_b = " * ".join([f"(1.0::DOUBLE - ({s_r}))"] * bands)
+        p = f"(1.0::DOUBLE - ({miss_b}))"
+        cfg_selects.append(f"""
+SELECT {bands}::BIGINT AS bands, {rows}::BIGINT AS rows,
+       count(*)::BIGINT AS n_pairs,
+       sum(floor({p} * 1e12)::BIGINT)::DOUBLE / 1e12 / count(*) AS expected_recall
+FROM j""")
+    body = "\nUNION ALL".join(cfg_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+{_JACCARD_CTES},
+jp AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter AS BIGINT) / CAST(sa.sz + sb.sz - inter AS BIGINT) >= 0.2
+),
+j AS (SELECT jaccard AS j FROM jp)
+{body}
+"""
+
+
+ORACLES.update({"dedup_lsh_power_curve": _lsh_power_oracle()})

@@ -818,3 +818,19 @@ def test_conversion_time_planted(spark):
     assert r.n_converted == 1  # pre-signup purchase and non-converter excluded
     assert r.max_ms == 3_600_000
     assert r.p50_ms.startswith("3600000")
+
+
+def test_lsh_power_curve_monotone(spark):
+    """More bands (fewer rows per band) at the same permutation budget
+    must never lower expected recall; the exact (1,8)/(8,1) endpoints
+    bound everything; all configs score the same pair set."""
+    from quacfka_service_spark.operators.dedup import lsh_power_curve
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {(r.bands, r.rows): r for r in lsh_power_curve(docs).collect()}
+    assert set(rows) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    ns = {r.n_pairs for r in rows.values()}
+    assert len(ns) == 1 and ns.pop() > 0
+    er = {k: v.expected_recall for k, v in rows.items()}
+    assert er[(8, 1)] >= er[(4, 2)] >= er[(2, 4)] >= er[(1, 8)]
+    assert 0 < er[(1, 8)] and er[(8, 1)] <= 1.0
