@@ -1677,3 +1677,65 @@ FROM counts, total
 """,
     }
 )
+
+
+# --- round-7 addition: SLO error-budget burn --------------------------------
+
+SLO_TARGET = 0.99  # 1% error budget
+
+
+def slo_burn(ev: DataFrame) -> DataFrame:
+    """(h, n_total, n_errors, error_rate, burn_rate, burning): per-hour
+    SRE error-budget accounting — error_rate = errors/total and
+    burn_rate = error_rate / (1 - SLO) (burn 1.0 = consuming budget
+    exactly at the sustainable pace; > 1 = on track to blow the SLO) —
+    the Google SRE-workbook alerting primitive over the event stream.
+
+    Exact integer counts; the two ratios are single IEEE divisions
+    (budget = 1 - 0.99 folds identically in both engines as doubles);
+    ``burning`` is a boolean on the exact comparison.
+
+    100 TB shape: one map-side-combined (hour) agg with conditional
+    counts — nothing else.
+    """
+    budget = F.lit(1.0) - F.lit(SLO_TARGET)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    rate = F.col("n_errors") / F.col("n_total")
+    return hourly.select(
+        "h",
+        "n_total",
+        "n_errors",
+        rate.alias("error_rate"),
+        (rate / budget).alias("burn_rate"),
+        (rate / budget > F.lit(1.0)).alias("burning"),
+    )
+
+
+def _q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return slo_burn(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_slo_burn": _q_slo_burn})
+
+ORACLES.update(
+    {
+        "events_slo_burn": f"""
+WITH hourly AS (
+  SELECT datetrunc('hour', ts) AS h,
+         count(*)::BIGINT AS n_total,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT h, n_total, n_errors,
+       n_errors / n_total AS error_rate,
+       (n_errors / n_total) / (1.0::DOUBLE - {SLO_TARGET}::DOUBLE) AS burn_rate,
+       (n_errors / n_total) / (1.0::DOUBLE - {SLO_TARGET}::DOUBLE) > 1.0::DOUBLE AS burning
+FROM hourly
+""",
+    }
+)

@@ -344,3 +344,89 @@ SELECT cell, term, tf, df, score, rank FROM (
 """,
     }
 )
+
+
+# --- round-7 addition: cluster coherence ------------------------------------
+
+
+def cluster_coherence(emb: DataFrame) -> DataFrame:
+    """(cell, n, mean_cos): per-cell mean cosine of members to their
+    centroid — the cluster-quality dial beside corpus_cluster_topics
+    (a low-coherence cell's topic label means nothing; SemDeDup's
+    within-cell threshold should track this).
+
+    The member cosines reuse the assignment kernel's exact fold; the
+    per-cell MEAN uses the floor-quantization idiom
+    (sum(floor(cos*1e12)) is exact under any aggregation order, then
+    one division) so the report hash-checks exactly.
+
+    100 TB shape: map-only assignment (broadcast codebook) + one
+    cell-keyed quantized agg; output is n_clusters rows.
+    """
+    cells = assign_cells(emb)  # (vec_id, v, nrm, cell)
+    # rebuild the frozen codebook exactly as assign_cells does
+    d = _unit_corpus(emb)
+    cents = (
+        d.orderBy("vec_id")
+        .limit(N_CLUSTERS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    scored = cells.join(F.broadcast(cents), "cell").select(
+        "cell",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    return scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.floor(F.col("cos") * F.lit(1e12)).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("mean_cos"),
+    ).select(F.col("cell").cast("long").alias("cell"), "n", "mean_cos")
+
+
+def _q_cluster_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_coherence(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES.update({"corpus_cluster_coherence": _q_cluster_coherence})
+
+ORACLES.update(
+    {
+        "corpus_cluster_coherence": f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv, nrm AS cnrm
+  FROM d WHERE vec_id IN (SELECT vec_id FROM d ORDER BY vec_id LIMIT {N_CLUSTERS})
+),
+assign AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(d.v, c.cv) / (d.nrm * c.cnrm) DESC, cent_id ASC
+         ) AS rk
+  FROM d CROSS JOIN cents c
+),
+scored AS (
+  SELECT a.cent_id AS cell,
+         list_dot_product(d.v, c.cv) / (d.nrm * c.cnrm) AS cos
+  FROM d
+  JOIN assign a ON d.vec_id = a.vec_id AND a.rk = 1
+  JOIN cents c ON c.cent_id = a.cent_id
+)
+SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n,
+       sum(floor(cos * 1e12)::BIGINT)::DOUBLE / 1e12 / count(*) AS mean_cos
+FROM scored GROUP BY cell
+""",
+    }
+)

@@ -104,7 +104,7 @@ _MUST_BE_NONEMPTY = {
     "events_session_paths", "dedup_lsh_recall_report", "text_bm25_search",
     "text_readability", "events_ts_forecast_backtest", "orders_benford_audit",
     "corpus_langid_confusion", "events_conversion_time",
-    "dedup_lsh_power_curve",
+    "dedup_lsh_power_curve", "events_slo_burn", "corpus_cluster_coherence",
 }
 
 

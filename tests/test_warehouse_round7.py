@@ -834,3 +834,35 @@ def test_lsh_power_curve_monotone(spark):
     er = {k: v.expected_recall for k, v in rows.items()}
     assert er[(8, 1)] >= er[(4, 2)] >= er[(2, 4)] >= er[(1, 8)]
     assert 0 < er[(1, 8)] and er[(8, 1)] <= 1.0
+
+
+def test_slo_burn_planted(spark):
+    from quacfka_service_spark.operators.olap import slo_burn
+
+    rows = []
+    eid = 0
+    for j in range(100):  # hour 0: 5% errors -> burning at SLO 0.99
+        eid += 1
+        rows.append((eid, "2024-01-01 00:30:00", 1, "error" if j < 5 else "view", 1.0, "{}"))
+    for j in range(1000):  # hour 1: 0.5% errors -> within budget
+        eid += 1
+        rows.append((eid, "2024-01-01 01:30:00", 1, "error" if j < 5 else "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.h.hour: r for r in slo_burn(df).collect()}
+    assert got[0].burning and got[0].burn_rate > 4.9
+    assert not got[1].burning and abs(got[1].burn_rate - 0.5) < 1e-9
+
+
+def test_cluster_coherence_bounds(spark):
+    from quacfka_service_spark.operators.semdedup import cluster_coherence
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = cluster_coherence(emb).collect()
+    assert rows
+    total = sum(r.n for r in rows)
+    assert total == emb.count()
+    for r in rows:
+        assert -1.0000001 <= r.mean_cos <= 1.0000001
+        assert r.n >= 1
