@@ -491,3 +491,113 @@ FROM d
 """,
     }
 )
+
+
+def growth_accounting(ev: DataFrame) -> DataFrame:
+    """(week, new_users, retained, resurrected, churned): weekly
+    growth accounting — every active user classified as NEW (first
+    ever week), RETAINED (also active the prior week) or RESURRECTED
+    (returning after a gap), plus CHURNED (active prior week, absent
+    this week, attributed to the first absent week).  The standard
+    decomposition behind "is growth new demand or resurrection?".
+
+    Determinism: presence collapses to distinct (user, week) rows
+    (date_trunc('week') = ISO Monday in BOTH engines); classification
+    is lag/lead day-arithmetic on those rows — integers only.  Churn
+    weeks are attributed to week+7d even if the corpus has no other
+    activity that week (both engines emit the same spine).
+
+    100 TB shape: the corpus collapses to |users x active weeks| rows
+    in one map-side-combined distinct; the lag/lead windows ride one
+    user_id exchange; the four counts are week-cardinality aggs
+    full-outer-merged on week.
+    """
+    from pyspark.sql.window import Window as W
+
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    win = W.partitionBy("user_id").orderBy("w")
+    flagged = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(win).alias("pw"),
+        F.lead("w").over(win).alias("nw"),
+    )
+    gap = F.datediff(F.col("w"), F.col("pw"))
+    cls = (
+        F.when(F.col("pw").isNull(), F.lit("new"))
+        .when(gap == 7, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    counts = (
+        flagged.select("w", cls.alias("cls"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).cast("long").alias("new_users"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).cast("long").alias("retained"),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0)).cast("long").alias("resurrected"),
+        )
+    )
+    ngap = F.datediff(F.col("nw"), F.col("w"))
+    churn = (
+        flagged.where(F.col("nw").isNull() | (ngap > 7))
+        .select(F.date_add(F.col("w"), 7).cast("timestamp").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        counts.join(churn, "w", "full")
+        .select(
+            "w",
+            F.coalesce("new_users", z).alias("new_users"),
+            F.coalesce("retained", z).alias("retained"),
+            F.coalesce("resurrected", z).alias("resurrected"),
+            F.coalesce("churned", z).alias("churned"),
+        )
+    )
+
+
+def _q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return growth_accounting(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_growth_accounting": _q_growth_accounting})
+
+ORACLES.update(
+    {
+        "events_growth_accounting": """
+WITH uw AS (
+  SELECT DISTINCT user_id, datetrunc('week', ts) AS w FROM events
+),
+flagged AS (
+  SELECT user_id, w,
+         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+         lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+  FROM uw
+),
+counts AS (
+  SELECT w,
+         sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END)::BIGINT AS new_users,
+         sum(CASE WHEN pw IS NOT NULL AND datediff('day', pw, w) = 7
+                  THEN 1 ELSE 0 END)::BIGINT AS retained,
+         sum(CASE WHEN pw IS NOT NULL AND datediff('day', pw, w) > 7
+                  THEN 1 ELSE 0 END)::BIGINT AS resurrected
+  FROM flagged GROUP BY w
+),
+churn AS (
+  SELECT w + INTERVAL 7 DAY AS w, count(*)::BIGINT AS churned
+  FROM flagged
+  WHERE nw IS NULL OR datediff('day', w, nw) > 7
+  GROUP BY 1
+)
+SELECT coalesce(c.w, ch.w) AS w,
+       coalesce(c.new_users, 0)::BIGINT AS new_users,
+       coalesce(c.retained, 0)::BIGINT AS retained,
+       coalesce(c.resurrected, 0)::BIGINT AS resurrected,
+       coalesce(ch.churned, 0)::BIGINT AS churned
+FROM counts c FULL OUTER JOIN churn ch ON c.w = ch.w
+""",
+    }
+)

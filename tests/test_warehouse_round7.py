@@ -866,3 +866,24 @@ def test_cluster_coherence_bounds(spark):
     for r in rows:
         assert -1.0000001 <= r.mean_cos <= 1.0000001
         assert r.n >= 1
+
+
+def test_growth_accounting_planted(spark):
+    from quacfka_service_spark.operators.retention import growth_accounting
+
+    rows = [
+        # user 1: weeks 1,2 then gone (churn at week 3)
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-08 10:00:00", 1, "view", 1.0, "{}"),
+        # user 2: week 1, gap, resurrected week 3
+        (3, "2024-01-01 11:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-15 11:00:00", 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.w.strftime("%Y-%m-%d"): r for r in growth_accounting(df).collect()}
+    assert got["2024-01-01"].new_users == 2
+    assert got["2024-01-08"].retained == 1 and got["2024-01-08"].churned == 1  # user 2 churn attributed here
+    assert got["2024-01-15"].resurrected == 1 and got["2024-01-15"].churned == 1  # user 1 churn
+    assert got["2024-01-22"].churned == 1  # user 2 final churn
