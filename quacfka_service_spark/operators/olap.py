@@ -1739,3 +1739,98 @@ FROM hourly
 """,
     }
 )
+
+
+# --- round-7 addition: market-concentration HHI -----------------------------
+
+
+def supplier_hhi(li: DataFrame, part: DataFrame) -> DataFrame:
+    """(p_brand, n_suppliers, hhi, concentration): Herfindahl-Hirschman
+    index of supplier revenue concentration per part brand —
+    the antitrust-grade concentration metric (sum of squared revenue
+    shares, 1.0 = monopoly; the DOJ bands label < 0.15 competitive,
+    0.15-0.25 moderate, above concentrated).
+
+    Exactness: revenue sums are DECIMAL(12,2) (order-free exact);
+    share = one division of exact decimals cast double; the SUM of
+    squared shares crosses aggregation order, so each square is
+    floor-quantized (the pca.py idiom) before the exact integer sum —
+    the HHI hash-checks exactly.
+
+    100 TB shape: one (mfgr, supplier) revenue agg (map-side
+    combined), a broadcast of the |brand|-row totals, and a
+    brand-cardinality quantized agg.
+    """
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r"))
+    )
+    tot = rev.groupBy("p_brand").agg(
+        F.sum("r").cast("decimal(38,2)").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    hhi = (
+        rev.join(F.broadcast(tot), "p_brand")
+        .select("p_brand", "n_suppliers", (share * share).alias("s2"))
+        .groupBy("p_brand", "n_suppliers")
+        .agg(
+            (
+                F.sum(F.floor(F.col("s2") * F.lit(1e12)).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.lit(1e12)
+            ).alias("hhi")
+        )
+    )
+    return hhi.select(
+        "p_brand",
+        "n_suppliers",
+        "hhi",
+        F.when(F.col("hhi") < 0.15, F.lit("competitive"))
+        .when(F.col("hhi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("concentrated"))
+        .alias("concentration"),
+    )
+
+
+def _q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_hhi(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+QUERIES.update({"supplier_concentration_hhi": _q_supplier_hhi})
+
+ORACLES.update(
+    {
+        "supplier_concentration_hhi": """
+WITH rev AS (
+  SELECT p.p_brand, l.l_suppkey,
+         sum(l.l_extendedprice::DECIMAL(12,2)) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT p_brand, sum(r)::DECIMAL(38,2) AS t, count(*)::BIGINT AS n_suppliers
+  FROM rev GROUP BY 1
+),
+sq AS (
+  SELECT rev.p_brand, tot.n_suppliers,
+         (rev.r::DOUBLE / tot.t::DOUBLE) * (rev.r::DOUBLE / tot.t::DOUBLE) AS s2
+  FROM rev JOIN tot USING (p_brand)
+),
+h AS (
+  SELECT p_brand, n_suppliers,
+         sum(floor(s2 * 1e12)::BIGINT)::DOUBLE / 1e12 AS hhi
+  FROM sq GROUP BY 1, 2
+)
+SELECT p_brand, n_suppliers, hhi,
+       CASE WHEN hhi < 0.15 THEN 'competitive'
+            WHEN hhi < 0.25 THEN 'moderate'
+            ELSE 'concentrated' END AS concentration
+FROM h
+""",
+    }
+)

@@ -105,7 +105,7 @@ _MUST_BE_NONEMPTY = {
     "text_readability", "events_ts_forecast_backtest", "orders_benford_audit",
     "corpus_langid_confusion", "events_conversion_time",
     "dedup_lsh_power_curve", "events_slo_burn", "corpus_cluster_coherence",
-    "events_growth_accounting",
+    "events_growth_accounting", "supplier_concentration_hhi",
 }
 
 

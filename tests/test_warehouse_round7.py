@@ -887,3 +887,22 @@ def test_growth_accounting_planted(spark):
     assert got["2024-01-08"].retained == 1 and got["2024-01-08"].churned == 1  # user 2 churn attributed here
     assert got["2024-01-15"].resurrected == 1 and got["2024-01-15"].churned == 1  # user 1 churn
     assert got["2024-01-22"].churned == 1  # user 2 final churn
+
+
+def test_hhi_planted_monopoly_vs_competitive(spark):
+    from quacfka_service_spark.operators.olap import supplier_hhi
+
+    li = spark.createDataFrame(
+        [(1, 10, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01"),
+         (2, 10, 1, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", "2024-01-01")]  # brand A: 1 supplier
+        + [(10 + i, 20, 100 + i, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "2024-01-01") for i in range(10)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    part = spark.createDataFrame(
+        [(10, "a", "MONO", "t", 1, 1.0), (20, "b", "COMP", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    got = {r.p_brand: r for r in supplier_hhi(li, part).collect()}
+    assert got["MONO"].concentration == "concentrated" and abs(got["MONO"].hhi - 1.0) < 1e-9
+    assert got["COMP"].concentration == "competitive" and abs(got["COMP"].hhi - 0.1) < 1e-9
+    assert got["COMP"].n_suppliers == 10
