@@ -1834,3 +1834,81 @@ FROM h
 """,
     }
 )
+
+
+# --- round-7 addition: revenue Gini coefficient ------------------------------
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """(n_customers, total_revenue, gini): Gini coefficient of customer
+    revenue — the inequality summary beside the ABC classes and the
+    brand HHI (same family: how skewed is the revenue base).  With
+    revenues x sorted ASCENDING and 1-based rank i:
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    The DESCENDING rank d from abc_pareto's banded distributed prefix
+    sum converts exactly (i = n + 1 - d), so this composes the
+    single-partition-free rank machinery instead of a global window:
+    sum(i*x) = (n+1)*sum(x) - sum(d*x).
+
+    Exactness: x is exact DECIMAL revenue, d and n are BIGINTs, so
+    every product and sum stays exact DECIMAL under any aggregation
+    order; G is ONE final division of exact decimals cast double —
+    hash-exact with no quantization at all.
+    """
+    ranked = abc_pareto(orders).select(
+        "rank", F.col("revenue").cast("decimal(38,2)").alias("rev")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,2)").alias("sx"),
+        F.sum(F.col("rank") * F.col("rev")).cast("decimal(38,2)").alias("sdx"),
+    )
+    n, sx, sdx = F.col("n"), F.col("sx"), F.col("sdx")
+    # sum(i*x) with ascending i, from the descending-rank sum
+    six = (n + 1) * sx - sdx
+    return agg.select(
+        n.alias("n_customers"),
+        sx.cast("string").alias("total_revenue"),
+        (
+            (F.lit(2) * six - (n + 1) * sx).cast("decimal(38,2)").cast("double")
+            / (n * sx).cast("decimal(38,2)").cast("double")
+        ).alias("gini"),
+    )
+
+
+def _q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_gini(load_table(spark, sf_dir, "orders"))
+
+
+QUERIES.update({"orders_revenue_gini": _q_revenue_gini})
+
+ORACLES.update(
+    {
+        # the naive global-rank formulation: the banded rank is
+        # hash-identical to it (abc_pareto's proof), so the sums match
+        "orders_revenue_gini": """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(12,2)) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev::DECIMAL(38,2) AS rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey)::BIGINT AS d
+  FROM rev
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(rev)::DECIMAL(38,2) AS sx,
+         sum(d * rev)::DECIMAL(38,2) AS sdx
+  FROM ranked
+)
+SELECT n AS n_customers,
+       sx::VARCHAR AS total_revenue,
+       ((2 * ((n + 1) * sx - sdx) - (n + 1) * sx)::DECIMAL(38,2)::DOUBLE)
+         / ((n * sx)::DECIMAL(38,2)::DOUBLE) AS gini
+FROM agg
+""",
+    }
+)

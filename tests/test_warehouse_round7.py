@@ -906,3 +906,20 @@ def test_hhi_planted_monopoly_vs_competitive(spark):
     assert got["MONO"].concentration == "concentrated" and abs(got["MONO"].hhi - 1.0) < 1e-9
     assert got["COMP"].concentration == "competitive" and abs(got["COMP"].hhi - 0.1) < 1e-9
     assert got["COMP"].n_suppliers == 10
+
+
+def test_gini_planted_extremes(spark):
+    from quacfka_service_spark.operators.olap import revenue_gini
+
+    def mk(amounts):
+        return spark.createDataFrame(
+            [(i, i, "O", a, "2024-01-01", "1-URGENT") for i, a in enumerate(amounts)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+
+    # perfectly equal -> G = (n-1-n... ) ~ 0 (exactly 0 for equal values)
+    eq = revenue_gini(mk([100.0] * 50)).collect()[0]
+    assert abs(eq.gini) < 1e-9 and eq.n_customers == 50
+    # one customer owns everything (others epsilon) -> G near (n-1)/n
+    skew = revenue_gini(mk([0.01] * 49 + [1_000_000.0])).collect()[0]
+    assert skew.gini > 0.95
