@@ -732,3 +732,106 @@ FROM cells c JOIN totals t USING (lang)
 """,
     }
 )
+
+
+# --- round-7 addition: length/quality correlation ----------------------------
+
+
+def length_quality_corr(docs: DataFrame) -> DataFrame:
+    """(n, mean_len, mean_quality, corr): Pearson correlation between
+    document length (n_chars) and the text_quality score — the
+    curation diagnostic behind every length-based filter ("is my
+    quality score just a length proxy?"; |r| near 1 means a length
+    cutoff would do the same job, near 0 means the score adds real
+    signal).
+
+    Exactness: x = n_chars is BIGINT; y and the cross/square terms are
+    floor-quantized to integers (the pca.py idiom) so all five moment
+    sums are exact under any aggregation order; the Pearson formula is
+    then a handful of single IEEE ops on identical doubles — the
+    driver hash-checks the correlation exactly.
+
+    100 TB shape: the quality projection is map-only; ONE global agg
+    row carries the five moments.
+    """
+    q = 1e12
+    words = _words(F.col("text"))
+    n_words = F.size(words).cast("long")
+    stop_hits = _count_in(words, STOPWORDS["en"])
+    quality = (
+        F.least(F.lit(1.0), n_words / F.lit(100.0))
+        * (F.lit(1.0) - (stop_hits / n_words) * F.lit(0.5))
+    )
+    d = docs.select(F.col("n_chars").alias("x"), quality.alias("y"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.floor(F.col("y") * F.lit(q)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("syq"),
+        F.sum(F.floor(F.col("y") * F.col("y") * F.lit(q)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("syyq"),
+        F.sum(F.floor(F.col("x") * F.col("y") * F.lit(q)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxyq"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("syq") / q, F.col("syyq") / q, F.col("sxyq") / q
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        n.alias("n"),
+        (sx / n).alias("mean_len"),
+        (sy / n).alias("mean_quality"),
+        F.when(den > 0, num / den).alias("corr"),
+    )
+
+
+def _q_len_qual_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_quality_corr(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_length_quality_corr": _q_len_qual_corr})
+
+ORACLES.update(
+    {
+        "corpus_length_quality_corr": f"""
+WITH w0 AS (
+  SELECT n_chars::BIGINT AS x,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+d AS (
+  SELECT x,
+         least(1.0::DOUBLE, CAST(len(w) AS BIGINT) / 100.0::DOUBLE)
+           * (1.0::DOUBLE
+              - (CAST(len(list_filter(w, t -> list_contains({_sql_list(STOPWORDS["en"])}, t))) AS BIGINT)
+                 / CAST(len(w) AS BIGINT)) * 0.5::DOUBLE) AS y
+  FROM w0
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x)::DOUBLE AS sx,
+         sum(x * x)::DOUBLE AS sxx,
+         sum(floor(y * 1e12)::BIGINT)::DOUBLE / 1e12 AS sy,
+         sum(floor(y * y * 1e12)::BIGINT)::DOUBLE / 1e12 AS syy,
+         sum(floor(x * y * 1e12)::BIGINT)::DOUBLE / 1e12 AS sxy
+  FROM d
+)
+SELECT n, sx / n AS mean_len, sy / n AS mean_quality,
+       CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS corr
+FROM agg
+""",
+    }
+)

@@ -106,7 +106,7 @@ _MUST_BE_NONEMPTY = {
     "corpus_langid_confusion", "events_conversion_time",
     "dedup_lsh_power_curve", "events_slo_burn", "corpus_cluster_coherence",
     "events_growth_accounting", "supplier_concentration_hhi",
-    "orders_revenue_gini",
+    "orders_revenue_gini", "corpus_length_quality_corr",
 }
 
 

@@ -923,3 +923,21 @@ def test_gini_planted_extremes(spark):
     # one customer owns everything (others epsilon) -> G near (n-1)/n
     skew = revenue_gini(mk([0.01] * 49 + [1_000_000.0])).collect()[0]
     assert skew.gini > 0.95
+
+
+def test_length_quality_corr_planted(spark):
+    """Length-proportional quality must give corr ~ 1; constant quality
+    gives NULL (zero variance)."""
+    from quacfka_service_spark.operators.text import length_quality_corr
+
+    # quality is monotone-increasing in n_words below 100 words and the
+    # stopword term is 0 without stopwords -> corr ~ 1 when n_chars
+    # tracks n_words
+    rows = [(i, " ".join(["word"] * (5 + i)), "en", "s", len(" ".join(["word"] * (5 + i)))) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    r = length_quality_corr(docs).collect()[0]
+    assert r.n == 50 and r.corr > 0.99
+    rows2 = [(i, "the the the", "en", "s", 100 + i) for i in range(20)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string, lang string, source string, n_chars long")
+    r2 = length_quality_corr(docs2).collect()[0]
+    assert r2.corr is None  # constant quality: zero variance -> guarded NULL
