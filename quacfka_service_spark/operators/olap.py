@@ -1912,3 +1912,92 @@ FROM agg
 """,
     }
 )
+
+
+# --- round-7 addition: alert episode debounce --------------------------------
+
+ALERT_RATE = 0.3  # hourly error-share that trips the alert
+
+
+def alert_episodes(ev: DataFrame, rate: float = ALERT_RATE) -> DataFrame:
+    """(episode_start, episode_end, n_hours, peak_rate, total_errors):
+    consecutive alerting hours collapsed into EPISODES — the
+    alert-debounce primitive (page once per incident, not once per
+    hour).  An hour alerts when its error share exceeds ``rate``;
+    adjacent alerting hours (gap = exactly 1 hour) form one episode.
+
+    Gaps-and-islands on the filtered hourly spine: integer hour
+    arithmetic (epoch-hours), exact counts, one ratio per hour (single
+    division) and a max over exact ratios — all engine-exact.
+
+    100 TB shape: one (hour) agg collapses the stream; the island
+    windows run over alerting-hour-cardinality rows only.
+    """
+    from pyspark.sql.window import Window as W
+
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e"),
+    )
+    alerting = hourly.select(
+        "h",
+        "e",
+        (F.col("e") / F.col("n")).alias("r"),
+        (F.unix_seconds(F.col("h")) / 3600).cast("long").alias("hi"),
+    ).where(F.col("r") > rate)
+    w = W.orderBy("hi")
+    flagged = alerting.select(
+        "*",
+        F.when(
+            F.lag("hi").over(w).isNull() | (F.col("hi") - F.lag("hi").over(w) > 1), 1
+        ).otherwise(0).alias("chg"),
+    )
+    isl = flagged.select(
+        "*", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("ep")
+    )
+    return isl.groupBy("ep").agg(
+        F.min("h").alias("episode_start"),
+        F.max("h").alias("episode_end"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max("r").alias("peak_rate"),
+        F.sum("e").cast("long").alias("total_errors"),
+    ).drop("ep")
+
+
+def _q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alert_episodes(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_alert_episodes": _q_alert_episodes})
+
+ORACLES.update(
+    {
+        "events_alert_episodes": f"""
+WITH hourly AS (
+  SELECT datetrunc('hour', ts) AS h, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS e
+  FROM events GROUP BY 1
+),
+alerting AS (
+  SELECT h, e, e / n AS r, (epoch(h)::BIGINT // 3600) AS hi
+  FROM hourly WHERE e / n > {ALERT_RATE!r}
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(hi) OVER (ORDER BY hi) IS NULL
+                   OR hi - lag(hi) OVER (ORDER BY hi) > 1
+                 THEN 1 ELSE 0 END AS chg
+  FROM alerting
+),
+isl AS (
+  SELECT *, sum(chg) OVER (ORDER BY hi ROWS UNBOUNDED PRECEDING) AS ep
+  FROM flagged
+)
+SELECT min(h) AS episode_start, max(h) AS episode_end,
+       count(*)::BIGINT AS n_hours, max(r) AS peak_rate,
+       sum(e)::BIGINT AS total_errors
+FROM isl GROUP BY ep
+""",
+    }
+)

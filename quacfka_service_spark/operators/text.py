@@ -835,3 +835,140 @@ FROM agg
 """,
     }
 )
+
+
+# --- round-7 addition: Heaps-law vocabulary growth ---------------------------
+
+VOCAB_DECILES = 10
+
+
+def vocab_growth(docs: DataFrame, n_buckets: int = VOCAB_DECILES) -> DataFrame:
+    """(decile, n_docs, cum_tokens, cum_vocab): the vocabulary-growth
+    (Heaps' law) curve — cumulative distinct terms vs cumulative
+    tokens at corpus deciles in doc_id order.  The tokenizer-budget
+    question ("is the vocabulary saturating or still growing?") read
+    off a 10-row curve.
+
+    Scale discipline: NO doc-cardinality global window — docs bucket
+    by exact doc_id quantile cutoffs (map-only, the split_temporal
+    idiom), each term's FIRST doc assigns its bucket (min doc_id — a
+    term-keyed agg), per-bucket token/new-term counts are map-side
+    combined, and the cumulative runs over the 10 bucket rows.  All
+    integers; engine-exact.
+    """
+    from pyspark.sql.window import Window as W
+
+    ex = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    cuts = docs.agg(
+        *[
+            F.percentile(F.col("doc_id").cast("double"), F.lit(i / n_buckets)).alias(
+                f"c{i}"
+            )
+            for i in range(1, n_buckets)
+        ]
+    )
+    def bucket_of(col):
+        b = F.lit(n_buckets)
+        for i in range(n_buckets - 1, 0, -1):
+            b = F.when(col <= F.col(f"c{i}"), F.lit(i)).otherwise(b)
+        return b.cast("long")
+
+    toks = (
+        ex.join(F.broadcast(cuts))
+        .select(bucket_of(F.col("doc_id").cast("double")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("tokens"))
+    )
+    firsts = (
+        ex.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .join(F.broadcast(cuts))
+        .select(bucket_of(F.col("first_doc").cast("double")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    ndocs = (
+        docs.join(F.broadcast(cuts))
+        .select(bucket_of(F.col("doc_id").cast("double")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    z = F.lit(0).cast("long")
+    return (
+        ndocs.join(toks, "b", "full")
+        .join(firsts, "b", "full")
+        .select(
+            F.col("b").alias("decile"),
+            F.coalesce("n_docs", z).alias("nd"),
+            F.coalesce("tokens", z).alias("tk"),
+            F.coalesce("new_terms", z).alias("nt"),
+        )
+        .select(
+            "decile",
+            F.sum("nd").over(w).cast("long").alias("n_docs"),
+            F.sum("tk").over(w).cast("long").alias("cum_tokens"),
+            F.sum("nt").over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_vocab_growth": _q_vocab_growth})
+
+
+def _vocab_growth_oracle() -> str:
+    nb = VOCAB_DECILES
+    cuts = ",\n         ".join(
+        f"quantile_cont(doc_id::DOUBLE, {i / nb}) AS c{i}" for i in range(1, nb)
+    )
+    def bucket(col):
+        expr = str(nb)
+        for i in range(nb - 1, 0, -1):
+            expr = f"CASE WHEN {col} <= c{i} THEN {i} ELSE {expr} END"
+        return f"CAST({expr} AS BIGINT)"
+    return f"""
+WITH cuts AS (
+  SELECT {cuts}
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+exf AS (SELECT * FROM ex WHERE term <> ''),
+toks AS (
+  SELECT {bucket('doc_id::DOUBLE')} AS b, count(*)::BIGINT AS tokens
+  FROM exf, cuts GROUP BY 1
+),
+firsts AS (
+  SELECT {bucket('first_doc::DOUBLE')} AS b, count(*)::BIGINT AS new_terms
+  FROM (SELECT term, min(doc_id) AS first_doc FROM exf GROUP BY 1), cuts
+  GROUP BY 1
+),
+nd AS (
+  SELECT {bucket('doc_id::DOUBLE')} AS b, count(*)::BIGINT AS n_docs
+  FROM documents, cuts GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(nd.b, toks.b, firsts.b) AS decile,
+         coalesce(n_docs, 0) AS nd, coalesce(tokens, 0) AS tk,
+         coalesce(new_terms, 0) AS nt
+  FROM nd FULL OUTER JOIN toks ON nd.b = toks.b
+          FULL OUTER JOIN firsts ON coalesce(nd.b, toks.b) = firsts.b
+)
+SELECT decile,
+       sum(nd) OVER w::BIGINT AS n_docs,
+       sum(tk) OVER w::BIGINT AS cum_tokens,
+       sum(nt) OVER w::BIGINT AS cum_vocab
+FROM merged
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+"""
+
+
+ORACLES.update({"corpus_vocab_growth": _vocab_growth_oracle()})

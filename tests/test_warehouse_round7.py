@@ -941,3 +941,44 @@ def test_length_quality_corr_planted(spark):
     docs2 = spark.createDataFrame(rows2, "doc_id long, text string, lang string, source string, n_chars long")
     r2 = length_quality_corr(docs2).collect()[0]
     assert r2.corr is None  # constant quality: zero variance -> guarded NULL
+
+
+def test_alert_episodes_planted(spark):
+    """Three alerting hours with one gap -> exactly 2 episodes with the
+    right spans."""
+    from quacfka_service_spark.operators.olap import alert_episodes
+
+    rows = []
+    eid = 0
+    plan = {0: 5, 1: 5, 2: 0, 3: 5, 4: 0}  # err count per hour (of 10)
+    for h, errs in plan.items():
+        for j in range(10):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {h:02d}:30:00", 1, "error" if j < errs else "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    eps = sorted(alert_episodes(df).collect(), key=lambda r: r.episode_start)
+    assert len(eps) == 2
+    assert eps[0].n_hours == 2 and eps[0].episode_start.hour == 0 and eps[0].episode_end.hour == 1
+    assert eps[1].n_hours == 1 and eps[1].episode_start.hour == 3
+    assert all(abs(e.peak_rate - 0.5) < 1e-9 for e in eps)
+
+
+def test_vocab_growth_invariants(spark):
+    from quacfka_service_spark.operators.text import vocab_growth
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sorted(vocab_growth(docs).collect(), key=lambda r: r.decile)
+    assert rows and rows[0].decile >= 1 and rows[-1].decile == 10
+    # cumulative series are non-decreasing; final totals match corpus
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.cum_vocab >= a.cum_vocab and b.n_docs >= a.n_docs
+    assert rows[-1].n_docs == docs.count()
+    ex = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")).where(F.col("t") != "")
+    assert rows[-1].cum_tokens == ex.count()
+    assert rows[-1].cum_vocab == ex.distinct().count()
+    # Heaps: vocabulary grows sublinearly vs tokens (later deciles add fewer new terms)
+    first_new = rows[0].cum_vocab / rows[0].cum_tokens
+    last_new = (rows[-1].cum_vocab - rows[-2].cum_vocab) / max(rows[-1].cum_tokens - rows[-2].cum_tokens, 1)
+    assert last_new < first_new
