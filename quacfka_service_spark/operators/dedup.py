@@ -1574,3 +1574,97 @@ j AS (SELECT jaccard AS j FROM jp)
 
 
 ORACLES.update({"dedup_lsh_power_curve": _lsh_power_oracle()})
+
+
+# --- round-7 addition: cross-source duplication matrix -----------------------
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, n_shared, jaccard): how much
+    CONTENT two sources share — the mirrored-feed detector (two
+    scrapers of the same site inflate corpus size without adding
+    signal; the per-pair Jaccard of normalized-text fingerprints says
+    which feeds to drop wholesale before any pairwise dedup runs).
+
+    Fingerprints are the text_fingerprint md5 kernel (engine-portable);
+    each source collapses to its DISTINCT fingerprint set, the pair
+    intersection is an fp-equi join (content-hash keyed, never
+    all-pairs), and jaccard is one division of exact BIGINTs.
+
+    100 TB shape: one (source, fp) distinct (map-side combined), an
+    fp-keyed self-join whose output is bounded by cross-source
+    duplicate mass, and |sources|^2 result rows.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+        )
+    )
+    sf = docs.select("source", F.md5(norm).alias("fp")).distinct()
+    totals = sf.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = sf.alias("a"), sf.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = ta.join(tb, F.col("source_a") < F.col("source_b"))
+    z = F.lit(0).cast("long")
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_shared", z).alias("n_shared"),
+        )
+        .select(
+            "*",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_source_overlap": _q_source_overlap})
+
+ORACLES.update(
+    {
+        "dedup_source_overlap": """
+WITH sf AS (
+  SELECT DISTINCT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+),
+totals AS (SELECT source, count(*)::BIGINT AS n FROM sf GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       coalesce(i.n_shared, 0)::BIGINT AS n_shared,
+       coalesce(i.n_shared, 0) / (p.n_a + p.n_b - coalesce(i.n_shared, 0)) AS jaccard
+FROM (
+  SELECT ta.source AS source_a, tb.source AS source_b, ta.n AS n_a, tb.n AS n_b
+  FROM totals ta JOIN totals tb ON ta.source < tb.source
+) p LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+""",
+    }
+)

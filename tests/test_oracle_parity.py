@@ -107,7 +107,7 @@ _MUST_BE_NONEMPTY = {
     "dedup_lsh_power_curve", "events_slo_burn", "corpus_cluster_coherence",
     "events_growth_accounting", "supplier_concentration_hhi",
     "orders_revenue_gini", "corpus_length_quality_corr",
-    "events_alert_episodes", "corpus_vocab_growth",
+    "events_alert_episodes", "corpus_vocab_growth", "dedup_source_overlap",
 }
 
 

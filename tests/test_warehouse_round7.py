@@ -982,3 +982,19 @@ def test_vocab_growth_invariants(spark):
     first_new = rows[0].cum_vocab / rows[0].cum_tokens
     last_new = (rows[-1].cum_vocab - rows[-2].cum_vocab) / max(rows[-1].cum_tokens - rows[-2].cum_tokens, 1)
     assert last_new < first_new
+
+
+def test_source_overlap_planted_mirror(spark):
+    from quacfka_service_spark.operators.dedup import source_overlap
+
+    rows = []
+    for i in range(20):  # A and MIRROR share all 20 docs; B is disjoint
+        rows.append((i, f"shared document text {i}", "en", "A", 10))
+        rows.append((100 + i, f"shared DOCUMENT   text {i}!", "en", "MIRROR", 10))  # normalizes equal
+        rows.append((200 + i, f"unique b doc {i}", "en", "B", 10))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.source_a, r.source_b): r for r in source_overlap(docs).collect()}
+    m = got[("A", "MIRROR")]
+    assert m.n_shared == 20 and m.jaccard == 1.0
+    assert got[("A", "B")].n_shared == 0 and got[("A", "B")].jaccard == 0.0
+    assert got[("B", "MIRROR")].n_shared == 0
