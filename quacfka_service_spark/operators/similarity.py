@@ -766,18 +766,22 @@ def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
 
     Engine-exactness: centroids use label_centroids' deterministic
     vec_id-ordered sequential fold (bit-identical to the oracle's
-    list_reduce), and scoring reuses the sequential dot/norm idiom
-    every oracled cosine op here relies on; the per-vector argmax is a
-    row_number window with a (cos DESC, label ASC) tie-break on both
-    engines, so the integer matrix hash-matches.
+    list_reduce) — computed SPARK-side, then round-tripped through a
+    bounded driver collect (DoubleType <-> Python float is bit-exact)
+    and inlined as literals; scoring reuses the sequential dot/norm
+    idiom every oracled cosine op here relies on.  The per-vector
+    argmax is a strict-``>`` fold over the label-ASC-ordered literal
+    array, so ties keep the lexicographically smallest label —
+    identical to the oracle's (cos DESC, label ASC) row_number
+    tie-break, and the integer matrix hash-matches.
 
-    100 TB shape: the centroid table is |labels| rows -> BROADCAST
-    into a scan-speed scoring pass (fan-out factor |labels|); the
-    argmax window keys on vec_id (one corpus-fan-out shuffle) and the
-    final matrix aggregate is map-side combined onto a |labels|²
-    key space."""
-    from pyspark.sql.window import Window
-
+    100 TB shape (VERDICT r7 #1): the centroid table is |labels| rows
+    -> collected once driver-side and inlined as a LITERAL array, so
+    assignment is a single map-only projection — no crossJoin x
+    |labels| fan-out, no vec_id argmax window (the r1-r7 shape
+    exchanged the fanned corpus); the only exchange left is the final
+    matrix aggregate, map-side combined onto a |labels|² key space
+    (plan-pinned in tests/test_plans_round3.py)."""
     v = F.col("embedding").cast("array<double>")
     g = (
         emb.select("label", "vec_id", v.alias("v"))
@@ -796,27 +800,25 @@ def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     cent = g.select(F.col("label").alias("cand_label"), cent_vec.alias("c")).select(
         "cand_label", "c", cnorm.alias("cn")
     )
+    # bounded collect (|labels| rows), label-ASC order = argmax tie order
+    cb = cent.orderBy("cand_label").collect()
+    labels = [r["cand_label"] for r in cb]
+    from .semdedup import _argmax_struct
+
+    labels_lit = F.array(*[F.lit(x) for x in labels])
     d = emb.select("vec_id", "label", v.alias("v")).select(
         "vec_id",
         "label",
         "v",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = d.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "cand_label", (dot / (F.col("nrm") * F.col("cn"))).alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand_label"))
-    best = scored.select(
-        "vec_id", "label", "cand_label", F.row_number().over(w).alias("rn")
-    ).where(F.col("rn") == 1)
-    return best.groupBy("label", F.col("cand_label").alias("assigned_label")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    best = d.select(
+        "label",
+        F.explode_outer(
+            F.array(_argmax_struct([(list(r["c"]), float(r["cn"])) for r in cb]))
+        ).alias("b"),
+    ).select("label", F.element_at(labels_lit, F.col("b.i") + 1).alias("assigned_label"))
+    return best.groupBy("label", "assigned_label").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

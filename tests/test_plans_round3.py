@@ -207,11 +207,15 @@ def test_mixture_temperature_no_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_centroid_assign_broadcasts_centroids(spark):
-    """The |labels|-row centroid table must broadcast into the scoring
-    pass — a shuffled join would key the corpus on nothing useful."""
+def test_centroid_assign_is_map_only_plus_matrix_agg(spark):
+    """The |labels|-row centroid table is collected driver-side and
+    inlined as a literal array (VERDICT r7 #1) — assignment is a pure
+    projection, so the corpus-side plan has NO join of any kind and NO
+    window; the only exchange is the final |labels|²-key matrix agg,
+    which must map-side combine."""
     df = _q(spark, "embedding_centroid_assign")
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert count_exchanges(df) == 1  # the matrix agg only
     assert has_partial_aggregation(df)  # the matrix agg map-side combines

@@ -91,14 +91,19 @@ def test_semdedup_kmeans_path_runs(emb):
     assert out.select("cell").distinct().count() <= 4
 
 
-def test_semdedup_plan_broadcasts_codebook(emb):
-    """The centroid side of the assignment join must broadcast — a
-    shuffled nested-loop over the corpus x k would not survive 100 TB.
+def test_semdedup_assignment_is_map_only(emb):
+    """Cell assignment must be a pure projection over the scan — the
+    bounded codebook is inlined as a literal array, so there is NO
+    join of any kind, NO window, and NO exchange anywhere in the
+    subtree (VERDICT r7 #1: the old broadcast-crossJoin x k + vec_id
+    argmax window forced a full hash exchange of the fanned rows).
     Pinned on assign_cells (semantic_dedup localCheckpoints it, which
     collapses the subtree out of the final plan — by design: three
     consumers, one materialization)."""
-    plan = assign_cells(emb)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    plan = assign_cells(emb, include_cos=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
 
 
