@@ -21,23 +21,38 @@ Parity discipline (two regimes, one proof each):
    the lm.py caveat applies only when the two engines compute the
    input with different libm functions.
 2. Everything after the covariance is fixed-order scalar IEEE math on
-   identical doubles: the matrix-vector products fold per-row arrays
-   sequentially (F.aggregate over zip_with == DuckDB
-   list_dot_product, the established idiom), the norm is one sqrt,
-   v0 = 1/8 exactly (binary fraction), 8 unrolled iterations.  Sign
-   and convergence state are therefore deterministic and hash-equal.
+   identical doubles.  The covariance is d^2-sized — BOUNDED — so it
+   is collected driver-side (like the semdedup codebook) and the 8
+   power iterations run in plain Python: each matrix-vector component
+   is a sequential left-to-right ``acc += row[k] * v[k]`` fold —
+   Python floats ARE IEEE doubles, so this is bit-identical to
+   DuckDB's list_dot_product and to the F.aggregate fold — the norm
+   is one sqrt, v0 = 1/8 exactly (binary fraction).  Sign and
+   convergence state are therefore deterministic and hash-equal.
+   (Rounds 5-7 ran the iterations as 8 unrolled Spark joins over a
+   d-row frame — correct, but the deeply nested plan cost seconds of
+   driver-side Catalyst/codegen compile per run for work that is 64x64
+   scalar math; iterating on the collected matrix deletes that.)
 
-100 TB shape: the data-sized stages are the two quantized partial
-aggs — mean (one pass) and the d^2 outer-product agg (explode d^2 per
-row, map-side combined; at d=64 that is a 4096-way fanout, the
-standard dense-covariance cost — for d in the thousands you'd switch
-to a blocked Gram via mapInArrow, same agg skeleton).  After that the
-operator touches only d- and d^2-sized frames: the 8 iterations are
-joins against a broadcast 1-row vector over a d-row matrix — driver
-never sees data, executors never reshuffle the corpus.
+100 TB shape: the data-sized stages are the mean pass (quantized
+partial agg) and the covariance pass — a blocked Gram via
+``mapInArrow`` (VERDICT r7 #2: rounds 5-7 generated the d(d+1)/2
+outer-product terms as EXPLODED Tungsten rows, a 2,080x per-row
+fanout; the kernel now computes the same floor-quantized products in
+numpy per partition and emits d^2 int64 PARTIALS per partition, so
+shuffle volume is d^2 x n_partitions tiny rows and the row-generation
+tax is gone).  Exactness is untouched: the kernel floors the SAME
+IEEE product per row per pair (see ``_gram_partials``), per-partition
+int64 partial sums are exact integer arithmetic, and the final
+cross-partition sum stays DECIMAL(38,0).  After that the operator
+touches only d- and d^2-sized frames: the 8 iterations are joins
+against a broadcast 1-row vector over a d-row matrix — driver never
+sees data, executors never reshuffle the corpus.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,10 +70,74 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
+# row-chunk size for the Gram kernel: bounds the chunk x d x d outer
+# block at ~512 * 64 * 64 * 8 B = 17 MB per task.
+_GRAM_CHUNK = 512
+
+
+def _gram_partials(x: DataFrame, mu: list[float], dim: int) -> DataFrame:
+    """(j, k, p): per-PARTITION int64 partial sums of the quantized
+    centered outer products, p = sum_rows floor((x_j-mu_j)(x_k-mu_k)*Q).
+
+    Executor-side numpy (the knn_join / drop_edges kernel family): each
+    partition reshapes its Arrow list column to an (n, d) block,
+    centers against the broadcast-by-closure mean, and accumulates the
+    floored products chunk-wise — d^2 tiny rows OUT per partition, no
+    exploded row generation.  Per-row floors are < 2^53 (components are
+    O(1), Q = 1e12) so the float64 -> int64 conversion is exact, and
+    int64 partials cannot overflow below ~9e6 rows x |c_j c_k| ~ 1e14
+    per partition — far above any sane maxPartitionBytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    mu_master = [float(m) for m in mu]
+    q = PCA_Q
+
+    def fn(batches):
+        mu_np = np.array(mu_master, dtype=np.float64)
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        any_rows = False
+        for b in batches:
+            flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+            if flat.size == 0:
+                continue
+            any_rows = True
+            c_all = flat.reshape(-1, dim) - mu_np
+            for s in range(0, len(c_all), _GRAM_CHUNK):
+                cc = c_all[s : s + _GRAM_CHUNK]
+                outer = cc[:, :, None] * cc[:, None, :]
+                outer *= q
+                np.floor(outer, out=outer)
+                acc += outer.astype(np.int64).sum(axis=0)
+        if not any_rows:
+            return
+        jj = np.repeat(np.arange(dim, dtype=np.int32), dim)
+        kk = np.tile(np.arange(dim, dtype=np.int32), dim)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(jj), pa.array(kk), pa.array(acc.ravel())],
+            names=["j", "k", "p"],
+        )
+
+    return x.mapInArrow(fn, "j int, k int, p long")
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right fold — Python floats are IEEE doubles,
+    so this is bit-identical to list_dot_product / the F.aggregate
+    fold."""
+    acc = 0.0
+    for ai, bi in zip(a, b):
+        acc += ai * bi
+    return acc
+
+
 def _pca_state(emb: DataFrame, dim: int, n_iter: int):
-    """Shared tail state: (mu1 1-row mean array, cov_rows d-row
-    covariance, v 1-row final unit eigenvector) — used by pca_power
-    and pca_project so both expose the identical converged vector."""
+    """Shared tail state: (mu mean list, v final unit eigenvector
+    list, lam Rayleigh eigenvalue) — used by pca_power and pca_project
+    so both expose the identical converged vector.  Spark does the two
+    data-sized passes (mean, blocked Gram); the d x d covariance is
+    collected (bounded) and the power iterations run driver-side in
+    Python (module docstring, regime 2)."""
     x = emb.select(F.col("embedding").cast("array<double>").alias("x")).where(
         F.size("x") == dim
     )
@@ -83,70 +162,42 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
         )
     )
 
-    # centered outer products, quantized, exact sums — SYMMETRY-HALVED:
-    # only j <= k pairs are generated (the upper triangle, d(d+1)/2
-    # instead of d^2 per row) and the lower triangle is mirrored AFTER
-    # the aggregate.  Exactness is untouched: IEEE multiplication
-    # commutes bit-for-bit, so sum(floor(cj*ck*Q)) == sum(floor(ck*cj*Q)).
-    cent = x.join(F.broadcast(mu1)).select(
-        F.zip_with("x", "mu", lambda a, b: a - b).alias("c")
-    )
-    cj = cent.select(F.posexplode("c").alias("j", "cj"), "c")
-    upper = cj.select(
-        "j",
-        "cj",
-        F.posexplode(
-            F.slice(F.col("c"), F.col("j") + 1, F.lit(dim) - F.col("j"))
-        ).alias("k0", "ck"),
-    ).select(
-        "j",
-        (F.col("j") + F.col("k0")).alias("k"),
-        F.floor((F.col("cj") * F.col("ck")) * PCA_Q).cast("decimal(38,0)").alias("p"),
-    )
-    tri = upper.groupBy("j", "k").agg(
-        F.sum("p").cast("decimal(38,0)").cast("double").alias("s")
-    )
-    full = tri.unionByName(
-        tri.where(F.col("j") != F.col("k")).select(
-            F.col("k").alias("j"), F.col("j").alias("k"), "s"
-        )
-    )
-    cov_rows = (
-        full.join(F.broadcast(n1))
-        .select("j", "k", (F.col("s") / PCA_Q / F.col("n")).alias("cv"))
-        .groupBy("j")
+    # centered outer products, quantized, exact sums — blocked Gram
+    # (VERDICT r7 #2): the mean vector is a bounded d-length collect
+    # (Spark-computed doubles round-trip bit-exactly through Python
+    # floats), then one mapInArrow pass computes, per partition, the
+    # int64 sum of floor((x_j - mu_j) * (x_k - mu_k) * Q) over its
+    # rows with numpy — the SAME IEEE subtract / multiply / scale /
+    # floor sequence per row per pair the oracle's covL computes, so
+    # the cross-partition DECIMAL sum of partials equals the oracle's
+    # sum of per-row floors bit-for-bit regardless of partitioning.
+    mu_vals = [float(m) for m in mu1.collect()[0]["mu"]]
+    # n and the d x d covariance: one bounded collect (d^2 rows).
+    n = n1.collect()[0]["n"]
+    cov_cells = (
+        _gram_partials(x, mu_vals, dim)
+        .groupBy("j", "k")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("k", "cv"))), lambda s: s["cv"]
-            ).alias("row")
+            F.sum(F.col("p").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("s")
         )
-        # d rows total: one partition so the 8 iteration joins schedule
-        # 1 task each instead of a full shuffle-partition fan per round
-        .coalesce(1)
-        .localCheckpoint(eager=False)
+        .collect()
     )
+    cov = [[0.0] * dim for _ in range(dim)]
+    for r in cov_cells:
+        # same two IEEE divisions the r5-r7 Spark projection applied
+        cov[r["j"]][r["k"]] = r["s"] / PCA_Q / n
 
-    spark = emb.sparkSession
-    v = spark.range(1).select(
-        F.expr(f"array_repeat(0.125D, {dim})").alias("v")
-    )  # 1/8: exact binary fraction
+    v = [0.125] * dim  # 1/8: exact binary fraction
     for _ in range(n_iter):
-        w = cov_rows.join(F.broadcast(v)).select("j", _dot("row", "v").alias("wj"))
-        v = (
-            w.groupBy()
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("j", "wj"))), lambda s: s["wj"]
-                ).alias("w")
-            )
-            .select(
-                F.transform(
-                    "w", lambda x: x / F.sqrt(_dot(F.col("w"), F.col("w")))
-                ).alias("v")
-            )
-        )
-
-    return mu1, cov_rows, v
+        w = [_py_dot(row, v) for row in cov]
+        nrm = math.sqrt(_py_dot(w, w))
+        v = [wi / nrm for wi in w]
+    w = [_py_dot(row, v) for row in cov]  # Rayleigh quotient
+    lam = _py_dot(v, w)
+    return mu_vals, v, lam
 
 
 def pca_power(
@@ -156,23 +207,10 @@ def pca_power(
     embedding corpus — component index, loadings of the unit
     eigenvector, and the Rayleigh-quotient eigenvalue (module
     docstring)."""
-    _, cov_rows, v = _pca_state(emb, dim, n_iter)
-    # Rayleigh quotient on the final vector
-    wf = cov_rows.join(F.broadcast(v)).select("j", _dot("row", "v").alias("wj"), "v")
-    lam1 = (
-        wf.groupBy()
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", "wj"))), lambda s: s["wj"]
-            ).alias("w"),
-            F.first("v").alias("v"),
-        )
-        .select(_dot("v", "w").alias("eigenvalue"), "v")
-    )
-    return lam1.select(
-        F.posexplode("v").alias("j0", "loading"), "eigenvalue"
-    ).select(
-        (F.col("j0") + 1).cast("long").alias("j"), "loading", "eigenvalue"
+    _, v, lam = _pca_state(emb, dim, n_iter)
+    return emb.sparkSession.createDataFrame(
+        [(j + 1, v[j], lam) for j in range(dim)],
+        "j long, loading double, eigenvalue double",
     )
 
 
@@ -181,20 +219,19 @@ def pca_project(
 ) -> DataFrame:
     """(vec_id, proj): each embedding's coordinate along the top
     principal direction — the 1-D curriculum/anisotropy score.  A
-    map-only projection after broadcasting the mean and the converged
-    unit vector: proj = <x - mu, v>, one sequential fold per row
-    (same list_dot_product parity as the iteration)."""
-    mu1, _, v = _pca_state(emb, dim, n_iter)
+    map-only projection against the LITERAL mean and converged unit
+    vector (both bounded d-length lists): proj = <x - mu, v>, one
+    sequential fold per row (same list_dot_product parity as the
+    iteration) — zero joins, zero exchanges."""
+    mu, v, _ = _pca_state(emb, dim, n_iter)
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
     xid = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     ).where(F.size("x") == dim)
-    return (
-        xid.join(F.broadcast(mu1))
-        .join(F.broadcast(v))
-        .select(
-            "vec_id",
-            _dot(F.zip_with("x", "mu", lambda a, b: a - b), F.col("v")).alias("proj"),
-        )
+    return xid.select(
+        "vec_id",
+        _dot(F.zip_with("x", mu_lit, lambda a, b: a - b), v_lit).alias("proj"),
     )
 
 
