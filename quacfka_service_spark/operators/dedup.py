@@ -587,11 +587,18 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
 
     100 TB shape: signatures are one explode + groupBy pass; the
     candidate set is LSH-bounded (cost tracks near-duplicates, not
-    corpus²); the true-Jaccard join touches candidates only."""
+    corpus²); the true-Jaccard join touches candidates only.  The
+    doc_id repartition ahead of the shingle explode spreads the
+    dominant CPU (8 md5 per shingle occurrence) across the cluster
+    even when the scan has few splits (a sub-128 MB documents file
+    arrives as 1-2 partitions and would serialize ~2M md5 calls on
+    one core), and co-partitions the signature min-agg on its key —
+    it is a docs-sized exchange buying parallelism for the ~50x
+    bigger exploded stream."""
     from pyspark import StorageLevel
 
     ex = _track_persist(
-        doc_shingles(docs)
+        doc_shingles(docs.repartition("doc_id"))
         .select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -679,9 +686,15 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
         .where(F.col("df") > NGRAM_MAX_DF)
         .select("s")
     )
+    # candidate-scoped survivor shingles feed THREE consumers (sizes,
+    # the lhs probe, the intersection's b side) — checkpoint so the
+    # two broadcast joins over the cached explode run once, not 3x
+    # (r8: 4.4 -> 2.6 s warm at sf0.1 together with the doc_id
+    # repartition above).
     exf = (
         ex.join(F.broadcast(hot), "s", "left_anti")
         .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
     )
     sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     lhs = pairs.join(exf.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(

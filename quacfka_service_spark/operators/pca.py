@@ -172,6 +172,8 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
     # the cross-partition DECIMAL sum of partials equals the oracle's
     # sum of per-row floors bit-for-bit regardless of partitioning.
     mu_vals = [float(m) for m in mu1.collect()[0]["mu"]]
+    if not mu_vals:  # empty corpus: keep d-length literals downstream
+        mu_vals = [0.0] * dim
     # n and the d x d covariance: one bounded collect (d^2 rows).
     n = n1.collect()[0]["n"]
     cov_cells = (
@@ -194,7 +196,9 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
     for _ in range(n_iter):
         w = [_py_dot(row, v) for row in cov]
         nrm = math.sqrt(_py_dot(w, w))
-        v = [wi / nrm for wi in w]
+        # degenerate (empty/zero) corpus: IEEE 0/0 = NaN, but Python
+        # raises — emit the NaN Spark's division produced in r5-r7
+        v = [wi / nrm if nrm != 0.0 else float("nan") for wi in w]
     w = [_py_dot(row, v) for row in cov]  # Rayleigh quotient
     lam = _py_dot(v, w)
     return mu_vals, v, lam

@@ -196,6 +196,16 @@ def assign_cells(
     generator argument)."""
     cb = _codebook_rows(emb, n_clusters, kmeans, centroids)
     d = _unit_corpus(emb)
+    if not cb:
+        # empty corpus -> empty codebook -> zero rows out; an empty
+        # F.array() literal would type as ARRAY<VOID> and fail analysis
+        cols = [
+            "vec_id",
+            "v",
+            "nrm",
+            F.lit(-1).alias("cell"),
+        ] + ([F.lit(None).cast("double").alias("cos")] if include_cos else [])
+        return d.select(*cols)
     out = d.select(
         "vec_id",
         "v",

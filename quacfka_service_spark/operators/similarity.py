@@ -805,6 +805,10 @@ def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     labels = [r["cand_label"] for r in cb]
     from .semdedup import _argmax_struct
 
+    if not labels:  # empty corpus: empty literal arrays type as VOID
+        return emb.select(
+            "label", F.lit(None).cast("string").alias("assigned_label")
+        ).groupBy("label", "assigned_label").agg(F.count(F.lit(1)).alias("n"))
     labels_lit = F.array(*[F.lit(x) for x in labels])
     d = emb.select("vec_id", "label", v.alias("v")).select(
         "vec_id",
