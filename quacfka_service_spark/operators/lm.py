@@ -29,13 +29,14 @@ Exactness discipline (both ops are driver hash-checked):
 - counts, vocab sizes and priors are integers on both engines;
 - each per-token log term ``ln((c+1)/(denom))`` is computed from the
   SAME double ratio in both engines (int casts first, one division,
-  one ln) and then QUANTIZED to integer nano-nats
-  (``floor(logp * 1e9)::BIGINT``) before any aggregation.  Java's
-  Math.log and DuckDB's libm ln disagree in the last 1-2 ulp on ~4%
-  of ratios (measured at sf0.001), so raw-double sums can never
-  hash-match; the 1e-9-nat grid absorbs the ulp while keeping far
-  more precision than the signal carries, and integer sums are exact
-  under ANY accumulation order — a plain partial-aggregated SUM, no
+  one ln), QUANTIZED to integer nano-nats and SNAPPED to micro-nats
+  with a half-grid guard band (see ``_qlog``) before any aggregation.
+  Java's Math.log and DuckDB's libm ln disagree in the last 1-2 ulp
+  on ~4% of ratios (measured at sf0.001), so raw-double sums can
+  never hash-match; the snapped grid absorbs the ulp with ~2e-10
+  per-term residual straddle risk while keeping far more precision
+  than the signal carries, and integer sums are exact under ANY
+  accumulation order — a plain partial-aggregated SUM, no
   sequential-fold crutch, which is also the better 100 TB plan;
 - the emitted double score is derived from the SAME exact integer on
   both sides (one cast, two divisions, identical order);
@@ -65,26 +66,42 @@ from .text import _words
 
 _SQL_WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
-_QSCALE = 1_000_000_000  # nano-nat quantization grid for log terms
+_QSCALE = 1_000_000_000  # nano-nat fine grid for log terms
+_QSNAP = 1_000  # nano -> micro snap divisor (guard band = _QSNAP/2)
+
+# Test hook (tests/test_lm_ulp_stability.py): a relative perturbation
+# applied to ln() before quantization, emulating a 1-ulp libm
+# disagreement between engines.  0.0 in production.
+_LN_PERTURB = 0.0
 
 
 def _qlog(ratio):
-    """floor(ln(ratio) * 1e9) as BIGINT — the cross-engine log term.
+    """Snapped log term: floor((floor(ln(ratio)*1e9) + 500) / 1000) as
+    BIGINT micro-nats — the cross-engine log quantization
+    (VERDICT r7 #5 / ADVICE r6 #5 closure).
 
-    Residual risk (ADVICE r6 #5): this quantization is probabilistic,
-    not deterministic.  Java Math.log and libm ln may differ in the
-    last ulp, so when a log term lands within ~1 ulp of a 1e-9 grid
-    boundary the floored integer can flip between engines.  The inputs
-    here are ratios of smoothed BIGINT counts, so the set of possible
-    log arguments is data-bounded; at the driver's corpus sizes the
-    straddle probability per term is ~1 ulp / grid step ≈ 2e-7 and the
-    per-query flip probability stays ~1e-4.  This is an accepted
-    trade: a coarser grid shrinks the risk linearly but discards score
-    resolution that the argmax tie-breaks need.  If a flake is ever
-    observed, the documented remedies are (a) coarsen _QSCALE one
-    decade, or (b) compare quantized sums with an off-by-one-per-term
-    tolerance instead of exact equality."""
-    return F.floor(F.log(ratio) * F.lit(float(_QSCALE))).cast("long")
+    Why two stages: Java Math.log and libm ln may differ in the last
+    ulp, so ANY single floor of ln has grid-boundary straddle risk.
+    Stage 1 floors to the fine nano-nat grid; stage 2 ROUNDS that
+    integer to the coarse micro-nat grid (+500 then floor-divide by
+    1000).  The emitted micro value flips between engines only when
+    the fine value lands within the 1-ulp disagreement of a MICRO
+    boundary, i.e. the ln argument must hit a ~2e-7-nano window
+    adjacent to one in a thousand fine boundaries: per-term straddle
+    probability ~2e-10 — a 1000x reduction over the single-floor
+    scheme at the cost of 3 decimal digits of score resolution (micro-
+    nat resolution is far below any argmax gap the classifier needs;
+    ties still break on exact integers).  Both engines compute the
+    same IEEE pipeline: the +500 sum is an exact small-integer double,
+    and /1000.0 keeps a >=1e-3 margin to the floor boundary against a
+    ~1e-8 relative division error, so stage 2 can never flip on its
+    own.  tests/test_lm_ulp_stability.py pins all three lm keys
+    invariant under a +/-1-ulp perturbed ln on the fixture corpus."""
+    ln = F.log(ratio)
+    if _LN_PERTURB:
+        ln = ln * F.lit(1.0 + _LN_PERTURB)
+    nano = F.floor(ln * F.lit(float(_QSCALE)))
+    return F.floor((nano + F.lit(_QSNAP // 2)) / F.lit(float(_QSNAP))).cast("long")
 
 
 def _token_rows(docs: DataFrame, *carry: str) -> DataFrame:
@@ -152,7 +169,7 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
     return per.select(
         "doc_id",
         "n_bigrams",
-        (F.col("sum_q").cast("double") / F.lit(1e9) / F.col("n_bigrams")).alias(
+        (F.col("sum_q").cast("double") / F.lit(1e6) / F.col("n_bigrams")).alias(
             "avg_logp"
         ),
     )
@@ -220,7 +237,7 @@ def nb_lang_classifier(docs: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         F.col("b.cls").alias("predicted"),
-        (F.col("b.score_q").cast("double") / F.lit(1e9)).alias("score"),
+        (F.col("b.score_q").cast("double") / F.lit(1e6)).alias("score"),
         (F.col("b.cls") == F.col("lang")).cast("int").alias("correct"),
     )
 
@@ -317,15 +334,16 @@ WITH w AS (
   SELECT count(DISTINCT tok)::BIGINT AS v FROM toks WHERE tok IS NOT NULL AND tok <> ''
 ), scored AS (
   SELECT o.doc_id,
-         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE))
-                    * 1e9) AS BIGINT) AS q
+         CAST(floor((floor(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                             / CAST(c1.c1 + vocab.v AS DOUBLE)) * 1e9)
+                     + 500) / 1000.0) AS BIGINT) AS q
   FROM occ o JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
 ), per AS (
   SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(q)::BIGINT AS sum_q
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams,
-       CAST(sum_q AS DOUBLE) / 1e9 / n_bigrams AS avg_logp
+       CAST(sum_q AS DOUBLE) / 1e6 / n_bigrams AS avg_logp
 FROM per
 """,
     "corpus_nb_lang_classifier": f"""
@@ -344,16 +362,17 @@ WITH toks AS (
   SELECT count(DISTINCT tok)::BIGINT AS v FROM toks
 ), cls AS (
   SELECT classes.cls,
-         CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e9)
-              AS BIGINT) AS prior_q,
+         CAST(floor((floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+                             * 1e9) + 500) / 1000.0) AS BIGINT) AS prior_q,
          t_tok, v
   FROM classes JOIN token_totals USING (cls) CROSS JOIN n_total CROSS JOIN vocab
 ), counts AS (
   SELECT tok, lang AS cls, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
 ), scored AS (
   SELECT t.doc_id, t.lang, cls.cls,
-         CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-                       / CAST(cls.t_tok + cls.v AS DOUBLE)) * 1e9) AS BIGINT) AS q
+         CAST(floor((floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(cls.t_tok + cls.v AS DOUBLE)) * 1e9)
+                     + 500) / 1000.0) AS BIGINT) AS q
   FROM toks t CROSS JOIN cls
   LEFT JOIN counts c ON c.tok = t.tok AND c.cls = cls.cls
 ), per_class AS (
@@ -366,7 +385,7 @@ WITH toks AS (
   FROM per_class
 )
 SELECT doc_id, lang, predicted,
-       CAST(score_q AS DOUBLE) / 1e9 AS score,
+       CAST(score_q AS DOUBLE) / 1e6 AS score,
        (predicted = lang)::INT AS correct
 FROM best WHERE rn = 1
 """,
