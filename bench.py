@@ -212,6 +212,24 @@ def main() -> None:
     # JVM warm-up: run the smallest query once, untimed
     qs["partition_enumeration"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Fixed per-job overhead estimate (VERDICT r7 #6): locally every
+    # Spark JOB pays a scheduling/launch floor that is CONSTANT at any
+    # data scale — a multi-job sub-second query's wall time is mostly
+    # that floor, not plan cost, and aggregate ratios vs an in-process
+    # DuckDB mistake it for a plan problem.  Measure the floor as the
+    # min wall time of a trivial 1-task job, count each query's jobs
+    # via job groups, and emit overhead-ADJUSTED per-query times next
+    # to the raw ones (raw stays the headline: it is what a user sees
+    # at this SF; adjusted is what survives a 100x scale-up).
+    _trivial = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        _trivial.append(time.perf_counter() - t0)
+    per_job_overhead = round(min(_trivial), 4)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
     # Three passes per query; report the min (steady state — first pass
     # pays one-time JIT/codegen compilation, which on a long-lived
     # cluster amortizes to zero).  The cold pass is kept in "cold_sec".
@@ -221,18 +239,28 @@ def main() -> None:
     # code landed within 10% of r1; see "shared_set_note" below.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
+    adjusted: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
+        for i in range(3):
+            group = f"bench:{name}:{i}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            sc.setJobGroup("bench:misc", "")
+            if i == 2:
+                n_jobs[name] = len(tracker.getJobIdsForGroup(group))
             # persist()-using queries: drop cache so run 2 measures the
             # query, not a cache read (plan-identical re-invocations
             # would otherwise hit the first run's persisted data)
             spark.catalog.clearCache()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        adjusted[name] = round(
+            max(timings[name] - n_jobs[name] * per_job_overhead, 0.0), 3
+        )
 
     # skew handling under measurement — the skew story as numbers, not a
     # claim.  Two sub-cases, both with a deliberately hot key:
@@ -450,6 +478,7 @@ def main() -> None:
         duck = {}
 
     oracled_spark = sum(v for k, v in timings.items() if k in duck)
+    oracled_adjusted = sum(v for k, v in adjusted.items() if k in duck)
     oracled_duck = sum(duck.values())
     # Round-over-round continuity: the aggregate ratio shifts whenever
     # HEADLINE grows (r3 added three real-work LLM ops whose DuckDB
@@ -525,8 +554,23 @@ def main() -> None:
         "incremental_demo": incr,
         "duckdb_oracle_sec": duck,
         "duckdb_total_sec": round(oracled_duck, 3),
+        "per_job_overhead_sec": per_job_overhead,
+        "queries_n_jobs": n_jobs,
+        "queries_adjusted_sec": adjusted,
+        "overhead_note": (
+            "VERDICT r7 #6: queries_adjusted_sec = min-of-3 wall minus "
+            "n_jobs x per_job_overhead_sec (min wall of a trivial 1-task "
+            "job — the per-job scheduling floor, constant at any data "
+            "scale). Multi-job sub-second suites (quality_expectations: "
+            "5 table scans; orders_abc_pareto: 2 windows + stats jobs) "
+            "are floor-dominated locally; the adjusted column is the "
+            "scale-relevant plan cost. Raw stays the headline metric."
+        ),
         "spark_vs_duckdb_oracled": (
             round(oracled_spark / oracled_duck, 2) if oracled_duck else None
+        ),
+        "spark_vs_duckdb_adjusted": (
+            round(oracled_adjusted / oracled_duck, 2) if oracled_duck else None
         ),
         "spark_vs_duckdb_r2_set": (
             round(r2_spark / r2_duck, 2) if r2_duck else None
@@ -566,7 +610,9 @@ def main() -> None:
             "unit": "sec",
             "sf": out["sf"],
             "spark_vs_duckdb_oracled": out["spark_vs_duckdb_oracled"],
+            "spark_vs_duckdb_adjusted": out["spark_vs_duckdb_adjusted"],
             "spark_vs_duckdb_r2_set": out["spark_vs_duckdb_r2_set"],
+            "per_job_overhead_sec": out["per_job_overhead_sec"],
             "duckdb_total_sec": out["duckdb_total_sec"],
             "ingest_mb_per_sec": out["ingest_mb_per_sec"],
             "n_queries_timed": len(timings),
