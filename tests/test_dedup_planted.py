@@ -187,3 +187,53 @@ def test_edit_distance_hot_block_ceiling(spark):
 
     capped = edit_distance_pairs(docs, max_block=10).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(200, 201)}
+
+
+def test_substring_spans_planted_duplicates(spark):
+    """ExactSubstr (r8): a 40-char block planted in two documents must
+    surface as one MAXIMAL span in each (not a staircase of k-grams);
+    a unique text yields nothing; a WITHIN-document repeat is found;
+    two separated planted blocks in one doc stay two spans."""
+    from quacfka_service_spark.operators.dedup import SUBSTR_K, substring_spans
+
+    assert SUBSTR_K == 32
+    dup = "the quick brown fox jumps over xx"  # 33 chars
+    dup40 = (dup + " lazy dog").ljust(40, "z")  # 42 -> 42 chars shared
+    # seeded-random filler (a cyclic mod-26 pattern would self-repeat
+    # with period 26 and read as a giant duplicated span — it did)
+    import random
+
+    rng = random.Random(7)
+    uniq1, uniq2, uniq3 = (
+        "".join(chr(97 + rng.randrange(26)) for _ in range(120)) for _ in range(3)
+    )
+    docs = spark.createDataFrame(
+        [
+            # doc 1: planted block at offset 21 (after 20 unique chars)
+            (1, uniq1[:20] + dup40 + uniq1[20:60]),
+            # doc 2: same block at offset 1
+            (2, dup40 + uniq2[:50]),
+            # doc 3: fully unique
+            (3, uniq3),
+            # doc 4: within-doc repeat of ITS OWN 35-char block, and the
+            # two copies are separated by 30 unique chars -> two spans
+            (4, uniq1[60:95] + uniq2[50:80] + uniq1[60:95]),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in substring_spans(docs).collect()
+    }
+    # doc1: span covers exactly the planted 42 chars starting at 21
+    assert (1, 21, 62, 42) in got
+    # doc2: same 42 chars at offset 1
+    assert (2, 1, 42, 42) in got
+    # doc3: nothing
+    assert not any(d == 3 for d, *_ in got)
+    # doc4: two 35-char spans (its own repeat), at 1..35 and 66..100
+    assert (4, 1, 35, 35) in got
+    assert (4, 66, 100, 35) in got
+    assert len([x for x in got if x[0] == 4]) == 2
+    # nothing else: unique tails never produce spans
+    assert len(got) == 4
