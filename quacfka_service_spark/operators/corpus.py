@@ -1266,3 +1266,134 @@ FROM qual q LEFT JOIN comp c USING (doc_id)
 WHERE c.doc_id IS NULL
 """.replace("{shingle}", _SHINGLE_CTE).replace("{jaccard}", _JACCARD_CTES),
 }
+
+
+# --- round-8 addition: per-source population stability index ---------------
+
+PSI_BAND_CHARS = 100  # n_chars per band
+PSI_N_BANDS = 10
+
+
+def quality_psi(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, psi): Population Stability Index of each
+    source's length distribution against the REST of the corpus —
+    the standard drift score (PSI = sum_b (p_b - q_b) ln(p_b/q_b))
+    feeds-vs-corpus instead of epoch-vs-epoch, so a feed whose length
+    mix diverges from everything else (truncation bugs, boilerplate
+    floods) surfaces as psi >> 0.  Rule-of-thumb thresholds: < 0.1
+    stable, > 0.25 investigate.
+
+    Determinism: bands are fixed integer ranges (n_chars div 100,
+    capped at 9 — no quantile dependence), counts are add-one smoothed
+    over the FULL source x band grid on both engines, each band's
+    (p - q) and the log-ratio argument are cross-multiplied into exact
+    integers ((a*R - r*A) and (a*R)/(r*A)), the log goes through the
+    lm.py snapped micro-nat quantizer, and psi is exact-integer sums
+    divided ONCE: sum_b [(a*R - r*A) * qlog] / (A*R) / 1e6.
+
+    100 TB shape: one map-side-combined (source, band) count — the
+    only corpus-sized stage; everything after is |sources| x 10 rows.
+    Counts cross-multiply as DECIMAL(38,0) so trillion-doc feeds
+    cannot overflow the integer algebra."""
+    from .lm import _qlog
+
+    b = F.least(F.floor(F.col("n_chars") / F.lit(PSI_BAND_CHARS)), F.lit(PSI_N_BANDS - 1))
+    counts = docs.select("source", b.cast("long").alias("band")).groupBy(
+        "source", "band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sources = counts.select("source").distinct()
+    spark = docs.sparkSession
+    grid = sources.crossJoin(
+        spark.range(PSI_N_BANDS).select(F.col("id").alias("band"))
+    )
+    # add-one smoothing over the full grid (identical on both engines)
+    a = (
+        grid.join(counts, ["source", "band"], "left")
+        .select("source", "band", (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("a"))
+    )
+    tot_b = a.groupBy("band").agg(F.sum("a").cast("long").alias("t"))
+    ar = a.join(tot_b, "band").select(
+        "source", "band", "a", (F.col("t") - F.col("a")).alias("r")
+    )
+    tots = ar.groupBy("source").agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("r").cast("long").alias("tr")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    terms = ar.join(tots, "source").select(
+        "source",
+        "ta",
+        "tr",
+        (
+            (dec("a") * dec("tr") - dec("r") * dec("ta")).cast("decimal(38,0)")
+            * _qlog(
+                (dec("a") * dec("tr")).cast("double")
+                / (dec("r") * dec("ta")).cast("double")
+            )
+        ).cast("decimal(38,0)").alias("term"),
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    psi = terms.groupBy("source", "ta", "tr").agg(
+        F.sum("term").cast("decimal(38,0)").alias("s")
+    )
+    return (
+        psi.join(n_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("s").cast("double")
+                / (dec("ta") * dec("tr")).cast("double")
+                / F.lit(1e6)
+            ).alias("psi"),
+        )
+    )
+
+
+def _q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_psi(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_quality_psi": _q_quality_psi})
+
+ORACLES.update(
+    {
+        "corpus_quality_psi": f"""
+WITH counts AS (
+  SELECT source, least(n_chars // {PSI_BAND_CHARS}, {PSI_N_BANDS - 1})::BIGINT AS band,
+         count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, g.band
+  FROM (SELECT DISTINCT source FROM counts) s,
+       (SELECT unnest(generate_series(0, {PSI_N_BANDS - 1}))::BIGINT AS band) g
+),
+a AS (
+  SELECT grid.source, grid.band, COALESCE(c.c, 0) + 1 AS a
+  FROM grid LEFT JOIN counts c ON c.source = grid.source AND c.band = grid.band
+),
+tot_b AS (SELECT band, sum(a)::BIGINT AS t FROM a GROUP BY 1),
+ar AS (
+  SELECT a.source, a.band, a.a, (t.t - a.a)::BIGINT AS r
+  FROM a JOIN tot_b t USING (band)
+),
+tots AS (
+  SELECT source, sum(a)::BIGINT AS "A", sum(r)::BIGINT AS "R"
+  FROM ar GROUP BY 1
+),
+terms AS (
+  SELECT ar.source, tots."A", tots."R",
+         (ar.a * tots."R" - ar.r * tots."A")
+         * CAST(floor((floor(ln((ar.a * tots."R")::DOUBLE
+                              / (ar.r * tots."A")::DOUBLE) * 1e9) + 500)
+                      / 1000.0) AS BIGINT) AS term
+  FROM ar JOIN tots USING (source)
+),
+n_docs AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+SELECT t.source, n.n_docs,
+       sum(t.term)::DOUBLE / (t."A" * t."R")::DOUBLE / 1e6 AS psi
+FROM terms t JOIN n_docs n ON n.source = t.source
+GROUP BY t.source, n.n_docs, t."A", t."R"
+""",
+    }
+)

@@ -1781,3 +1781,153 @@ FROM runs GROUP BY doc_id, grp
 """,
     }
 )
+
+
+def substring_clean(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, clean_text, removed_chars): the corpus with every
+    maximal duplicated substring CUT OUT — the transform Lee et al.
+    actually apply after finding ExactSubstr spans (their models train
+    on the cleaned text, not on a span report).
+
+    Two interval passes over the ``substring_spans`` output: (1) merge
+    spans that overlap in character space (two duplicated runs less
+    than k apart share characters even though their offset runs are
+    disjoint) with a running-max islands window, then (2) rebuild each
+    document from the COMPLEMENT segments — lag gives every merged
+    span its preceding gap, one tail piece closes the document, and
+    the ordered concat is deterministic (array_join over a
+    pos-sorted collect_list / string_agg ORDER BY pos).
+
+    100 TB shape: spans are duplicate-mass-sized, both windows
+    partition by doc_id over span rows only, and the only
+    document-sized work is the final segment substr + per-doc concat
+    (scan-speed, keyed on doc_id)."""
+    from pyspark.sql.window import Window
+
+    spans = substring_spans(docs, k)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.when(
+            F.col("span_start")
+            > F.coalesce(F.max("span_end").over(w_prev), F.lit(-10)) + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("newgrp"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("span_start")
+    merged = (
+        flagged.select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            F.sum("newgrp").over(w_ord).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("span_start").alias("s"), F.max("span_end").alias("e"))
+    )
+    t = docs.select("doc_id", F.col("text").alias("t"))
+    w2 = Window.partitionBy("doc_id").orderBy("s")
+    gaps = merged.select(
+        "doc_id", "s", F.coalesce(F.lag("e").over(w2) + 1, F.lit(1)).alias("ps")
+    )
+    mid = gaps.join(t, "doc_id").select(
+        "doc_id",
+        F.col("ps").alias("pos"),
+        F.expr("substring(t, ps, s - ps)").alias("piece"),
+    )
+    tail = (
+        merged.groupBy("doc_id")
+        .agg(F.max("e").alias("le"))
+        .join(t, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("le") + 1).alias("pos"),
+            F.expr("substring(t, le + 1)").alias("piece"),
+        )
+    )
+    cleaned = (
+        mid.unionByName(tail)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("clean_text")
+        )
+    )
+    return t.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.col("t")).alias("clean_text"),
+        (F.length("t") - F.length(F.coalesce("clean_text", F.col("t"))))
+        .cast("long")
+        .alias("removed_chars"),
+    )
+
+
+def _q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_clean(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_substring_clean": _q_substring_clean})
+
+# Composed from the hash-verified span oracle so the surgery can never
+# drift from the spans it cuts.
+ORACLES.update(
+    {
+        "dedup_substring_clean": f"""
+WITH spans AS ({ORACLES["dedup_substring_exact"]}),
+flagged AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN span_start > COALESCE(
+                max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), -10) + 1
+              THEN 1 ELSE 0 END AS newgrp
+  FROM spans
+),
+grps AS (
+  SELECT doc_id, span_start, span_end,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY span_start) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, grp, min(span_start) AS s, max(span_end) AS e
+  FROM grps GROUP BY 1, 2
+),
+gaps AS (
+  SELECT doc_id, s,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS ps
+  FROM merged
+),
+mid AS (
+  SELECT g.doc_id, g.ps AS pos, substr(d.text, g.ps::INT, (g.s - g.ps)::INT) AS piece
+  FROM gaps g JOIN documents d USING (doc_id)
+),
+tailp AS (SELECT doc_id, max(e) + 1 AS pos FROM merged GROUP BY 1),
+tail2 AS (
+  SELECT t.doc_id, t.pos, substr(d.text, t.pos::INT) AS piece
+  FROM tailp t JOIN documents d USING (doc_id)
+),
+pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tail2),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS clean_text
+  FROM pieces GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(c.clean_text, d.text) AS clean_text,
+       (length(d.text) - length(COALESCE(c.clean_text, d.text)))::BIGINT
+         AS removed_chars
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+""",
+    }
+)

@@ -662,3 +662,105 @@ ORDER BY cnt DESC, pair ASC
 LIMIT {MERGE_K}
 """,
 }
+
+
+# --- round-8 addition: Zipf slope fit -------------------------------------
+
+ZIPF_N = 256
+
+
+def zipf_slope(docs: DataFrame, n: int = ZIPF_N) -> DataFrame:
+    """1-row (n_tokens_fit, slope, intercept): OLS fit of
+    ln(frequency) on ln(rank) over the top-``n`` corpus tokens — the
+    Zipf-law exponent.  A natural-language corpus sits near slope -1;
+    a drift toward 0 flags templated/boilerplate-heavy feeds and a
+    steep slope flags vocabulary collapse (e.g. deduped-to-death or
+    single-domain data) — a one-number corpus-health dial next to
+    ``corpus_vocab_growth``'s Heaps fit.
+
+    Exactness: both logs go through the lm.py SNAPPED micro-nat
+    quantizer (``lm._qlog`` — 1-ulp-safe, tests/test_lm_ulp_stability
+    discipline), so x, y and all OLS moment sums are exact integers;
+    slope is ONE division of two DECIMAL-exact values cast to double,
+    and the intercept derives from the same exact integers.
+
+    100 TB shape: one map-side-combined token count (the vocab_top
+    aggregate), a distributed partial top-k (TakeOrdered — never a
+    global sort), then all arithmetic happens on ``n`` rows."""
+    from pyspark.sql.window import Window
+
+    from .lm import _qlog
+
+    tf = _doc_tokens(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    top = tf.orderBy(F.desc("tf"), F.asc("tok")).limit(n)
+    ranked = top.select(
+        "tf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("tok")))
+        .alias("rank"),
+    )
+    q = ranked.select(
+        _qlog(F.col("rank").cast("double")).alias("x"),
+        _qlog(F.col("tf").cast("double")).alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_tokens_fit"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_zipf_slope": _q_zipf_slope})
+
+ORACLES.update(
+    {
+        "corpus_zipf_slope": f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT tok, count(*)::BIGINT AS tf FROM toks
+  WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1
+),
+top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok ASC LIMIT {ZIPF_N}),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank FROM top
+),
+q AS (
+  SELECT
+    CAST(floor((floor(ln(rank::DOUBLE) * 1e9) + 500) / 1000.0) AS BIGINT) AS x,
+    CAST(floor((floor(ln(tf::DOUBLE) * 1e9) + 500) / 1000.0) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM q
+)
+SELECT n AS n_tokens_fit,
+       (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+       (sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+                     * sx::DOUBLE) / n AS intercept
+FROM s
+""",
+    }
+)

@@ -237,3 +237,36 @@ def test_substring_spans_planted_duplicates(spark):
     assert len([x for x in got if x[0] == 4]) == 2
     # nothing else: unique tails never produce spans
     assert len(got) == 4
+
+
+def test_substring_clean_cuts_planted_spans(spark):
+    """ExactSubstr surgery: every duplicated span is cut from every
+    document (the paper removes all occurrences — the substring
+    appears elsewhere by definition); unique docs pass through
+    untouched; a doc that is a gap between two cut spans keeps exactly
+    the gap."""
+    import random
+
+    from quacfka_service_spark.operators.dedup import substring_clean
+
+    rng = random.Random(7)
+    uniq1, uniq2, uniq3 = (
+        "".join(chr(97 + rng.randrange(26)) for _ in range(120)) for _ in range(3)
+    )
+    dup40 = ("the quick brown fox jumps over xx" + " lazy dog").ljust(40, "z")
+    docs = spark.createDataFrame(
+        [
+            (1, uniq1[:20] + dup40 + uniq1[20:60]),
+            (2, dup40 + uniq2[:50]),
+            (3, uniq3),
+            (4, uniq1[60:95] + uniq2[50:80] + uniq1[60:95]),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["removed_chars"])
+           for r in substring_clean(docs).collect()}
+    assert got[1] == (uniq1[:20] + uniq1[20:60], 42)
+    assert got[2] == (uniq2[:50], 42)
+    assert got[3] == (uniq3, 0)
+    # within-doc repeat: BOTH copies are duplicated spans -> both cut
+    assert got[4] == (uniq2[50:80], 70)
