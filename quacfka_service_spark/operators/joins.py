@@ -282,3 +282,98 @@ JOIN (SELECT * FROM events WHERE event_type = 'signup') r
   ON abs(epoch_us(l.ts) // 1000000 - epoch_us(r.ts) // 1000000) <= {RANGE_BAND_SECS}
 """,
 }
+
+
+# --- round-8 addition: nearest-direction as-of join --------------------------
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """pandas ``merge_asof(direction="nearest")``: for each left row,
+    the right row (same key) minimizing |right.ts - left.ts|; exact
+    ties prefer the BACKWARD match (the at-or-before row), matching
+    the backward-biased tie pandas produces.  NULLs when the key has
+    no right rows at all.
+
+    Composition of the two hash-proven directional kernels: one
+    backward and one forward pass (each a single key exchange + sort),
+    then a per-row microsecond-exact comparison picks the closer side
+    — integer epoch_us arithmetic on both engines, so the choice (and
+    therefore the report) hash-matches.  Same uniqueness contract as
+    asof_join: ``right`` unique per (key, ts)."""
+    b = asof_join(left, right, key, ts, right_cols, prefix="_b_")
+    f = asof_join(left, right, key, ts, right_cols, prefix="_f_", direction="forward")
+    on = list(left.columns)
+    j = b.join(f, on)
+    db = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"_b_{ts}"))
+    df_ = F.unix_micros(F.col(f"_f_{ts}")) - F.unix_micros(F.col(ts))
+    pick_b = F.col(f"_f_{ts}").isNull() | (
+        F.col(f"_b_{ts}").isNotNull() & (db <= df_)
+    )
+    proj = [F.col(c) for c in on]
+    for c in right_cols + [ts]:
+        proj.append(
+            F.when(pick_b, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"{prefix}{c}")
+        )
+    return j.select(*proj)
+
+
+def _q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest purchase in either direction per click, per user."""
+    j = asof_join_nearest(
+        _clicks(spark, sf_dir),
+        _purchases_unique(spark, sf_dir),
+        key="user_id",
+        ts="ts",
+        right_cols=["event_id"],
+        prefix="purchase_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.col("purchase_event_id").cast("long").alias("purchase_event_id"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+
+
+QUERIES.update({"asof_join_nearest": _q_asof_join_nearest})
+
+# DuckDB's ASOF JOIN is directional only, so the nearest oracle ranks
+# each click's candidate purchases by (|epoch_us diff| ASC, ts ASC) —
+# the ts ASC tie-break IS the backward preference (the earlier of two
+# equidistant purchases is the at-or-before one).
+ORACLES.update(
+    {
+        "asof_join_nearest": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+cand AS (
+  SELECT l.event_id, l.user_id, l.ts, r0.purchase_event_id, r0.ts AS pts,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(epoch_us(l.ts) - epoch_us(r0.ts)) ASC, r0.ts ASC
+         ) AS rn
+  FROM l JOIN r0 USING (user_id)
+)
+SELECT l.event_id, l.user_id, l.ts::VARCHAR AS ts,
+       c.purchase_event_id, c.pts::VARCHAR AS purchase_ts
+FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.event_id = l.event_id
+""",
+    }
+)

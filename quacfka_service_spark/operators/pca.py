@@ -131,13 +131,29 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _power_iter(cov: list[list[float]], dim: int, n_iter: int):
+    """(v, lam): n_iter power iterations from v0 = 1/8 plus the
+    Rayleigh quotient — plain-Python IEEE scalar math (module
+    docstring, regime 2), shared by pca_power/_project/_top2."""
+    v = [0.125] * dim  # 1/8: exact binary fraction
+    for _ in range(n_iter):
+        w = [_py_dot(row, v) for row in cov]
+        nrm = math.sqrt(_py_dot(w, w))
+        # degenerate (empty/zero) corpus: IEEE 0/0 = NaN, but Python
+        # raises — emit the NaN Spark's division produced in r5-r7
+        v = [wi / nrm if nrm != 0.0 else float("nan") for wi in w]
+    w = [_py_dot(row, v) for row in cov]  # Rayleigh quotient
+    return v, _py_dot(v, w)
+
+
 def _pca_state(emb: DataFrame, dim: int, n_iter: int):
-    """Shared tail state: (mu mean list, v final unit eigenvector
-    list, lam Rayleigh eigenvalue) — used by pca_power and pca_project
-    so both expose the identical converged vector.  Spark does the two
-    data-sized passes (mean, blocked Gram); the d x d covariance is
-    collected (bounded) and the power iterations run driver-side in
-    Python (module docstring, regime 2)."""
+    """Shared tail state: (mu mean list, cov d x d matrix, v final
+    unit eigenvector list, lam Rayleigh eigenvalue) — used by
+    pca_power / pca_project / pca_top2 so all expose the identical
+    converged vector.  Spark does the two data-sized passes (mean,
+    blocked Gram); the d x d covariance is collected (bounded) and the
+    power iterations run driver-side in Python (module docstring,
+    regime 2)."""
     x = emb.select(F.col("embedding").cast("array<double>").alias("x")).where(
         F.size("x") == dim
     )
@@ -192,16 +208,8 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
         # same two IEEE divisions the r5-r7 Spark projection applied
         cov[r["j"]][r["k"]] = r["s"] / PCA_Q / n
 
-    v = [0.125] * dim  # 1/8: exact binary fraction
-    for _ in range(n_iter):
-        w = [_py_dot(row, v) for row in cov]
-        nrm = math.sqrt(_py_dot(w, w))
-        # degenerate (empty/zero) corpus: IEEE 0/0 = NaN, but Python
-        # raises — emit the NaN Spark's division produced in r5-r7
-        v = [wi / nrm if nrm != 0.0 else float("nan") for wi in w]
-    w = [_py_dot(row, v) for row in cov]  # Rayleigh quotient
-    lam = _py_dot(v, w)
-    return mu_vals, v, lam
+    v, lam = _power_iter(cov, dim, n_iter)
+    return mu_vals, cov, v, lam
 
 
 def pca_power(
@@ -211,7 +219,7 @@ def pca_power(
     embedding corpus — component index, loadings of the unit
     eigenvector, and the Rayleigh-quotient eigenvalue (module
     docstring)."""
-    _, v, lam = _pca_state(emb, dim, n_iter)
+    _, _, v, lam = _pca_state(emb, dim, n_iter)
     return emb.sparkSession.createDataFrame(
         [(j + 1, v[j], lam) for j in range(dim)],
         "j long, loading double, eigenvalue double",
@@ -227,7 +235,7 @@ def pca_project(
     vector (both bounded d-length lists): proj = <x - mu, v>, one
     sequential fold per row (same list_dot_product parity as the
     iteration) — zero joins, zero exchanges."""
-    mu, v, _ = _pca_state(emb, dim, n_iter)
+    mu, _, v, _ = _pca_state(emb, dim, n_iter)
     mu_lit = F.array(*[F.lit(float(m)) for m in mu])
     v_lit = F.array(*[F.lit(float(c)) for c in v])
     xid = emb.select(
@@ -329,3 +337,85 @@ ORACLES = {
     "embedding_pca_power": _pca_power_oracle(),
     "embedding_pca_project": _pca_project_oracle(),
 }
+
+
+# --- round-8 addition: second component via deflation -----------------------
+
+
+def pca_top2(emb: DataFrame, dim: int = PCA_DIM, n_iter: int = PCA_ITERS) -> DataFrame:
+    """(component, j, loading, eigenvalue): the top TWO principal
+    components — component 1 is pca_power's vector, component 2 comes
+    from Hotelling deflation (C2 = C - lam1 * v1 v1^T, then the same
+    power iteration; Golub & Van Loan §8.2) — enough to plot a corpus
+    map or measure anisotropy RATIO (lam1/lam2), the usual follow-up
+    to the top-1 question.
+
+    All deflation arithmetic happens on the collected (bounded) d x d
+    matrix in plain Python with fixed operation order
+    (row[k] - (lam * v[j]) * v[k], left-assoc), so the oracle's
+    list_transform replay is bit-identical; the corpus is still read
+    exactly twice (mean + blocked Gram), same as pca_power.
+    """
+    _, cov, v1, lam1 = _pca_state(emb, dim, n_iter)
+    cov2 = [
+        [cov[j][k] - lam1 * v1[j] * v1[k] for k in range(dim)] for j in range(dim)
+    ]
+    v2, lam2 = _power_iter(cov2, dim, n_iter)
+    rows = [(1, j + 1, v1[j], lam1) for j in range(dim)] + [
+        (2, j + 1, v2[j], lam2) for j in range(dim)
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "component long, j long, loading double, eigenvalue double"
+    )
+
+
+def _q_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_top2(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES.update({"embedding_pca_top2": _q_pca_top2})
+
+
+def _pca_top2_oracle() -> str:
+    prefix, prev, d = _pca_prefix()
+    steps = []
+    p2 = "v2_0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"w2_{t} AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {p2})) AS wj FROM rows2),\n"
+            f"v2_{t} AS MATERIALIZED (SELECT list_transform(w, e -> e / sqrt(list_dot_product(w, w))) AS v\n"
+            f"         FROM (SELECT list(wj ORDER BY j) AS w FROM w2_{t}))"
+        )
+        p2 = f"v2_{t}"
+    steps_sql = ",\n".join(steps)
+    return f"""{prefix},
+wF AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),
+lam1 AS MATERIALIZED (SELECT list_dot_product((SELECT v FROM {prev}),
+                                              list(wj ORDER BY j)) AS ev FROM wF),
+rows2 AS MATERIALIZED (
+  -- deflation C2 = C - lam1 * v1 v1^T; lam/v joined in (DuckDB
+  -- disallows subqueries inside lambda bodies), (lam * v[j]) * v[kk]
+  -- left-assoc to match the Python replay
+  SELECT r.j, list_transform(generate_series(1, {d}),
+               kk -> r.row[kk] - l.ev * vv.v[r.j] * vv.v[kk]) AS row
+  FROM rows r, lam1 l, {prev} vv
+),
+v2_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, {d}), i -> 0.125) AS v),
+{steps_sql},
+wF2 AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {p2})) AS wj FROM rows2),
+lam2 AS MATERIALIZED (SELECT list_dot_product((SELECT v FROM {p2}),
+                                              list(wj ORDER BY j)) AS ev FROM wF2),
+gen AS (SELECT unnest(generate_series(1, {d})) AS j)
+SELECT 1::BIGINT AS component, g.j::BIGINT AS j,
+       (SELECT v FROM {prev})[g.j] AS loading,
+       (SELECT ev FROM lam1) AS eigenvalue
+FROM gen g
+UNION ALL
+SELECT 2::BIGINT, g.j::BIGINT,
+       (SELECT v FROM {p2})[g.j],
+       (SELECT ev FROM lam2)
+FROM gen g
+"""
+
+
+ORACLES.update({"embedding_pca_top2": _pca_top2_oracle()})

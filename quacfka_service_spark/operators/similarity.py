@@ -1648,3 +1648,98 @@ hits AS (
 SELECT method, n_hit, n_exact, n_hit / n_exact AS recall_at_k
 FROM hits CROSS JOIN ne
 """
+
+
+# --- round-8 addition: Matryoshka truncation recall -------------------------
+
+MRL_DIMS = (16, 32)
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    dims: tuple[int, ...] = MRL_DIMS,
+    k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """(method, n_hit, n_exact, recall_at_k): recall@k of exact search
+    over PREFIX-TRUNCATED embeddings (first 16 / 32 dims) against the
+    full-dimension exact top-k — the evaluation behind Matryoshka
+    Representation Learning deployments (Kusupati et al. 2022): serve
+    a cheap low-dim prefix index, keep the full vector for rerank, and
+    dashboard how much recall each truncation buys back.  On MRL-
+    trained embeddings the 16-dim prefix recalls most of the full
+    list; on non-nested embeddings (this fixture's isotropic noise) it
+    degrades toward chance — exactly the regime question the report
+    answers.
+
+    Both arms are exact brute-force retrievals (truncation is a
+    column-algebra slice), so the whole report is oracle-checkable set
+    algebra — the _recall_rows tail shared with recall_report.
+
+    100 TB shape: inherits brute_force_topk's broadcast-queries /
+    partial-top-k plan at each dim; the truncated passes read
+    proportionally fewer vector bytes (the production win MRL exists
+    for)."""
+    exact = brute_force_topk(emb, k, query_mod).select("q_id", "neighbor_id")
+    v = F.col("embedding").cast("array<double>")
+    methods = tuple(
+        (
+            f"dim{m}",
+            brute_force_topk(
+                emb.select("vec_id", F.slice(v, 1, m).alias("embedding")),
+                k,
+                query_mod,
+            ),
+        )
+        for m in dims
+    )
+    return _recall_rows(exact, methods)
+
+
+def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_recall(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES.update({"embedding_matryoshka_recall": _q_matryoshka_recall})
+
+
+def _bft_sql(v_expr: str) -> str:
+    """Exact brute-force top-k oracle over an arbitrary vector
+    expression — the similarity_topk SQL parameterized by the slice
+    (composed into the matryoshka report below)."""
+    return f"""
+WITH d AS (
+  SELECT vec_id, {v_expr} AS v,
+         sqrt(list_dot_product({v_expr}, {v_expr})) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM d WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, d.vec_id AS neighbor_id,
+         list_dot_product(d.v, q.qv) / (d.nrm * q.qn) AS cos
+  FROM d CROSS JOIN q
+  WHERE d.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id FROM (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES["embedding_matryoshka_recall"] = f"""
+WITH exact AS ({_bft_sql("embedding::DOUBLE[]")}),
+d16 AS ({_bft_sql(f"(embedding::DOUBLE[])[1:{MRL_DIMS[0]}]")}),
+d32 AS ({_bft_sql(f"(embedding::DOUBLE[])[1:{MRL_DIMS[1]}]")}),
+ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+hits AS (
+  SELECT 'dim{MRL_DIMS[0]}' AS method, count(*)::BIGINT AS n_hit
+  FROM d16 JOIN exact USING (q_id, neighbor_id)
+  UNION ALL
+  SELECT 'dim{MRL_DIMS[1]}', count(*)::BIGINT
+  FROM d32 JOIN exact USING (q_id, neighbor_id)
+)
+SELECT method, n_hit, n_exact, n_hit / n_exact AS recall_at_k
+FROM hits CROSS JOIN ne
+"""
