@@ -151,3 +151,103 @@ FROM {prev}
 
 
 ORACLES = {"dedup_graph_pagerank": _pr_oracle()}
+
+
+# --- round-8 addition: triangle counting ------------------------------------
+
+
+def triangles_neardup(
+    emb: DataFrame, threshold: float = GATE_COSINE_THRESHOLD
+) -> DataFrame:
+    """(vec_id, n_triangles): per-node triangle membership over the
+    near-duplicate graph — the densest-clique signal PageRank misses:
+    a component that is one big triangle-rich clique is a template
+    family (safe to keep a single exemplar), while a triangle-free
+    star of the same size is a hub with distinct leaves (keep the
+    leaves, audit the hub).  Classic node-iterator formulation on the
+    canonical a<b edge list: wedge join (a,b)x(b,c) then a semi-join
+    closure check for (a,c), so each triangle materializes exactly
+    once as a<b<c.  Only nodes in >= 1 triangle are emitted.
+
+    All integer arithmetic over the hash-proven ``dedup_embedding``
+    pair emitter — engine-exact by construction.
+
+    100 TB shape: both joins key on edge endpoints and the wedge
+    stream is sum(deg^2)-bounded — the standard distributed triangle
+    cost, bounded by near-dup density, never corpus-sized; the
+    canonical orientation (low id -> high id) caps per-key wedge
+    fan-out at the out-degree of the ordered graph (the classic
+    high-degree-vertex mitigation)."""
+    pairs = embedding_neardup(emb, threshold).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e = pairs.localCheckpoint(eager=False)
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = w.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "left_semi",
+    )
+    members = (
+        tri.select(F.col("x").alias("vec_id"))
+        .unionAll(tri.select(F.col("y").alias("vec_id")))
+        .unionAll(tri.select(F.col("z").alias("vec_id")))
+    )
+    return members.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+# Registered at a lower gate than the dedup keys: the synthetic corpus
+# has 26 near-dup EDGES but zero closed triangles at 0.35 (a vacuous
+# oracle check); 0.25 yields 27/35 triangle-member nodes at
+# sf0.01/sf0.001 while keeping the wedge stream pair-mass-bounded.
+TRIANGLE_THRESHOLD = 0.25
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles_neardup(
+        load_table(spark, sf_dir, "embeddings"), TRIANGLE_THRESHOLD
+    )
+
+
+QUERIES.update({"dedup_graph_triangles": _q_triangles})
+
+# Composed from the hash-proven dedup_embedding pair oracle.
+ORACLES.update(
+    {
+        "dedup_graph_triangles": f"""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {TRIANGLE_THRESHOLD}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+  SELECT x AS vec_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT vec_id, count(*)::BIGINT AS n_triangles
+FROM members GROUP BY 1
+""",
+    }
+)

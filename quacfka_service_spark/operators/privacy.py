@@ -211,3 +211,62 @@ SELECT
 FROM planted
 """,
 }
+
+
+# --- round-8 addition: l-diversity audit ------------------------------------
+
+L_DIVERSITY = 3
+
+
+def l_diversity(
+    docs: DataFrame,
+    quasi: tuple[str, ...] = ("source", "len_bin"),
+    sensitive: str = "lang",
+    l: int = L_DIVERSITY,
+) -> DataFrame:
+    """(quasi..., n_docs, l_distinct, meets_l): distinct-l-diversity
+    audit (Machanavajjhala et al. 2007) — k-anonymity's blind spot is
+    a large group whose SENSITIVE attribute is uniform (the
+    "homogeneity attack": group size k tells you nothing if all k
+    share the secret).  Reports, per quasi-identifier group, the
+    number of distinct sensitive values and whether it clears ``l``.
+    Release gate = k_anonymize AND meets_l.
+
+    All integer arithmetic (count, exact distinct-count, one
+    comparison) — engine-exact by construction.
+
+    100 TB shape: one hash agg on the bounded quasi-id key space; the
+    exact distinct costs Catalyst's expand rewrite on the same key
+    space (sensitive cardinality is attribute-bounded)."""
+    g = docs.groupBy(*quasi).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(sensitive).cast("long").alias("l_distinct"),
+    )
+    return g.select(
+        *quasi, "n_docs", "l_distinct", (F.col("l_distinct") >= l).alias("meets_l")
+    )
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("CAST(n_chars DIV 100 AS STRING)").alias("len_bin"),
+        "lang",
+    )
+    return l_diversity(docs)
+
+
+QUERIES.update({"privacy_l_diversity": _q_l_diversity})
+
+ORACLES.update(
+    {
+        "privacy_l_diversity": f"""
+SELECT source, (n_chars // 100)::VARCHAR AS len_bin,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS l_distinct,
+       count(DISTINCT lang) >= {L_DIVERSITY} AS meets_l
+FROM documents
+GROUP BY 1, 2
+""",
+    }
+)

@@ -764,3 +764,57 @@ FROM s
 """,
     }
 )
+
+
+# --- round-8 addition: tokenizer fertility by language ----------------------
+
+
+def token_fertility(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(lang, n_docs, n_words, n_bpe_tokens, fertility): BPE tokens
+    per whitespace word, by language — the tokenizer-equity dashboard
+    (a tokenizer trained on mixed data "taxes" under-represented
+    languages with higher fertility — more tokens per word means more
+    compute and shorter effective context for the same text; the
+    standard multilingual-tokenizer evaluation).
+
+    Composed on the merge-replay-verified ``bpe_encode`` per-doc
+    counts: the join adds lang, the per-lang sums are exact integers,
+    fertility is ONE BIGINT/BIGINT -> DOUBLE division.
+
+    100 TB shape: inherits bpe_encode's one-corpus-pass + vocab-sized
+    merge table; the fertility agg is |langs| rows."""
+    enc = bpe_encode(docs.select("doc_id", "text"), n_merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+        )
+    )
+
+
+def _q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_fertility(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_token_fertility": _q_token_fertility})
+
+# Composed from the tokenizer_bpe_encode merge-replay oracle.
+ORACLES["corpus_token_fertility"] = f"""
+WITH enc AS ({ORACLES["tokenizer_bpe_encode"]})
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(e.n_tokens)::BIGINT AS n_words,
+       sum(e.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+       sum(e.n_bpe_tokens)::BIGINT / sum(e.n_tokens)::BIGINT AS fertility
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""

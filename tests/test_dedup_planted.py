@@ -270,3 +270,51 @@ def test_substring_clean_cuts_planted_spans(spark):
     assert got[3] == (uniq3, 0)
     # within-doc repeat: BOTH copies are duplicated spans -> both cut
     assert got[4] == (uniq2[50:80], 70)
+
+
+def test_triangles_planted_clique_star_trio(spark):
+    """Triangle counting: a tight trio yields one triangle (each
+    member in 1), a 4-clique yields C(4,3)=4 triangles (each member in
+    3), and a hub-and-spokes star — edges but no closure — yields
+    NOTHING.  Families live in orthogonal subspaces so no cross edges
+    exist at the 0.35 gate."""
+    from quacfka_service_spark.operators.graph import triangles_neardup
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def e(i, bump=None, d=10):
+        v = [0.0] * d
+        v[i] = 1.0
+        if bump is not None:
+            v[bump] = 0.05  # tiny perturbation: cos stays ~0.999
+        return unit(v)
+
+    rows = []
+    # star: hub 0 = e1; leaves 1..3 = e1 + 1.5*e{2,3,4}
+    rows.append((0, 0, e(0)))
+    for i, dim in enumerate((1, 2, 3), start=1):
+        v = [0.0] * 10
+        v[0] = 1.0
+        v[dim] = 1.5
+        rows.append((i, 0, unit(v)))  # cos(hub, leaf) ~ 0.55; leaf-leaf ~ 0.31
+    # trio: 10..12 near-identical around e5
+    rows.append((10, 0, e(4)))
+    rows.append((11, 0, e(4, bump=5)))
+    rows.append((12, 0, e(4, bump=6)))
+    # 4-clique: 20..23 near-identical around normalize(e7+e8+e9+e10)
+    base = unit([0.0] * 6 + [1.0, 1.0, 1.0, 1.0])
+    rows.append((20, 0, base))
+    for j, bump in enumerate((0, 1, 2), start=21):
+        v = list(base)
+        v[bump] += 0.05
+        rows.append((j, 0, unit(v)))
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, label BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        r["vec_id"]: r["n_triangles"]
+        for r in triangles_neardup(emb, threshold=0.35).collect()
+    }
+    assert got == {10: 1, 11: 1, 12: 1, 20: 3, 21: 3, 22: 3, 23: 3}, got
