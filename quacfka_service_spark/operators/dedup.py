@@ -1719,11 +1719,19 @@ def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     surviving duplicated offsets (duplicate-mass-sized, not
     corpus-sized).  Raise k or sample offsets (stride) to trade recall
     for throughput; the semantics knob is k itself."""
+    return _spans_from_occ(_gram_occurrences(docs, k), k)
+
+
+def _gram_occurrences(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, off, g): the per-offset k-gram md5 stream — the
+    linear ExactSubstr ingest pass, shared by the batch operator and
+    the streaming ``IncrementalSubstringDeduper`` (which pays it once
+    per document at ingest and stores the result).  Gram hashes are
+    built INSIDE one projection (SQL transform — python-side
+    F.substring takes only literal start positions), so exploded rows
+    carry the 32-hex hash, never the document text."""
     t = docs.select("doc_id", F.col("text").alias("t")).where(F.length("t") >= k)
-    # gram hashes are built INSIDE one projection (SQL transform —
-    # python-side F.substring takes only literal start positions), so
-    # exploded rows carry the 32-hex hash, never the document text
-    occ = (
+    return (
         t.select(
             "doc_id",
             F.posexplode_outer(
@@ -1736,6 +1744,11 @@ def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         .where(F.col("g").isNotNull())
         .select("doc_id", (F.col("p") + 1).alias("off"), "g")
     )
+
+
+def _spans_from_occ(occ: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Maximal-span tail over a gram-occurrence stream: corpus-count
+    >= 2 filter, per-doc islands merge (substring_spans docstring)."""
     dup = occ.groupBy("g").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
     d = occ.join(dup.select("g"), "g", "left_semi").select("doc_id", "off")
     from pyspark.sql.window import Window
