@@ -83,6 +83,13 @@ HEADLINE = [
     "embedding_pca_power",
     "text_tfidf_topk",
     "quality_expectations",
+    # round-8 additions (same non-comparability caveat)
+    "dedup_substring_exact",
+    "corpus_zipf_slope",
+    "corpus_quality_psi",
+    "embedding_pca_top2",
+    "asof_join_nearest",
+    "dedup_graph_triangles",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.
