@@ -163,7 +163,17 @@ def ngram_jaccard_pairs(
     # recomputes).
     from pyspark import StorageLevel
 
-    sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    # doc_id repartition before shingling: same rationale (and
+    # measurement) as minhash_estimate — a sub-128 MB documents scan
+    # arrives as 1-2 partitions and would serialize the regex split +
+    # shingle transform + downstream explode on a couple of cores; the
+    # exchange is docs-sized and buys parallelism for the ~10x bigger
+    # shingle stream.
+    sh = _track_persist(
+        doc_shingles(docs.repartition("doc_id")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     # explode_outer + post-filter: see minhash_signatures for why.
     ex_all = (
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
@@ -527,7 +537,17 @@ def containment_pairs(
     anti-join, pair blocks bounded at max_df^2/2."""
     from pyspark import StorageLevel
 
-    sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    # doc_id repartition before shingling: same rationale (and
+    # measurement) as minhash_estimate — a sub-128 MB documents scan
+    # arrives as 1-2 partitions and would serialize the regex split +
+    # shingle transform + downstream explode on a couple of cores; the
+    # exchange is docs-sized and buys parallelism for the ~10x bigger
+    # shingle stream.
+    sh = _track_persist(
+        doc_shingles(docs.repartition("doc_id")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     ex_all = (
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
@@ -1019,20 +1039,28 @@ def connected_components(
     ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):
+        # self rows carry a tag so the SAME aggregate produces both the
+        # new min-label and the old (self) label — convergence is then
+        # one agg over the lazily-checkpointed result, so each round
+        # costs ONE job instead of two (r8: the old separate
+        # new-vs-old probe join doubled per-round scheduling overhead)
         prop = sym.join(labels, sym["d"] == labels["v"]).select(
-            F.col("s").alias("v"), F.col("lbl")
+            F.col("s").alias("v"), F.col("lbl"), F.lit(0).alias("slf")
         )
-        new_labels = (
-            labels.union(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+        new_full = (
+            labels.select("v", "lbl", F.lit(1).alias("slf"))
+            .union(prop)
+            .groupBy("v")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(F.when(F.col("slf") == 1, F.col("lbl"))).alias("old"),
+            )
+            .localCheckpoint(eager=False)
         )
-        labels = new_labels
+        changed = new_full.agg(
+            F.sum(F.when(F.col("lbl") != F.col("old"), 1).otherwise(0))
+        ).collect()[0][0]
+        labels = new_full.select("v", "lbl")
         if changed == 0:
             converged = True
             break
