@@ -419,3 +419,81 @@ FROM gen g
 
 
 ORACLES.update({"embedding_pca_top2": _pca_top2_oracle()})
+
+
+def whiten_2d(emb: DataFrame, dim: int = PCA_DIM, n_iter: int = PCA_ITERS) -> DataFrame:
+    """(vec_id, w1, w2): every embedding's whitened coordinates along
+    the top two principal directions — w_i = <x - mu, v_i> / sqrt(lam_i)
+    — the 2-D corpus map (cluster inspection, outlier triage) with
+    unit variance per axis, and the first two columns of a PCA
+    whitening transform.
+
+    Map-only: mu, v1, v2 and the two sqrt(lam) scalars inline as
+    literals (all driver-side state is bounded — same collect-and-
+    inline discipline as pca_project), so the corpus pass is one
+    projection with two sequential folds per row; zero joins, zero
+    exchanges beyond the two _pca_state passes."""
+    mu, cov, v1, lam1 = _pca_state(emb, dim, n_iter)
+    cov2 = [
+        [cov[j][k] - lam1 * v1[j] * v1[k] for k in range(dim)] for j in range(dim)
+    ]
+    v2, lam2 = _power_iter(cov2, dim, n_iter)
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    v1_lit = F.array(*[F.lit(float(c)) for c in v1])
+    v2_lit = F.array(*[F.lit(float(c)) for c in v2])
+    s1 = F.lit(math.sqrt(lam1)) if lam1 == lam1 and lam1 >= 0 else F.lit(float("nan"))
+    s2 = F.lit(math.sqrt(lam2)) if lam2 == lam2 and lam2 >= 0 else F.lit(float("nan"))
+    xid = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).where(F.size("x") == dim)
+    c = F.zip_with("x", mu_lit, lambda a, b: a - b)
+    return xid.select(
+        "vec_id",
+        (_dot(c, v1_lit) / s1).alias("w1"),
+        (_dot(c, v2_lit) / s2).alias("w2"),
+    )
+
+
+def _q_whiten_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return whiten_2d(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES.update({"embedding_whiten_2d": _q_whiten_2d})
+
+
+def _whiten_oracle() -> str:
+    prefix, prev, d = _pca_prefix()
+    steps = []
+    p2 = "v2_0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"w2_{t} AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {p2})) AS wj FROM rows2),\n"
+            f"v2_{t} AS MATERIALIZED (SELECT list_transform(w, e -> e / sqrt(list_dot_product(w, w))) AS v\n"
+            f"         FROM (SELECT list(wj ORDER BY j) AS w FROM w2_{t}))"
+        )
+        p2 = f"v2_{t}"
+    steps_sql = ",\n".join(steps)
+    return f"""{prefix},
+wF AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {prev})) AS wj FROM rows),
+lam1 AS MATERIALIZED (SELECT list_dot_product((SELECT v FROM {prev}),
+                                              list(wj ORDER BY j)) AS ev FROM wF),
+rows2 AS MATERIALIZED (
+  SELECT r.j, list_transform(generate_series(1, {d}),
+               kk -> r.row[kk] - l.ev * vv.v[r.j] * vv.v[kk]) AS row
+  FROM rows r, lam1 l, {prev} vv
+),
+v2_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, {d}), i -> 0.125) AS v),
+{steps_sql},
+wF2 AS MATERIALIZED (SELECT j, list_dot_product(row, (SELECT v FROM {p2})) AS wj FROM rows2),
+lam2 AS MATERIALIZED (SELECT list_dot_product((SELECT v FROM {p2}),
+                                              list(wj ORDER BY j)) AS ev FROM wF2)
+SELECT cent.vec_id,
+       list_dot_product(cent.c, (SELECT v FROM {prev}))
+         / sqrt((SELECT ev FROM lam1)) AS w1,
+       list_dot_product(cent.c, (SELECT v FROM {p2}))
+         / sqrt((SELECT ev FROM lam2)) AS w2
+FROM cent
+"""
+
+
+ORACLES.update({"embedding_whiten_2d": _whiten_oracle()})
