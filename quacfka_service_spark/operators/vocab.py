@@ -720,6 +720,7 @@ def zipf_slope(docs: DataFrame, n: int = ZIPF_N) -> DataFrame:
         (
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
             / F.col("n")
+            / F.lit(1e6)  # micro-nats -> nats (slope is unit-free)
         ).alias("intercept"),
     )
 
@@ -759,7 +760,7 @@ s AS (
 SELECT n AS n_tokens_fit,
        (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
        (sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
-                     * sx::DOUBLE) / n AS intercept
+                     * sx::DOUBLE) / n / 1e6 AS intercept
 FROM s
 """,
     }

@@ -1,0 +1,150 @@
+"""Plan pins + semantic checks for the round-8 operators — the
+load-bearing physical-plan properties (PLANS.md round-8 section) so
+they cannot silently regress, plus non-vacuity semantics the oracle
+multiset check alone would not prove."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quacfka_service_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_partial_aggregation,
+)
+from quacfka_service_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").localCheckpoint()
+
+
+def test_zipf_slope_uses_partial_topk_not_global_sort(docs):
+    from quacfka_service_spark.operators.vocab import zipf_slope
+
+    df = zipf_slope(docs)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # distributed partial top-k
+    assert "CartesianProduct" not in plan
+    row = df.collect()[0]
+    # the synthetic corpus has a tiny (31-token) vocabulary, so the
+    # exponent is shallow — pin the sign and sane magnitudes, and that
+    # the intercept is in NATS (ln of the top frequency, single digits)
+    assert row["n_tokens_fit"] > 0
+    assert -2.0 < row["slope"] < -0.05, row
+    assert 0.0 < row["intercept"] < 25.0, row
+
+
+def test_quality_psi_single_corpus_agg_and_detects_drift(spark, docs):
+    from quacfka_service_spark.operators.corpus import quality_psi
+
+    plan = formatted_plan(quality_psi(docs))
+    assert "CartesianProduct" not in plan
+    base = {r["source"]: r["psi"] for r in quality_psi(docs).collect()}
+    assert base and all(p >= 0 for p in base.values())
+    # plant a truncated feed: every doc cut to < one band width
+    drifted = docs.unionByName(
+        docs.limit(200).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.substring("text", 1, 30).alias("text"),
+            "lang",
+            F.lit("zz_truncated").alias("source"),
+            F.lit(30).cast(docs.schema["n_chars"].dataType).alias("n_chars"),
+        )
+    )
+    got = {r["source"]: r["psi"] for r in quality_psi(drifted).collect()}
+    assert got["zz_truncated"] > max(base.values()), got
+
+
+def test_whiten_2d_corpus_pass_is_map_only(emb):
+    from quacfka_service_spark.operators.pca import whiten_2d
+
+    df = whiten_2d(emb)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0
+    assert "Join" not in plan and "Window" not in plan
+    # whitened axes have ~unit variance on the fixture (sanity, loose)
+    import math
+
+    rows = df.collect()
+    n = len(rows)
+    for col in ("w1", "w2"):
+        m = sum(r[col] for r in rows) / n
+        var = sum((r[col] - m) ** 2 for r in rows) / n
+        assert 0.5 < var < 2.0, (col, var)
+
+
+def test_asof_nearest_no_nested_loop_and_tie_prefers_backward(spark):
+    from quacfka_service_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:10")], "event_id long, user_id long, ts string"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:00:05"),  # 5s before
+            (200, 1, "2024-01-01 00:00:15"),  # 5s after (exact tie)
+            (300, 1, "2024-01-01 00:00:30"),
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = asof_join_nearest(
+        left, right.select("user_id", "ts", "event_id"),
+        key="user_id", ts="ts", right_cols=["event_id"], prefix="r_",
+    ).collect()
+    assert len(out) == 1 and out[0]["r_event_id"] == 100  # backward wins ties
+    plan = formatted_plan(
+        asof_join_nearest(
+            left, right.select("user_id", "ts", "event_id"),
+            key="user_id", ts="ts", right_cols=["event_id"],
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_recall_full_dim_is_perfect_and_truncation_degrades(emb):
+    from quacfka_service_spark.operators.similarity import (
+        EMB_DIM,
+        matryoshka_recall,
+    )
+
+    out = {r["method"]: r for r in matryoshka_recall(emb, dims=(EMB_DIM, 16)).collect()}
+    # the "truncation" to the FULL dim must recall everything — exact
+    # self-agreement pins the set algebra itself
+    assert out[f"dim{EMB_DIM}"]["recall_at_k"] == 1.0
+    # 16 of 64 isotropic dims must lose real recall (non-vacuity)
+    assert out["dim16"]["recall_at_k"] < 1.0
+    assert out["dim16"]["n_exact"] == out[f"dim{EMB_DIM}"]["n_exact"]
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from quacfka_service_spark.operators.privacy import l_diversity
+
+    rows = [(f"s{i % 2}", "b0", ["en", "fr", "de"][i % 3]) for i in range(30)]
+    rows += [("s9", "b9", "en")] * 10  # large but HOMOGENEOUS group
+    docs = spark.createDataFrame(rows, "source string, len_bin string, lang string")
+    got = {
+        (r["source"], r["len_bin"]): (r["l_distinct"], bool(r["meets_l"]))
+        for r in l_diversity(docs).collect()
+    }
+    assert got[("s9", "b9")] == (1, False)  # k-anonymous yet unsafe
+    assert got[("s0", "b0")][1] and got[("s1", "b0")][1]
+
+
+def test_substring_kernel_rows_carry_hash_not_text(docs):
+    from quacfka_service_spark.operators.dedup import _gram_occurrences
+
+    occ = _gram_occurrences(docs)
+    assert occ.columns == ["doc_id", "off", "g"]
+    r = occ.limit(1).collect()[0]
+    assert len(r["g"]) == 32  # md5 hex, never document text
