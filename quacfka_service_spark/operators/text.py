@@ -972,3 +972,111 @@ WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
 
 
 ORACLES.update({"corpus_vocab_growth": _vocab_growth_oracle()})
+
+
+# --- round-8 addition: per-document token entropy ----------------------------
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, entropy): Shannon entropy (nats) of
+    each document's token distribution — the repetition/diversity dial
+    the Gopher-style quality suite reads next to text_repetition: near
+    0 means the doc is one token stamped over and over (boilerplate,
+    degenerate generations), ln(n_types) means perfectly even usage.
+    entropy = -sum_t (c_t/n) ln(c_t/n).
+
+    Exactness: each log term rides lm.py's SNAPPED micro-nat quantizer
+    (1-ulp-safe, the test_lm_ulp_stability discipline), each term is
+    the exact integer c_t * qlog(c_t/n), per-doc sums are exact, and
+    the emitted entropy is two IEEE divisions of the exact sum —
+    hash-identical across engines.  Empty docs are kept at entropy 0
+    (a quality gate must see them).
+
+    100 TB shape: one map-side-combined (doc, token) count, one
+    doc-keyed agg — the wordcount pair, nothing corpus-quadratic."""
+    from .lm import _qlog
+
+    toks = (
+        docs.select("doc_id", F.explode_outer(_words(F.col("text"))).alias("tok"))
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    ct = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = ct.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    # ct and per are both hash-partitioned on doc_id after their aggs,
+    # so the term join adds no exchange
+    terms = ct.join(per, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (
+            F.col("c")
+            * _qlog(F.col("c").cast("double") / F.col("n_tokens").cast("double"))
+        ).cast("long").alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id", "n_tokens", "n_types")
+        .agg(F.sum("term").cast("long").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            (-F.col("s").cast("double") / F.col("n_tokens") / F.lit(1e6)).alias(
+                "entropy"
+            ),
+        )
+        .unionByName(
+            docs.join(toks.select("doc_id").distinct(), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("n_types"),
+                F.lit(0.0).alias("entropy"),
+            )
+        )
+    )
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"text_token_entropy": _q_token_entropy})
+
+ORACLES.update(
+    {
+        "text_token_entropy": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+ct AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+  FROM ct GROUP BY 1
+),
+terms AS (
+  SELECT ct.doc_id,
+         ct.c * CAST(floor((floor(ln(ct.c::DOUBLE / p.n_tokens::DOUBLE) * 1e9)
+                            + 500) / 1000.0) AS BIGINT) AS term
+  FROM ct JOIN per p USING (doc_id)
+),
+scored AS (
+  SELECT p.doc_id, p.n_tokens, p.n_types,
+         -sum(t.term)::DOUBLE / p.n_tokens / 1e6 AS entropy
+  FROM per p JOIN terms t USING (doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_tokens, n_types, entropy FROM scored
+UNION ALL
+SELECT d.doc_id, 0::BIGINT, 0::BIGINT, 0.0::DOUBLE
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE per.doc_id IS NULL
+""",
+    }
+)

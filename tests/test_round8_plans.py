@@ -148,3 +148,21 @@ def test_substring_kernel_rows_carry_hash_not_text(docs):
     assert occ.columns == ["doc_id", "off", "g"]
     r = occ.limit(1).collect()[0]
     assert len(r["g"]) == 32  # md5 hex, never document text
+
+
+def test_token_entropy_planted_extremes(spark):
+    import math
+
+    from quacfka_service_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x x x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], round(r["entropy"], 6))
+        for r in token_entropy(docs).collect()
+    }
+    assert got[1] == (4, 4, round(math.log(4), 6))  # uniform -> ln(n_types)
+    assert got[2][2] == 0.0  # stamped doc -> zero
+    assert got[3] == (0, 0, 0.0)  # empty doc kept, not dropped
