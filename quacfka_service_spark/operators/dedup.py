@@ -1059,8 +1059,14 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+        # coalesce: SUM over an EMPTY label frame (degenerate corpus ->
+        # no pair edges) is NULL, and None == 0 is False — the empty
+        # graph is converged by definition
         changed = new_full.agg(
-            F.sum(F.when(F.col("lbl") != F.col("old"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("lbl") != F.col("old"), 1).otherwise(0)),
+                F.lit(0),
+            )
         ).collect()[0][0]
         labels = new_full.select("v", "lbl")
         if changed == 0:
