@@ -8,11 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from quacfka_service_spark.plans.inspect import (
-    count_exchanges,
-    formatted_plan,
-    has_partial_aggregation,
-)
+from quacfka_service_spark.plans.inspect import count_exchanges, formatted_plan
 from quacfka_service_spark.session import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
