@@ -1397,3 +1397,186 @@ GROUP BY t.source, n.n_docs, t."A", t."R"
 """,
     }
 )
+
+
+# --- round-8 addition: pairwise source JSD ----------------------------------
+
+
+def token_jsd(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, jsd): Jensen-Shannon divergence (nats)
+    between every pair of sources' TOKEN distributions — the proper
+    symmetric, finite drift measure beside ``corpus_quality_psi``'s
+    length-band screen: JSD catches vocabulary-level divergence
+    (different domain, different language mix) that length bands
+    cannot, is bounded by ln 2, and needs NO smoothing (absent tokens
+    contribute finite mass by construction).
+
+    Exact arithmetic: with integer counts a_t (source A, total TA) and
+    b_t (source B, total TB), p_t/m_t = 2 a_t TB / (a_t TB + b_t TA) —
+    a ratio of exact BIGINTs — so each KL term rides lm.py's snapped
+    micro-nat quantizer and per-pair sums are exact integers.  Tokens
+    exclusive to one source fold to a CLOSED FORM (ratio exactly 2, so
+    their mass contributes (TA - shared_a) * qlog(2)), which is why
+    only the SHARED-token join materializes:
+      jsd = 0.5/TA/1e6 * [ sum_shared a_t qlog(2 a_t TB/(a_t TB+b_t TA))
+                           + (TA - sum_shared a_t) * qlog(2) ]
+          + the symmetric B term.
+
+    100 TB shape: one map-side-combined (source, tok) count — the only
+    corpus-sized stage — then a tok-keyed self-join whose output is
+    bounded by shared vocabulary x source pairs; totals broadcast.
+    DECIMAL(38,0) products keep trillion-token feeds exact."""
+    from .lm import _qlog
+
+    toks = docs.select(
+        "source", F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    ct = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = ct.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    a = ct.alias("a")
+    b = ct.alias("b")
+    shared = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("t").alias("tb"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    terms = (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "ta",
+            "tb",
+            F.col("ca").alias("sa"),
+            F.col("cb").alias("sb"),
+            (
+                dec("ca")
+                * _qlog(
+                    (F.lit(2) * dec("ca") * dec("tb")).cast("double")
+                    / (dec("ca") * dec("tb") + dec("cb") * dec("ta")).cast("double")
+                )
+            ).cast("decimal(38,0)").alias("term_a"),
+            (
+                dec("cb")
+                * _qlog(
+                    (F.lit(2) * dec("cb") * dec("ta")).cast("double")
+                    / (dec("ca") * dec("tb") + dec("cb") * dec("ta")).cast("double")
+                )
+            ).cast("decimal(38,0)").alias("term_b"),
+        )
+    )
+    agg = terms.groupBy("source_a", "source_b").agg(
+        F.sum("term_a").cast("decimal(38,0)").alias("sum_a"),
+        F.sum("term_b").cast("decimal(38,0)").alias("sum_b"),
+        F.sum("sa").cast("long").alias("shared_a"),
+        F.sum("sb").cast("long").alias("shared_b"),
+    )
+    # full pair grid: a pair with NO shared token must still appear —
+    # at exactly jsd = ln 2 (all mass exclusive), not silently vanish
+    grid = (
+        tot.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+        .crossJoin(
+            tot.select(F.col("source").alias("source_b"), F.col("t").alias("tb"))
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    agg = grid.join(agg, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "ta",
+        "tb",
+        F.coalesce("sum_a", F.lit(0).cast("decimal(38,0)")).alias("sum_a"),
+        F.coalesce("sum_b", F.lit(0).cast("decimal(38,0)")).alias("sum_b"),
+        F.coalesce("shared_a", F.lit(0)).alias("shared_a"),
+        F.coalesce("shared_b", F.lit(0)).alias("shared_b"),
+    )
+    ln2q = _qlog(F.lit(2.0))
+    return agg.select(
+        "source_a",
+        "source_b",
+        (
+            (
+                F.col("sum_a").cast("double")
+                + (F.col("ta") - F.col("shared_a")).cast("double") * ln2q
+            )
+            / F.col("ta")
+            / F.lit(2e6)
+            + (
+                F.col("sum_b").cast("double")
+                + (F.col("tb") - F.col("shared_b")).cast("double") * ln2q
+            )
+            / F.col("tb")
+            / F.lit(2e6)
+        ).alias("jsd"),
+    )
+
+
+def _q_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_jsd(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"corpus_token_jsd": _q_token_jsd})
+
+ORACLES.update(
+    {
+        "corpus_token_jsd": r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+ct AS (
+  SELECT source, tok, count(*)::BIGINT AS c
+  FROM toks WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c)::BIGINT AS t FROM ct GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.c AS ca, b.c AS cb
+  FROM ct a JOIN ct b ON a.tok = b.tok AND a.source < b.source
+),
+terms AS (
+  SELECT s.source_a, s.source_b, ta.t AS ta, tb.t AS tb, s.ca AS sa, s.cb AS sb,
+         s.ca * CAST(floor((floor(ln((2 * s.ca * tb.t)::DOUBLE
+                                   / (s.ca * tb.t + s.cb * ta.t)::DOUBLE) * 1e9)
+                            + 500) / 1000.0) AS BIGINT) AS term_a,
+         s.cb * CAST(floor((floor(ln((2 * s.cb * ta.t)::DOUBLE
+                                   / (s.ca * tb.t + s.cb * ta.t)::DOUBLE) * 1e9)
+                            + 500) / 1000.0) AS BIGINT) AS term_b
+  FROM shared s
+  JOIN tot ta ON ta.source = s.source_a
+  JOIN tot tb ON tb.source = s.source_b
+),
+agg0 AS (
+  SELECT source_a, source_b,
+         sum(term_a) AS sum_a, sum(term_b) AS sum_b,
+         sum(sa)::BIGINT AS shared_a, sum(sb)::BIGINT AS shared_b
+  FROM terms GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.t AS ta, b.t AS tb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+agg AS (
+  SELECT g.source_a, g.source_b, g.ta, g.tb,
+         COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b,
+         COALESCE(shared_a, 0) AS shared_a, COALESCE(shared_b, 0) AS shared_b
+  FROM grid g LEFT JOIN agg0 USING (source_a, source_b)
+),
+ln2q AS (
+  SELECT CAST(floor((floor(ln(2.0) * 1e9) + 500) / 1000.0) AS BIGINT) AS q
+)
+SELECT source_a, source_b,
+       (sum_a::DOUBLE + (ta - shared_a)::DOUBLE * (SELECT q FROM ln2q)) / ta / 2e6
+     + (sum_b::DOUBLE + (tb - shared_b)::DOUBLE * (SELECT q FROM ln2q)) / tb / 2e6
+       AS jsd
+FROM agg
+""",
+    }
+)

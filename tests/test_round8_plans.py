@@ -162,3 +162,23 @@ def test_token_entropy_planted_extremes(spark):
     assert got[1] == (4, 4, round(math.log(4), 6))  # uniform -> ln(n_types)
     assert got[2][2] == 0.0  # stamped doc -> zero
     assert got[3] == (0, 0, 0.0)  # empty doc kept, not dropped
+
+
+def test_token_jsd_planted_extremes(spark):
+    import math
+
+    from quacfka_service_spark.operators.corpus import token_jsd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2"), (3, "x y z", "s3"),
+         (4, "a b x y", "s4")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r["jsd"] for r in token_jsd(docs).collect()}
+    assert got[("s1", "s2")] == 0.0  # identical distributions
+    # fully disjoint vocabulary pairs must APPEAR, at ln 2
+    assert abs(got[("s1", "s3")] - math.log(2)) < 1e-5
+    assert abs(got[("s2", "s3")] - math.log(2)) < 1e-5
+    # partial overlap sits strictly between
+    assert 0.0 < got[("s1", "s4")] < math.log(2)
+    assert len(got) == 6  # the full 4-choose-2 matrix
