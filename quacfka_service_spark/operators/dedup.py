@@ -2010,3 +2010,108 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """,
     }
 )
+
+
+def span_coverage(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(source, n_docs, total_chars, dup_chars, dup_frac): how much of
+    each source's text sits inside exact-duplicate substrings — the
+    per-feed ExactSubstr dashboard (a feed at 40% duplicated mass is a
+    mirror or a template mill; the paper reports exactly this number
+    for C4/RealNews).  dup_chars sums the INTERVAL-MERGED span lengths
+    (substring_clean's overlap merge), so overlapping duplicated runs
+    are never double-counted and dup_frac <= 1 by construction.
+
+    Integer sums + one division — engine-exact over the hash-proven
+    span oracle.
+
+    100 TB shape: spans are duplicate-mass-sized; the merge windows
+    partition by doc_id over span rows; the report is |sources| rows."""
+    from pyspark.sql.window import Window
+
+    spans = substring_spans(docs, k)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.when(
+            F.col("span_start")
+            > F.coalesce(F.max("span_end").over(w_prev), F.lit(-10)) + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("newgrp"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("span_start")
+    merged = (
+        flagged.select(
+            "doc_id", "span_start", "span_end",
+            F.sum("newgrp").over(w_ord).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg((F.max("span_end") - F.min("span_start") + 1).alias("mlen"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(F.sum("mlen").cast("long").alias("dup"))
+    return (
+        docs.select("doc_id", "source", F.length("text").cast("long").alias("len"))
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("len").cast("long").alias("total_chars"),
+            F.sum(F.coalesce("dup", F.lit(0))).cast("long").alias("dup_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "dup_chars",
+            (F.col("dup_chars") / F.col("total_chars")).alias("dup_frac"),
+        )
+    )
+
+
+def _q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_span_coverage": _q_span_coverage})
+
+# Composed from the hash-verified span oracle (same interval merge as
+# dedup_substring_clean).
+ORACLES.update(
+    {
+        "dedup_span_coverage": f"""
+WITH spans AS ({ORACLES["dedup_substring_exact"]}),
+flagged AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN span_start > COALESCE(
+                max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), -10) + 1
+              THEN 1 ELSE 0 END AS newgrp
+  FROM spans
+),
+grps AS (
+  SELECT doc_id, span_start, span_end,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY span_start) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, grp, max(span_end) - min(span_start) + 1 AS mlen
+  FROM grps GROUP BY 1, 2
+),
+per_doc AS (SELECT doc_id, sum(mlen)::BIGINT AS dup FROM merged GROUP BY 1)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(length(d.text))::BIGINT AS total_chars,
+       sum(COALESCE(p.dup, 0))::BIGINT AS dup_chars,
+       sum(COALESCE(p.dup, 0))::BIGINT / sum(length(d.text))::BIGINT AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY 1
+""",
+    }
+)

@@ -189,3 +189,55 @@ SELECT path, n_sessions, rank FROM (
 """,
     }
 )
+
+
+# --- round-8 addition: daily bounce rate -------------------------------------
+
+
+def bounce_rate(events: DataFrame, gap_secs: int = GAP_SECS) -> DataFrame:
+    """(date, n_sessions, n_bounce, bounce_rate): per-day session
+    counts and the fraction that are single-event "bounces" — the
+    canonical engagement KPI over the gap sessionizer (a day whose
+    bounce rate jumps is a tracking bug or a landing-page regression
+    before it is anything else).  A session belongs to the DAY IT
+    STARTS (sessions never split across the date boundary).
+
+    Composed on the hash-proven sessionize kernel: one extra
+    date-keyed integer agg + one division — engine-exact.
+
+    100 TB shape: inherits sessionize's single user_id exchange; the
+    daily rollup is a map-side-combined agg onto a calendar-bounded
+    key space."""
+    s = sessionize(events, gap_secs)
+    per = s.select(
+        F.to_date(F.col("session_start").cast("timestamp")).cast("string").alias(
+            "date"
+        ),
+        (F.col("n_events") == 1).cast("int").alias("is_bounce"),
+    )
+    return per.groupBy("date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("is_bounce").cast("long").alias("n_bounce"),
+        (F.sum("is_bounce") / F.count(F.lit(1))).alias("bounce_rate"),
+    )
+
+
+def _q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bounce_rate(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_bounce_rate": _q_bounce_rate})
+
+# Composed from the hash-verified sessionize oracle.
+ORACLES.update(
+    {
+        "events_bounce_rate": f"""
+WITH s AS ({ORACLES["events_sessionize"]})
+SELECT (session_start::TIMESTAMP)::DATE::VARCHAR AS date,
+       count(*)::BIGINT AS n_sessions,
+       sum((n_events = 1)::INT)::BIGINT AS n_bounce,
+       sum((n_events = 1)::INT)::BIGINT / count(*)::BIGINT AS bounce_rate
+FROM s GROUP BY 1
+""",
+    }
+)
