@@ -1580,3 +1580,92 @@ FROM agg
 """,
     }
 )
+
+
+# --- round-8 addition: dedup funnel report -----------------------------------
+
+
+def dedup_funnel(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """(stage, n_docs): how many documents survive each dedup family
+    applied cumulatively — raw -> exact (identical text) -> near-dup
+    (ngram-Jaccard components, min-id canonical) -> semantic (SemDeDup
+    leader-keep on embeddings, doc_id = vec_id; docs without an
+    embedding pass through) — the one-row-per-stage observability
+    report every curation run publishes before committing a release
+    (which family is doing the work, and whether a stage suddenly
+    eating 30% of the corpus is signal or regression).
+
+    Pure composition of the four hash-proven keep kernels; each stage
+    is an intersection of keep-sets, so the report is engine-exact
+    integers.
+
+    100 TB shape: inherits each kernel's own plan (hash-groupBy, df-
+    capped pair join + components, cell-blocked semantic); the funnel
+    adds only doc_id-keyed semi-joins and four tiny count rows."""
+    from .dedup import (
+        connected_components,
+        dedup_keep_first,
+        neardup_keep_canonical,
+        ngram_jaccard_pairs,
+    )
+    from .semdedup import semantic_dedup
+
+    spark = docs.sparkSession
+    k1 = dedup_keep_first(docs).select("doc_id").localCheckpoint(eager=False)
+    near = neardup_keep_canonical(
+        docs, connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    ).select("doc_id")
+    k2 = k1.join(near, "doc_id", "left_semi").localCheckpoint(eager=False)
+    sem = semantic_dedup(emb).select(F.col("vec_id").alias("doc_id"), "kept")
+    k3 = (
+        k2.join(sem, "doc_id", "left")
+        .where(F.col("kept").isNull() | F.col("kept"))
+        .select("doc_id")
+    )
+    stages = [
+        ("1_raw", docs.select("doc_id")),
+        ("2_exact", k1),
+        ("3_near", k2),
+        ("4_semantic", k3),
+    ]
+    out = None
+    for name, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_funnel(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )
+
+
+QUERIES.update({"corpus_dedup_funnel": _q_dedup_funnel})
+
+# Composed verbatim from the hash-verified keep-set oracles.
+from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+from .semdedup import ORACLES as _SEM_ORACLES  # noqa: E402
+
+ORACLES.update(
+    {
+        "corpus_dedup_funnel": f"""
+WITH k1 AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+near_keep AS ({_DEDUP_ORACLES["dedup_near_keep"]}),
+sem AS ({_SEM_ORACLES["dedup_semantic"]}),
+k2 AS (SELECT k1.doc_id FROM k1 JOIN near_keep USING (doc_id)),
+k3 AS (
+  SELECT k2.doc_id FROM k2 LEFT JOIN sem ON sem.vec_id = k2.doc_id
+  WHERE sem.kept IS NULL OR sem.kept
+)
+SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
+UNION ALL SELECT '2_exact', count(*)::BIGINT FROM k1
+UNION ALL SELECT '3_near', count(*)::BIGINT FROM k2
+UNION ALL SELECT '4_semantic', count(*)::BIGINT FROM k3
+""",
+    }
+)
