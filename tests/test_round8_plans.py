@@ -182,3 +182,15 @@ def test_token_jsd_planted_extremes(spark):
     # partial overlap sits strictly between
     assert 0.0 < got[("s1", "s4")] < math.log(2)
     assert len(got) == 6  # the full 4-choose-2 matrix
+
+
+def test_dedup_funnel_monotone_and_anchored(spark, docs):
+    from quacfka_service_spark.operators.corpus import dedup_funnel
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {r["stage"]: r["n_docs"] for r in dedup_funnel(docs, emb).collect()}
+    assert set(got) == {"1_raw", "2_exact", "3_near", "4_semantic"}
+    assert got["1_raw"] == docs.count()
+    # cumulative keep-set intersections can only shrink
+    assert got["1_raw"] >= got["2_exact"] >= got["3_near"] >= got["4_semantic"]
+    assert got["4_semantic"] > 0
