@@ -393,35 +393,71 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Exact cosine near-duplicates, blocked by ``label`` (coarse
-    cluster id).  Dot/norm math over array<double> with sequential
-    F.aggregate — bit-identical to the DuckDB oracle's
-    list_dot_product on the same doubles."""
+    cluster id).
+
+    Executor-side numpy pair scan (the semdedup ``drop_edges`` /
+    ``knn_join`` kernel idiom): each label block lands in one task and
+    the cosine accumulates with a SEQUENTIAL fold over dims vectorized
+    across pairs (``acc += A[:, i:i+1] * V[:, i]``) — per pair that is
+    ``((0 + a0*b0) + a1*b1) + ...``, bit-identical to both the old
+    ``F.aggregate``/``zip_with`` HOF join (rounds 1-7; ~1 us per
+    interpreted element-op) and DuckDB ``list_dot_product``, so the
+    emitted ``cos`` doubles and the ``>= threshold`` decision still
+    hash-match the oracle.  The norm stays a Spark-side fold (same
+    bits as the oracle's sqrt-of-fold).
+
+    100 TB shape: unchanged — the shuffle keys on the blocking label
+    exactly like the old pair join, the kernel only replaces the
+    per-pair HOF evaluation; a-side chunking bounds the accumulator at
+    _PAIR_CHUNK x block rows."""
+    import numpy as np
+    import pandas as pd
+
     d = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     d = d.select("vec_id", "label", "v", norm.alias("nrm"))
-    a = d.alias("a")
-    b = d.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # array-filter barrier: .where(cos >= t) on the projected column
-    # would re-inline the 64-dim dot into the filter (2x per pair) —
-    # see edit_distance_pairs for the measured variant of this trap.
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    kept = F.filter(
-        F.array(F.struct(cos.alias("cos"))), lambda x: x["cos"] >= F.lit(threshold)
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.explode_outer(kept).alias("s"),
+    thr = float(threshold)
+    chunk = 1024
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
         )
-        .where(F.col("s").isNotNull())
-        .select("id_a", "id_b", F.col("s.cos").alias("cos"))
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+        nr = pdf["nrm"].to_numpy(np.float64)
+        out = []
+        for s in range(0, n, chunk):
+            aid = ids[s : s + chunk]
+            A = V[s : s + chunk]
+            an = nr[s : s + chunk]
+            acc = np.zeros((len(aid), n), dtype=np.float64)
+            for i in range(V.shape[1]):  # sequential fold = _dot's order
+                acc += A[:, i : i + 1] * V[:, i]
+            cos = acc / (an[:, None] * nr[None, :])
+            mask = (cos >= thr) & (aid[:, None] < ids[None, :])
+            ii, jj = np.nonzero(mask)
+            if ii.size:
+                out.append((aid[ii], ids[jj], cos[ii, jj]))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in out]),
+                "id_b": np.concatenate([o[1] for o in out]),
+                "cos": np.concatenate([o[2] for o in out]),
+            }
+        )
+
+    return d.groupby("label").applyInPandas(
+        block_pairs, schema="id_a long, id_b long, cos double"
     )
 
 
@@ -1749,18 +1785,30 @@ def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
     100 TB shape: the gram stream is the inherent ExactSubstr cost —
     ~1 row per corpus CHARACTER (the paper's suffix array is the same
-    linear blow-up) but each row is (doc_id, off, 16-byte hash), and
-    the duplicated-gram filter is one map-side-combined count keyed on
-    the hash; the islands window partitions by doc_id over ONLY the
-    surviving duplicated offsets (duplicate-mass-sized, not
+    linear blow-up).  The batch path keeps that stream CHEAP twice
+    over: (1) the per-offset hash is a vectorized uint64 polynomial
+    rolling hash (numpy, ~ns/char — no per-offset md5), so the census
+    shuffle carries 8-byte ints, not 32-hex strings; (2) md5 — the
+    oracle's hash — is computed ONLY for offsets whose rolling hash is
+    duplicated, i.e. duplicate-mass-sized work.  Exactness: equal
+    grams always hash equal, so the rolling-dup offset set is a
+    SUPERSET of the md5-dup set, and the md5 re-census over survivors
+    sees every occurrence of any truly-duplicated gram — rolling-hash
+    collisions (~n^2/2^64) can only add survivors that the md5 census
+    then discards.  The islands window partitions by doc_id over ONLY
+    the surviving duplicated offsets (duplicate-mass-sized, not
     corpus-sized).  Raise k or sample offsets (stride) to trade recall
     for throughput; the semantics knob is k itself."""
-    # the occurrence stream feeds TWO consumers (the dup-gram census
-    # and the semi-join probe) — checkpoint so the gram kernel runs
-    # once, not per consumer
-    return _spans_from_occ(
-        _gram_occurrences(docs, k).localCheckpoint(eager=False), k
+    d = docs.select(F.col("doc_id").cast("long"), "text")
+    # the rolling stream feeds TWO consumers (the dup census and the
+    # semi-join probe) — checkpoint so the kernel runs once
+    rh = _gram_occurrences_rolling(d, k).localCheckpoint(eager=False)
+    dup_rh = (
+        rh.groupBy("rh").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
     )
+    surv = rh.join(dup_rh.select("rh"), "rh", "left_semi").select("doc_id", "off")
+    occ = _md5_verify_occurrences(d, surv, k).localCheckpoint(eager=False)
+    return _spans_from_occ(occ, k)
 
 
 def _gram_occurrences(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
@@ -1810,6 +1858,127 @@ def _gram_occurrences(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         "doc_id"
     )
     return t.mapInArrow(fn, "doc_id long, off long, g string")
+
+
+def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, off, rh): uint64 polynomial rolling hash of the k-gram
+    at every character offset — the vectorized prefilter for the batch
+    ``substring_spans`` path (md5 per offset was the measured hot spot:
+    one hashlib call per corpus character; this kernel is pure numpy).
+
+    Hash: h(i) = sum_j c[i+j] * B^j  (mod 2^64), computed for ALL
+    offsets at once via prefix sums — S = cumsum(c * B^pos) gives
+    window sums W(i) = S[i+k-1] - S[i-1] = B^i * h(i), and because B
+    is ODD it is invertible mod 2^64, so h(i) = W(i) * B^-i with plain
+    wrapping uint64 multiplies.  Character-exact (not byte): the text
+    is widened to UTF-32 code points, matching Spark/DuckDB substring
+    semantics, so equal CHARACTER grams always collide and the
+    survivor set is a true superset of the md5-duplicate set.
+
+    Power tables are grown once per Arrow batch to the longest
+    document and sliced per row — no per-document cumprod."""
+    import numpy as np
+    import pyarrow as pa
+
+    kk = k
+    B = np.uint64(0x9E3779B97F4A7C15 | 1)
+    BINV = np.uint64(pow(0x9E3779B97F4A7C15 | 1, -1, 1 << 64))
+
+    def fn(batches):
+        np.seterr(over="ignore")  # uint64 wraparound IS the modulus
+        pw = np.ones(1, np.uint64)
+        ipw = np.ones(1, np.uint64)
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            longest = max((len(t) for t in texts if t is not None), default=0)
+            while pw.size < longest:
+                nxt = np.empty(pw.size * 2, np.uint64)
+                nxt[: pw.size] = pw
+                nxt[pw.size :] = pw * (pw[-1] * B)
+                pw = nxt
+                nxt = np.empty(ipw.size * 2, np.uint64)
+                nxt[: ipw.size] = ipw
+                nxt[ipw.size :] = ipw * (ipw[-1] * BINV)
+                ipw = nxt
+            out_id, out_off, out_h = [], [], []
+            for doc_id, t in zip(ids, texts):
+                if t is None or len(t) < kk:
+                    continue
+                c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(
+                    np.uint64
+                )
+                n = c.size
+                m = n - kk + 1
+                s = np.cumsum(c * pw[:n])
+                w = s[kk - 1 :].copy()
+                w[1:] -= s[: m - 1]
+                out_h.append(w * ipw[:m])
+                out_id.append(np.full(m, doc_id, np.int64))
+                out_off.append(np.arange(1, m + 1, dtype=np.int64))
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_id)),
+                        pa.array(np.concatenate(out_off)),
+                        pa.array(np.concatenate(out_h).view(np.int64)),
+                    ],
+                    names=["doc_id", "off", "rh"],
+                )
+
+    # explicit numPartitions: AQE would coalesce a megabyte-scale text
+    # exchange to ONE partition, serializing the per-char kernel — the
+    # CPU cost is ~1000x the byte size, so spread by core count
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    t = docs.select(F.col("doc_id").cast("long"), F.col("text")).repartition(
+        n_part, "doc_id"
+    )
+    return t.mapInArrow(fn, "doc_id long, off long, rh long")
+
+
+def _md5_verify_occurrences(
+    docs: DataFrame, surv: DataFrame, k: int = SUBSTR_K
+) -> DataFrame:
+    """(doc_id, off, g): the ORACLE hash (md5 of the k-char slice) for
+    the survivor offsets only — duplicate-mass-sized work.  Survivor
+    offsets are packed per document (collect_list) and joined to the
+    text on doc_id, so the kernel sees each document once with its
+    offset list, never one text copy per offset."""
+    import pyarrow as pa
+
+    kk = k
+    packed = surv.groupBy("doc_id").agg(F.sort_array(F.collect_list("off")).alias("offs"))
+    j = docs.join(packed, "doc_id")
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            offs = b.column(2).to_pylist()
+            out_id, out_off, out_g = [], [], []
+            for doc_id, t, oo in zip(ids, texts, offs):
+                for i in oo:
+                    out_id.append(doc_id)
+                    out_off.append(i)
+                    out_g.append(
+                        md5(t[i - 1 : i - 1 + kk].encode("utf-8")).hexdigest()
+                    )
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_id, pa.int64()),
+                        pa.array(out_off, pa.int64()),
+                        pa.array(out_g, pa.string()),
+                    ],
+                    names=["doc_id", "off", "g"],
+                )
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        j.select("doc_id", "text", "offs")
+        .repartition(n_part, "doc_id")
+        .mapInArrow(fn, "doc_id long, off long, g string")
+    )
 
 
 def _spans_from_occ(occ: DataFrame, k: int = SUBSTR_K) -> DataFrame:
