@@ -90,6 +90,9 @@ HEADLINE = [
     "embedding_pca_top2",
     "asof_join_nearest",
     "dedup_graph_triangles",
+    "embedding_kmeans_quantized",
+    "embedding_prototypicality",
+    "similarity_hard_negatives",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.

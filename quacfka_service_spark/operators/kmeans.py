@@ -1,0 +1,455 @@
+"""Quantized k-means trainer + prototypicality pruning — embedding
+curation operators a training-data pipeline runs BEFORE dedup/mixing
+(cluster the corpus, keep per-cluster exemplars, drop the far tail).
+
+Engine-exactness strategy (the repo's established parity idioms):
+
+- Coordinates are floor-quantized ONCE to an integer grid
+  (``floor(x * 1e6)`` as BIGINT — Spark ``floor`` and DuckDB ``floor``
+  both round toward -inf on the identical ``x * 1000000.0`` double),
+  and every downstream step — L2 distances, argmin assignment,
+  centroid sums, mean division — is EXACT int64 arithmetic, so the
+  full T-round Lloyd trajectory is bit-identical in any engine.
+- Centroid means use exact FLOOR division, computed driver-side in
+  Python (``//`` is floor) and in the oracle via the portable
+  ``(s - ((s % n) + n) % n) // n`` identity (numerator exactly
+  divisible, so the engine's rounding mode can't matter).
+- The k centroids are BOUNDED state (k x d ints): each round collects
+  them driver-side (the PCA power-iteration pattern, pca.py) and
+  inlines them as literal arrays, so ASSIGNMENT is map-only — one
+  projection against a constant, no crossJoin fan, no per-row window
+  (the semdedup ``_argmax_struct`` idiom with an argMIN fold).
+
+Overflow budget at Q = 1e6 over unit-scale embeddings (|x| < 1):
+per-dim delta < 2^21, squared < 2^42, x 64 dims < 2^48; per-cluster
+coordinate sums stay under 2^63 up to ~4e12 member vectors — int64 is
+safe three orders of magnitude past the 100 TB corpus.
+
+100 TB shape: each Lloyd round is ONE corpus scan emitting k x d
+partial sums (map-side combined; the shuffle is centroid-sized, not
+corpus-sized) plus a driver-side k x d reduce — the same economics as
+distributed MLlib KMeans, but with a replayable exact trajectory the
+driver's DuckDB oracle can verify hash-for-hash (MLlib's float order
+is nondeterministic under partitioning, which is why ``assign_cells``
+could only rows-check its kmeans=True path).
+
+Prototypicality (Sorscher et al. 2022, "Beyond neural scaling laws")
+ranks members by distance to their cluster centroid: the far tail is
+noise/outliers (prune for quality), the near core is redundant
+(prune for diversity).  ``embedding_prototypicality`` emits both ends
+per label cluster with exact integer distances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load_table
+
+K_CLUSTERS = 8
+LLOYD_ROUNDS = 3
+Q_SCALE = "1000000.0"  # textual so Spark and DuckDB parse the same double
+PROTO_TOP = 5
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, qv array<long>): floor-quantized coordinates."""
+    v = F.col("embedding").cast("array<double>")
+    qv = F.transform(v, lambda x: F.floor(x * F.lit(float(Q_SCALE))).cast("long"))
+    return emb.select("vec_id", "label", qv.alias("qv"))
+
+
+def _argmin_dist(cents: list[list[int]]):
+    """struct<d: long, i: int> — the winning (min) integer L2 distance
+    and its centroid index against the inlined literal centroid list.
+    Strict ``<`` replacement keeps the EARLIEST index on ties —
+    identical to a (dist ASC, j ASC) row_number tie-break."""
+    lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in cents]
+    )
+    dists = F.transform(
+        lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.aggregate(
+        dists,
+        F.struct(
+            F.lit(None).cast("long").alias("d"),
+            F.lit(-1).alias("i"),
+            F.lit(0).alias("j"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["d"].isNull() | (x < acc["d"]), x)
+            .otherwise(acc["d"])
+            .alias("d"),
+            F.when(acc["d"].isNull() | (x < acc["d"]), acc["j"])
+            .otherwise(acc["i"])
+            .alias("i"),
+            (acc["j"] + 1).alias("j"),
+        ),
+    )
+
+
+def _assign(d: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, qv, cluster, dist): map-only nearest-centroid
+    assignment — explode_outer barrier so extracting (cluster, dist)
+    cannot re-inline the k-distance fold per consumer."""
+    out = d.select(
+        "vec_id", "qv", F.explode_outer(F.array(_argmin_dist(cents))).alias("b")
+    )
+    return out.select(
+        "vec_id",
+        "qv",
+        F.col("b.i").alias("cluster"),
+        F.col("b.d").alias("dist"),
+    )
+
+
+def seed_centroids_quantized(emb: DataFrame, k: int = K_CLUSTERS) -> list[list[int]]:
+    """First-k-by-vec_id quantized seeds, driver-side (bounded collect
+    of k rows — the seed_codebook convention)."""
+    rows = _quantized(emb).orderBy("vec_id").limit(k).collect()
+    return [list(r["qv"]) for r in rows]
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS
+) -> list[list[int]]:
+    """The trained quantized centroids after ``rounds`` exact Lloyd
+    updates.  Per round: map-only assignment, one k x d integer
+    partial-sum shuffle, driver-side floor-division (k x d ints — the
+    bounded-state collect the module docstring justifies).  Clusters
+    that lose all members keep their previous centroid."""
+    d = _quantized(emb).localCheckpoint(eager=False)
+    cents = seed_centroids_quantized(emb, k)
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    for _ in range(rounds):
+        asg = _assign(d, cents)
+        upd = (
+            asg.select("cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, list] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], [None] * dim)[r["pos"]] = (
+                r["s"],
+                r["n"],
+            )
+        cents = [
+            [s // n for (s, n) in by_cluster[j]] if j in by_cluster else cents[j]
+            for j in range(len(cents))
+        ]
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS
+) -> DataFrame:
+    """(vec_id, cluster, dist): the final assignment under the trained
+    quantized centroids — the oracle-checkable surface of the trainer
+    (every round of the trajectory feeds the emitted distances, so a
+    hash match proves the whole Lloyd replay)."""
+    cents = kmeans_train(emb, k, rounds)
+    d = _quantized(emb)
+    if not cents:
+        return d.select(
+            "vec_id",
+            F.lit(-1).alias("cluster"),
+            F.lit(None).cast("long").alias("dist"),
+        )
+    return _assign(d, cents).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "dist"
+    )
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def prototypicality(emb: DataFrame, top: int = PROTO_TOP) -> DataFrame:
+    """(label, vec_id, dist, which, rank): per-label cluster, the
+    ``top`` FARTHEST members ('outlier' — prune for quality) and the
+    ``top`` NEAREST ('core' — redundant mass, prune for diversity),
+    by exact integer L2 to the label's quantized mean centroid.
+
+    100 TB shape: centroid sums are one map-side-combined label x dim
+    aggregate; distances are a map-only join against the (labels x d)
+    centroid frame (broadcast — label cardinality is codebook-sized);
+    the per-label top ranks ride a window over label partitions, never
+    a global sort."""
+    d = _quantized(emb)
+    cent = (
+        d.select("label", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            # portable exact floor division: pmod makes the numerator
+            # divisible, integer DIV keeps it off the double path
+            F.expr("(s - pmod(s, n)) DIV n").alias("c"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda p: p["c"]).alias("cv"))
+    )
+    j = d.join(F.broadcast(cent), "label")
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("label", "vec_id", dist.alias("dist"))
+    w_far = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    w_near = Window.partitionBy("label").orderBy(F.asc("dist"), F.asc("vec_id"))
+    far = (
+        scored.select(
+            "label",
+            "vec_id",
+            "dist",
+            F.lit("outlier").alias("which"),
+            F.row_number().over(w_far).alias("rank"),
+        )
+        .where(F.col("rank") <= top)
+    )
+    near = (
+        scored.select(
+            "label",
+            "vec_id",
+            "dist",
+            F.lit("core").alias("which"),
+            F.row_number().over(w_near).alias("rank"),
+        )
+        .where(F.col("rank") <= top)
+    )
+    return far.unionAll(near).select(
+        "label", "vec_id", "dist", "which", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prototypicality(load_table(spark, sf_dir, "embeddings"))
+
+
+K_CENTER = 8
+
+
+def _min_dist_to(chosen: list[list[int]]):
+    """Column: exact integer L2 distance to the NEAREST of the inlined
+    chosen points (map-only, same literal-fold idiom as _argmin_dist)."""
+    lit = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in chosen])
+    dists = F.transform(
+        lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_min(dists)
+
+
+def kcenter_seeds(emb: DataFrame, k: int = K_CENTER) -> DataFrame:
+    """(sel_order, vec_id, dist): greedy k-center / farthest-point
+    traversal — the classic 2-approximation coreset selector (Gonzalez
+    1985; the diversity-sampling half of data pruning, complementing
+    ``prototypicality``'s redundancy ranks).  Seed = lowest vec_id
+    (dist 0 by definition); each further pick maximizes the exact
+    integer L2 distance to the already-chosen set, ties to the lowest
+    vec_id.
+
+    100 TB shape: per pick, ONE corpus scan — a map-only min-fold
+    against the <= k inlined chosen points and a TakeOrdered(1)
+    (per-partition partial top-1, never a global sort); the chosen set
+    is bounded driver state (k x d ints), exactly the kmeans_train
+    economics.  k corpus scans total — the greedy algorithm's inherent
+    cost (each pick depends on the last)."""
+    d = _quantized(emb).localCheckpoint(eager=False)
+    first = d.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], "sel_order long, vec_id long, dist long"
+        )
+    chosen_ids = [first[0]["vec_id"]]
+    chosen_qv = [list(first[0]["qv"])]
+    out = [(0, chosen_ids[0], 0)]
+    for r in range(1, k):
+        cand = (
+            d.where(~F.col("vec_id").isin(chosen_ids))
+            .select("vec_id", "qv", _min_dist_to(chosen_qv).alias("dist"))
+            .orderBy(F.desc("dist"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        row = cand[0]
+        chosen_ids.append(row["vec_id"])
+        chosen_qv.append(list(row["qv"]))
+        out.append((r, row["vec_id"], row["dist"]))
+    return emb.sparkSession.createDataFrame(
+        out, "sel_order long, vec_id long, dist long"
+    )
+
+
+def _q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcenter_seeds(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "embedding_kmeans_quantized": _q_kmeans,
+    "embedding_prototypicality": _q_prototypicality,
+    "embedding_kcenter_seeds": _q_kcenter,
+}
+
+
+def _kcenter_oracle(k: int = K_CENTER) -> str:
+    """CTE replay of the greedy traversal: per pick, min-dist-to-set
+    via a sel-sized join + group, argmax by (dist DESC, vec_id ASC)."""
+    head = f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {Q_SCALE})::BIGINT) AS qv
+  FROM embeddings
+),
+sel0 AS MATERIALIZED (
+  SELECT 0::BIGINT AS sel_order, vec_id, qv, 0::BIGINT AS dist
+  FROM d ORDER BY vec_id LIMIT 1
+)"""
+    steps = []
+    prev = "sel0"
+    for r in range(1, k):
+        steps.append(f""",
+pick{r} AS MATERIALIZED (
+  SELECT {r}::BIGINT AS sel_order, vec_id, qv, dist FROM (
+    SELECT d.vec_id, d.qv,
+           min(list_sum(list_transform(list_zip(d.qv, s.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))))::BIGINT AS dist
+    FROM d CROSS JOIN {prev} s
+    WHERE d.vec_id NOT IN (SELECT vec_id FROM {prev})
+    GROUP BY d.vec_id, d.qv
+  ) ORDER BY dist DESC, vec_id ASC LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r}
+)""")
+        prev = f"sel{r}"
+    tail = f"""
+SELECT sel_order, vec_id, dist FROM {prev}
+"""
+    return head + "".join(steps) + tail
+
+
+def _kmeans_oracle(k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS) -> str:
+    """CTE replay of the exact Lloyd trajectory (the pagerank-oracle
+    generator style, graph.py): assignment = (dist, j) row_number,
+    update = per-(j, dim) integer sums with portable floor division,
+    empty clusters keep the previous centroid via coalesce."""
+    q = Q_SCALE
+    head = f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {q})::BIGINT) AS qv
+  FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv
+  FROM d ORDER BY vec_id LIMIT {k}
+)"""
+    steps = []
+    prev = "cent0"
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+asg{r} AS MATERIALIZED (
+  SELECT vec_id, qv, j, dist FROM (
+    SELECT d.vec_id, d.qv, c.j,
+           list_sum(list_transform(list_zip(d.qv, c.qv),
+                    p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY list_sum(list_transform(list_zip(d.qv, c.qv),
+                                       p -> (p[1] - p[2]) * (p[1] - p[2]))), c.j) AS rn
+    FROM d CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+upd{r} AS (
+  SELECT j, ord, sum(val)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM (SELECT j, unnest(qv) AS val, generate_subscripts(qv, 1) AS ord
+        FROM asg{r})
+  GROUP BY 1, 2
+),
+newc{r} AS (
+  SELECT j, list((s - ((s % n) + n) % n) // n ORDER BY ord) AS qv
+  FROM upd{r} GROUP BY j
+),
+cent{r} AS MATERIALIZED (
+  SELECT c.j, coalesce(nc.qv, c.qv) AS qv
+  FROM {prev} c LEFT JOIN newc{r} nc USING (j)
+)""")
+        prev = f"cent{r}"
+    tail = f"""
+SELECT vec_id, j::BIGINT AS cluster, dist FROM (
+  SELECT d.vec_id, c.j,
+         list_sum(list_transform(list_zip(d.qv, c.qv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY list_sum(list_transform(list_zip(d.qv, c.qv),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.j) AS rn
+  FROM d CROSS JOIN {prev} c
+) WHERE rn = 1
+"""
+    return head + "".join(steps) + tail
+
+
+ORACLES = {
+    "embedding_kmeans_quantized": _kmeans_oracle(),
+    "embedding_kcenter_seeds": _kcenter_oracle(),
+    "embedding_prototypicality": f"""
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {Q_SCALE})::BIGINT) AS qv
+  FROM embeddings
+),
+cs AS (
+  SELECT label, ord, sum(val)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM (SELECT label, unnest(qv) AS val, generate_subscripts(qv, 1) AS ord
+        FROM d)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list((s - ((s % n) + n) % n) // n ORDER BY ord) AS cv
+  FROM cs GROUP BY label
+),
+scored AS (
+  SELECT d.label, d.vec_id,
+         list_sum(list_transform(list_zip(d.qv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist
+  FROM d JOIN cent c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, dist, 'outlier' AS which,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id ASC) AS rank
+  FROM scored
+  UNION ALL
+  SELECT label, vec_id, dist, 'core' AS which,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT label, vec_id, dist, which, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {PROTO_TOP}
+""",
+}

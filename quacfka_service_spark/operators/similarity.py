@@ -130,6 +130,77 @@ def filtered_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Contrastive-training negative mining: for each query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label —
+    the "hard negatives" a retrieval/embedding trainer pairs with its
+    positives (near the query in embedding space, yet from another
+    class, so the margin they induce is informative; random negatives
+    are trivially far and teach nothing).
+
+    Same physical shape as ``brute_force_topk`` (broadcast query set,
+    per-partition partial top-k under the window) with the
+    query-dependent ``label <> q_label`` predicate applied BEFORE
+    scoring survives the rank — every query still gets k negatives
+    from its eligible set.  Emits both labels so downstream pair
+    writers can audit the class split.
+
+    100 TB shape: the query set is the broadcast side (bounded by
+    query_mod); corpus vectors are scanned once, never shuffled; the
+    per-query rank is a window over q_id partitions.  For corpus-scale
+    query sets switch to the ``knn_join`` tiled kernel with the same
+    label predicate inside the tile scan."""
+    v = F.col("embedding").cast("array<double>")
+    d = emb.select("vec_id", "label", v.alias("v")).select(
+        "vec_id", "label", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = d.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "q_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            "cos",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
 def _bucket(vcol) -> object:
     """Sign-LSH bucket id: bit p set iff dot(v, hyperplane_p) > 0."""
     bits = []
@@ -1204,6 +1275,7 @@ QUERIES = {
     "similarity_recall_trained": _q_recall_report_trained,  # rows-only (KMeans)
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
+    "similarity_hard_negatives": _q_hard_negatives,
     "similarity_range_search": _q_range_search,
     "similarity_lsh_topk": _q_lsh_topk,  # oracled r6 (deterministic lattice)
     "similarity_ivf_topk": _q_ivf_topk,  # oracled r6 (seeded centroids)
@@ -1430,6 +1502,26 @@ scored AS (
 )
 SELECT q_id, neighbor_id, cos, rank FROM (
   SELECT q_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+    "similarity_hard_negatives": f"""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+      FROM d WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, q.q_label, d.vec_id AS neighbor_id, d.label AS n_label,
+         list_dot_product(d.v, q.qv) / (d.nrm * q.qn) AS cos
+  FROM d CROSS JOIN q
+  WHERE d.label <> q.q_label
+)
+SELECT q_id, q_label, neighbor_id, n_label, cos, rank FROM (
+  SELECT q_id, q_label, neighbor_id, n_label, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}

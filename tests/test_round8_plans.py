@@ -194,3 +194,117 @@ def test_dedup_funnel_monotone_and_anchored(spark, docs):
     # cumulative keep-set intersections can only shrink
     assert got["1_raw"] >= got["2_exact"] >= got["3_near"] >= got["4_semantic"]
     assert got["4_semantic"] > 0
+
+
+def test_kmeans_assignment_subtree_is_map_only(emb):
+    from quacfka_service_spark.operators.kmeans import (
+        _assign,
+        _quantized,
+        seed_centroids_quantized,
+    )
+
+    cents = seed_centroids_quantized(emb, k=4)
+    df = _assign(_quantized(emb), cents)
+    plan = formatted_plan(df)
+    # assignment against the inlined literal centroids: one projection,
+    # zero exchanges/joins/windows
+    assert count_exchanges(df) == 0
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_kmeans_update_exchange_is_centroid_sized(emb):
+    # the per-round partial-sum agg must be map-side combined: a
+    # partial HashAggregate below the exchange, final above
+    from quacfka_service_spark.operators.kmeans import (
+        _assign,
+        _quantized,
+        seed_centroids_quantized,
+    )
+
+    cents = seed_centroids_quantized(emb, k=4)
+    upd = (
+        _assign(_quantized(emb), cents)
+        .select("cluster", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(upd)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert count_exchanges(upd) <= 2
+
+
+def test_substring_rolling_prefilter_is_superset_and_exact(spark):
+    # rolling-hash dup offsets must be a superset of md5-dup offsets,
+    # and the two-phase operator must equal the direct md5 path
+    from quacfka_service_spark.operators.dedup import (
+        _gram_occurrences,
+        _gram_occurrences_rolling,
+        _spans_from_occ,
+        substring_spans,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, dup + " left tail one"),
+        (2, "right tail two " + dup),
+        (3, "no duplicated content here at all, unique words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = _gram_occurrences(docs).toPandas()
+    roll = _gram_occurrences_rolling(docs).toPandas()
+    md5_dups = occ[occ.groupby("g")["g"].transform("size") >= 2]
+    roll_dups = roll[roll.groupby("rh")["rh"].transform("size") >= 2]
+    md5_set = set(zip(md5_dups.doc_id, md5_dups.off))
+    roll_set = set(zip(roll_dups.doc_id, roll_dups.off))
+    assert md5_set and md5_set <= roll_set
+    fast = sorted(map(tuple, substring_spans(docs).collect()))
+    direct = sorted(
+        map(tuple, _spans_from_occ(_gram_occurrences(docs).localCheckpoint()).collect())
+    )
+    assert fast == direct
+
+
+def test_neardup_kernel_matches_hof_fold_bits(spark):
+    # the numpy sequential fold must produce the identical cos DOUBLES
+    # the old zip_with/aggregate HOF join produced
+    from quacfka_service_spark.operators.dedup import embedding_neardup
+
+    rows = [
+        (i, i % 2, [((i * 31 + d * 7) % 17 - 8) / 8.0 for d in range(16)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in embedding_neardup(emb, 0.2).collect()}
+    assert got
+    d = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos")
+    ref = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos)
+        .where(F.col("cos") >= 0.2)
+    )
+    want = {(r["id_a"], r["id_b"]): r["cos"] for r in ref.collect()}
+    assert set(got) == set(want)
+    import struct
+
+    for k in got:
+        assert struct.pack("<d", got[k]) == struct.pack("<d", want[k]), k
