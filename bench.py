@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_graph_triangles",
     "embedding_kmeans_quantized",
     "embedding_prototypicality",
+    "embedding_silhouette",
     "similarity_hard_negatives",
 ]
 

@@ -306,10 +306,126 @@ def _q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_seeds(load_table(spark, sf_dir, "embeddings"))
 
 
+def silhouette(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, a_mean, b_mean, nearest_other, silhouette): the
+    squared-distance silhouette per vector over the label clustering —
+    the standard cluster-quality eval (Rousseeuw 1987; the squared-L2
+    variant is what distributed implementations ship, because of the
+    identity below).
+
+    NOT a pairwise scan: the sum of squared distances from x to every
+    member of cluster C collapses algebraically —
+
+        sum_c ||x - c||^2  =  n_C * ||x||^2  -  2 * <x, S_C>  +  Q_C
+
+    with S_C = coordinate sums and Q_C = sum of member squared norms.
+    Over floor-quantized int64 coordinates every term is EXACT integer
+    arithmetic, so a(i) and b(i) are single exact-integer divisions
+    and the whole eval is one cluster-stats aggregate (k x (d+2)
+    bounded rows, broadcast back) + one map-only corpus pass — O(n*k)
+    where the naive silhouette is O(n^2).
+
+    a_mean = mean squared distance to OWN cluster co-members (the
+    self-distance 0 is excluded via the n-1 denominator; singleton
+    clusters get NULL a and silhouette 0 by the standard convention);
+    b_mean = the smallest mean squared distance to another cluster
+    (ties to the lowest label); silhouette = (b - a) / max(a, b) — a
+    fixed three-op IEEE tail on exactly-determined doubles, so the
+    driver hash still matches."""
+    d = _quantized(emb)
+    x2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pts = d.select("vec_id", "label", "qv", x2.alias("x2"))
+    stats = (
+        pts.select("label", F.col("x2").alias("q"), F.posexplode("qv").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("x").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("qsum_rep"),  # q replicated per dim; undo below
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+            F.max("n").alias("n"),
+            # qsum_rep is identical for every pos of the label
+            F.max("qsum_rep").alias("qsum"),
+        )
+        .select(
+            "label",
+            F.transform("ps", lambda p: p["s"]).alias("sv"),
+            "n",
+            "qsum",
+        )
+    )
+    j = pts.crossJoin(F.broadcast(stats.select(
+        F.col("label").alias("c_label"), "sv", "n", "qsum"
+    )))
+    dot_xs = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("sv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    num = F.col("n") * F.col("x2") - F.lit(2) * dot_xs + F.col("qsum")
+    own = F.col("c_label") == F.col("label")
+    # own cluster: n-1 co-members (self distance is 0); others: n
+    terms = j.select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.when(own & (F.col("n") > 1), num / (F.col("n") - 1))
+        .when(~own, num / F.col("n"))
+        .alias("mean_sq"),
+    )
+    a_side = terms.where(F.col("c_label") == F.col("label")).select(
+        "vec_id", "label", F.col("mean_sq").alias("a_mean")
+    )
+    # min over a struct orders by (mean_sq, c_label) — same pick as a
+    # (mean_sq ASC, c_label ASC) row_number, but with a map-side
+    # partial agg instead of a per-vec_id window sort
+    b_side = (
+        terms.where(F.col("c_label") != F.col("label"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("mean_sq").alias("m"), F.col("c_label").alias("c"))
+            ).alias("bm")
+        )
+        .select(
+            "vec_id",
+            F.col("bm.m").alias("b_mean"),
+            F.col("bm.c").alias("nearest_other"),
+        )
+    )
+    out = a_side.join(b_side, "vec_id")
+    s = F.when(
+        F.col("a_mean").isNull(), F.lit(0.0)
+    ).otherwise(
+        (F.col("b_mean") - F.col("a_mean"))
+        / F.greatest(F.col("a_mean"), F.col("b_mean"))
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        "a_mean",
+        "b_mean",
+        F.col("nearest_other").cast("long").alias("nearest_other"),
+        s.alias("silhouette"),
+    )
+
+
+def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "embedding_kmeans_quantized": _q_kmeans,
     "embedding_prototypicality": _q_prototypicality,
     "embedding_kcenter_seeds": _q_kcenter,
+    "embedding_silhouette": _q_silhouette,
 }
 
 
@@ -415,6 +531,63 @@ SELECT vec_id, j::BIGINT AS cluster, dist FROM (
 ORACLES = {
     "embedding_kmeans_quantized": _kmeans_oracle(),
     "embedding_kcenter_seeds": _kcenter_oracle(),
+    "embedding_silhouette": f"""
+WITH d AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * {Q_SCALE})::BIGINT) AS qv
+  FROM embeddings
+),
+pts AS (
+  SELECT vec_id, label, qv,
+         list_sum(list_transform(list_zip(qv, qv),
+                  p -> p[1] * p[2]))::BIGINT AS x2
+  FROM d
+),
+st0 AS (
+  SELECT label, ord, sum(val)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM (SELECT label, unnest(qv) AS val, generate_subscripts(qv, 1) AS ord
+        FROM d)
+  GROUP BY 1, 2
+),
+sv AS (
+  SELECT label, list(s ORDER BY ord) AS sv, max(n) AS n
+  FROM st0 GROUP BY label
+),
+qs AS (SELECT label, sum(x2)::BIGINT AS qsum FROM pts GROUP BY label),
+stats AS (SELECT sv.label, sv.sv, sv.n, qs.qsum FROM sv JOIN qs USING (label)),
+terms AS (
+  SELECT p.vec_id, p.label, s.label AS c_label, s.n,
+         s.n * p.x2
+           - 2 * list_sum(list_transform(list_zip(p.qv, s.sv),
+                          z -> z[1] * z[2]))::BIGINT
+           + s.qsum AS num
+  FROM pts p CROSS JOIN stats s
+),
+a_side AS (
+  SELECT vec_id, label,
+         CASE WHEN n > 1 THEN num / (n - 1) END AS a_mean
+  FROM terms WHERE c_label = label
+),
+b_all AS (
+  SELECT vec_id, c_label, num / n AS mean_sq
+  FROM terms WHERE c_label <> label
+),
+b_side AS (
+  SELECT vec_id, c_label AS nearest_other, mean_sq AS b_mean FROM (
+    SELECT vec_id, c_label, mean_sq,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY mean_sq ASC, c_label ASC) AS rn
+    FROM b_all
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.label, a.a_mean, b.b_mean,
+       b.nearest_other::BIGINT AS nearest_other,
+       CASE WHEN a.a_mean IS NULL THEN 0.0
+            ELSE (b.b_mean - a.a_mean) / greatest(a.a_mean, b.b_mean)
+       END AS silhouette
+FROM a_side a JOIN b_side b USING (vec_id)
+""",
     "embedding_prototypicality": f"""
 WITH d AS (
   SELECT vec_id, label,

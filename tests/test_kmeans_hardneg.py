@@ -129,3 +129,34 @@ def test_kcenter_exhausts_small_corpus(spark):
     emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
     got = kcenter_seeds(emb, k=8).collect()
     assert len(got) == 2  # stops when the corpus is exhausted
+
+
+def test_silhouette_planted_geometry(spark):
+    from quacfka_service_spark.operators.kmeans import silhouette
+
+    rows = [
+        # tight PURE cluster 0 around (1, 0)
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.99, 0.0]),
+        (3, 0, [1.0, 0.01]),
+        # cluster 1 around (-1, 0) ...
+        (4, 1, [-1.0, 0.0]),
+        (5, 1, [-0.99, 0.0]),
+        # ... with a misassigned member sitting inside cluster 0's
+        # territory: its a_mean (to the -1 pack) dwarfs its b_mean (to
+        # cluster 0) -> silhouette ~ -1
+        (6, 1, [0.95, 0.0]),
+        # singleton cluster: a_mean NULL, silhouette 0 by convention
+        (7, 2, [0.0, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r["vec_id"]: r for r in silhouette(emb).collect()}
+    assert len(got) == 7
+    for i in (1, 2, 3):  # pure tight cluster scores high
+        assert got[i]["silhouette"] > 0.9, got[i]
+    assert got[6]["silhouette"] < -0.9, got[6]  # misassigned point
+    assert got[6]["nearest_other"] == 0
+    assert got[7]["a_mean"] is None and got[7]["silhouette"] == 0.0
+    # a_mean is exact integer algebra: for vec 4 the co-members are
+    # (-0.99,0) and (0.95,0) -> mean of (100^2 and 19500^2) /2 at Q=1e6
+    assert got[4]["a_mean"] == (10_000**2 + 1_950_000**2) / 2
