@@ -94,6 +94,7 @@ HEADLINE = [
     "embedding_prototypicality",
     "embedding_silhouette",
     "similarity_hard_negatives",
+    "similarity_reciprocal_topk",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.

@@ -421,11 +421,51 @@ def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette(load_table(spark, sf_dir, "embeddings"))
 
 
+ELBOW_KS = (2, 4, 8)
+
+
+def kmeans_elbow(
+    emb: DataFrame, ks: tuple[int, ...] = ELBOW_KS, rounds: int = LLOYD_ROUNDS
+) -> DataFrame:
+    """(k, inertia, max_dist): the elbow curve — total and worst
+    within-cluster squared distance after ``rounds`` exact Lloyd
+    updates at each candidate k.  Inertia is an exact int64 sum (the
+    trainer's trajectory is integer throughout), so the curve is
+    engine-reproducible — the "choose k" artifact usually eyeballed
+    from nondeterministic float runs becomes a hashable table.
+
+    100 TB shape: |ks| independent trainings, each the kmeans_train
+    economics (one scan + centroid-sized exchange per round); the
+    per-k inertia is a single-row agg on the final assignment."""
+    d = _quantized(emb).localCheckpoint(eager=False)
+    spark = emb.sparkSession
+    out = []
+    for k in ks:
+        cents = kmeans_train(emb, k, rounds)
+        if not cents:
+            continue
+        row = (
+            _assign(d, cents)
+            .agg(
+                F.sum("dist").alias("inertia"),
+                F.max("dist").alias("max_dist"),
+            )
+            .collect()[0]
+        )
+        out.append((k, row["inertia"], row["max_dist"]))
+    return spark.createDataFrame(out, "k long, inertia long, max_dist long")
+
+
+def _q_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_elbow(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "embedding_kmeans_quantized": _q_kmeans,
     "embedding_prototypicality": _q_prototypicality,
     "embedding_kcenter_seeds": _q_kcenter,
     "embedding_silhouette": _q_silhouette,
+    "embedding_kmeans_elbow": _q_elbow,
 }
 
 
@@ -528,8 +568,19 @@ SELECT vec_id, j::BIGINT AS cluster, dist FROM (
     return head + "".join(steps) + tail
 
 
+def _elbow_oracle(ks: tuple[int, ...] = ELBOW_KS) -> str:
+    """UNION ALL of the per-k Lloyd replays, each folded to one row."""
+    arms = [
+        f"""SELECT {k}::BIGINT AS k, sum(dist)::BIGINT AS inertia,
+       max(dist)::BIGINT AS max_dist FROM ({_kmeans_oracle(k)})"""
+        for k in ks
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
 ORACLES = {
     "embedding_kmeans_quantized": _kmeans_oracle(),
+    "embedding_kmeans_elbow": _elbow_oracle(),
     "embedding_kcenter_seeds": _kcenter_oracle(),
     "embedding_silhouette": f"""
 WITH d AS (

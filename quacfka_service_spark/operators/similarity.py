@@ -593,6 +593,44 @@ def knn_join(
     )
 
 
+def reciprocal_topk(emb: DataFrame, k: int = KNN_JOIN_K) -> DataFrame:
+    """(id_a, id_b, cos, rank_ab, rank_ba): MUTUAL-kNN edges — pairs
+    where each vector appears in the other's exact top-k (the
+    similarity-graph sparsifier: mutual edges are the high-precision
+    backbone used for agglomerative clustering and near-dup family
+    growth, pruning the asymmetric hub edges a plain kNN graph keeps).
+
+    Composed on the tiled ``knn_join`` kernel: one self-equi-join of
+    its (q_id, neighbor_id) output against its own transpose on the
+    canonical (low, high) pair key.  cos is emitted from the a-side —
+    the sequential dot fold is symmetric term-by-term, so both
+    directions carry identical doubles.
+
+    100 TB shape: inherits knn_join's 2-D blocked economics (or swap
+    in the LSH/IVF candidate kNN for the approximate graph); the
+    mutuality join keys on the pair ids — top-k-mass-sized, map-side
+    prunable, never corpus x corpus."""
+    knn = knn_join(emb, k).localCheckpoint(eager=False)
+    a = knn.where(F.col("q_id") < F.col("neighbor_id")).select(
+        F.col("q_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos",
+        F.col("rank").alias("rank_ab"),
+    )
+    b = knn.where(F.col("neighbor_id") < F.col("q_id")).select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("q_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return a.join(b, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "cos", "rank_ab", "rank_ba"
+    )
+
+
+def _q_reciprocal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reciprocal_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -1276,6 +1314,7 @@ QUERIES = {
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_hard_negatives": _q_hard_negatives,
+    "similarity_reciprocal_topk": _q_reciprocal_topk,
     "similarity_range_search": _q_range_search,
     "similarity_lsh_topk": _q_lsh_topk,  # oracled r6 (deterministic lattice)
     "similarity_ivf_topk": _q_ivf_topk,  # oracled r6 (seeded centroids)
@@ -1834,4 +1873,21 @@ hits AS (
 )
 SELECT method, n_hit, n_exact, n_hit / n_exact AS recall_at_k
 FROM hits CROSS JOIN ne
+"""
+
+
+# Composed verbatim from the hash-proven knn_join oracle: the mutual
+# edge is a pair-keyed self-join of that result with its transpose.
+ORACLES["similarity_reciprocal_topk"] = f"""
+WITH knn AS ({ORACLES["similarity_knn_join"]}),
+a AS (
+  SELECT q_id AS id_a, neighbor_id AS id_b, cos, rank AS rank_ab
+  FROM knn WHERE q_id < neighbor_id
+),
+b AS (
+  SELECT neighbor_id AS id_a, q_id AS id_b, rank AS rank_ba
+  FROM knn WHERE neighbor_id < q_id
+)
+SELECT a.id_a, a.id_b, a.cos, a.rank_ab, b.rank_ba
+FROM a JOIN b USING (id_a, id_b)
 """

@@ -160,3 +160,37 @@ def test_silhouette_planted_geometry(spark):
     # a_mean is exact integer algebra: for vec 4 the co-members are
     # (-0.99,0) and (0.95,0) -> mean of (100^2 and 19500^2) /2 at Q=1e6
     assert got[4]["a_mean"] == (10_000**2 + 1_950_000**2) / 2
+
+
+def test_kmeans_elbow_planted_extremes(spark):
+    from quacfka_service_spark.operators.kmeans import kmeans_elbow
+
+    rows = [
+        (1, 0, [0.5, 0.0]),
+        (2, 0, [-0.5, 0.0]),
+        (3, 0, [0.0, 0.5]),
+        (4, 0, [0.0, -0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r["k"]: r for r in kmeans_elbow(emb, ks=(1, 4)).collect()}
+    assert got[4]["inertia"] == 0  # k = n: every point is its own seed
+    assert got[1]["inertia"] > 0
+    assert got[1]["max_dist"] > 0 and got[4]["max_dist"] == 0
+
+
+def test_reciprocal_topk_planted_mutual_and_hub(spark):
+    from quacfka_service_spark.operators.similarity import reciprocal_topk
+
+    # a and b are each other's top-1 (mutual); h is everyone's 2nd
+    # choice but its own top-k points elsewhere — with k=1 the hub
+    # contributes no mutual edge
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.99, 0.01, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        (4, 0, [0.0, 0.99, 0.01]),
+        (5, 0, [0.5, 0.5, 0.7]),  # hub-ish, nobody's top-1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in reciprocal_topk(emb, k=1).collect()}
+    assert got == {(1, 2), (3, 4)}
