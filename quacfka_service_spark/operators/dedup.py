@@ -2284,3 +2284,83 @@ GROUP BY 1
 """,
     }
 )
+
+
+# --- round-8 closing addition: the boilerplate report -----------------------
+
+BOILERPLATE_TOP = 10
+
+
+def top_boilerplate(docs: DataFrame, k: int = SUBSTR_K, top: int = BOILERPLATE_TOP) -> DataFrame:
+    """(snippet, n_spans, n_docs, example_doc_id, example_start): the
+    ``top`` most-repeated MAXIMAL duplicated substrings, as text — the
+    human-readable half of the ExactSubstr dashboard (span_coverage
+    says HOW MUCH is boilerplate; this says WHAT the boilerplate is,
+    the first artifact a curation owner actually reads).  Grouping by
+    the maximal-span text (not by k-gram) collapses the k shifted
+    grams of one template into a single row; ties break by snippet.
+
+    100 TB shape: spans are duplicate-mass-sized; the doc join fetches
+    each document once to cut its snippets; the report group key space
+    is distinct-boilerplate-sized and the final pick is a
+    TakeOrdered(top), never a global sort."""
+    spans = substring_spans(docs, k)
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    j = spans.join(d, "doc_id").select(
+        "doc_id",
+        "span_start",
+        F.expr("substring(text, span_start, span_len)").alias("snippet"),
+    )
+    rep = j.groupBy("snippet").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min(F.struct("doc_id", "span_start")).alias("ex"),
+    )
+    return (
+        rep.orderBy(F.desc("n_spans"), F.asc("snippet"))
+        .limit(top)
+        .select(
+            "snippet",
+            "n_spans",
+            "n_docs",
+            F.col("ex.doc_id").alias("example_doc_id"),
+            F.col("ex.span_start").alias("example_start"),
+        )
+    )
+
+
+def _q_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_boilerplate(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_top_boilerplate": _q_top_boilerplate})
+
+# Composed from the hash-verified span oracle; the example pick is the
+# lexicographic (doc_id, span_start) minimum.
+ORACLES.update(
+    {
+        "dedup_top_boilerplate": f"""
+WITH spans AS ({ORACLES["dedup_substring_exact"]}),
+cut AS (
+  SELECT s.doc_id, s.span_start,
+         substr(d.text, s.span_start::INT, (s.span_end - s.span_start + 1)::INT) AS snippet
+  FROM spans s JOIN documents d USING (doc_id)
+),
+rep AS (
+  SELECT snippet, count(*)::BIGINT AS n_spans,
+         count(DISTINCT doc_id)::BIGINT AS n_docs,
+         min(doc_id)::BIGINT AS example_doc_id
+  FROM cut GROUP BY snippet
+),
+ex AS (
+  SELECT r.snippet, r.n_spans, r.n_docs, r.example_doc_id,
+         min(c.span_start)::BIGINT AS example_start
+  FROM rep r JOIN cut c
+    ON c.snippet = r.snippet AND c.doc_id = r.example_doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT snippet, n_spans, n_docs, example_doc_id, example_start
+FROM ex ORDER BY n_spans DESC, snippet ASC LIMIT {BOILERPLATE_TOP}
+""",
+    }
+)

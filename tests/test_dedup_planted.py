@@ -318,3 +318,31 @@ def test_triangles_planted_clique_star_trio(spark):
         for r in triangles_neardup(emb, threshold=0.35).collect()
     }
     assert got == {10: 1, 11: 1, 12: 1, 20: 3, 21: 3, 22: 3, 23: 3}, got
+
+
+def test_top_boilerplate_ranks_planted_templates(spark):
+    from quacfka_service_spark.operators.dedup import top_boilerplate
+
+    foot = "this exact footer sentence is repeated across many documents"
+    note = "a second duplicated notice shared by just two docs here"
+    # boundary chars around each planted template are DISTINCT per doc
+    # (1/2/3/4, 5/6): a shared space would itself join the duplicated
+    # run and extend the maximal span one char past the template,
+    # splitting the group-by-text counts (that extension is correct
+    # ExactSubstr semantics — the plant must avoid it, not the code)
+    rows = [
+        (1, foot + "1unique alpha tail content one two three"),
+        (2, "unique beta head content2" + foot),
+        (3, "gamma3" + foot + "4gamma tail"),
+        (4, note + "5delta suffix making the doc long enough"),
+        (5, "epsilon prefix for padding6" + note),
+        (6, "entirely unique document with no repeated material at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = top_boilerplate(docs, top=5).collect()
+    assert got[0]["snippet"] == foot
+    assert got[0]["n_spans"] == 3 and got[0]["n_docs"] == 3
+    assert got[0]["example_doc_id"] == 1 and got[0]["example_start"] == 1
+    by_snip = {r["snippet"]: r for r in got}
+    assert by_snip[note]["n_docs"] == 2
+    assert 6 not in {r["example_doc_id"] for r in got}
