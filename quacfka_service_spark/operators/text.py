@@ -1080,3 +1080,182 @@ WHERE per.doc_id IS NULL
 """,
     }
 )
+
+
+# --- round-8 closing addition: winnowing fingerprints -----------------------
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # selection window (full windows only, Schleimer et al.)
+
+
+def _winnow_code(t):
+    """The rolling_fingerprint token code — reused verbatim so the
+    hash family's engine parity is already proven."""
+    return (
+        F.length(t).cast("long") * 131
+        + F.ascii(F.substring(t, 1, 1)).cast("long") * 31
+        + F.ascii(t.substr(F.length(t), F.lit(1))).cast("long")
+    )
+
+
+def winnowing_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, fp): the winnowing fingerprint sketch (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS algorithm): hash every
+    WINNOW_K-token gram, slide a WINNOW_W-window over the hash stream,
+    and in each window select the minimal hash at its RIGHTMOST
+    in-window position.  Guarantee: any shared token run of at least
+    K + W - 1 tokens shares a selected fingerprint, while only
+    ~2/(W+1) of grams are kept — the density/recall contract that
+    makes fingerprint-sketch dedup sound.
+
+    Docs with fewer than W grams fall back to one whole-doc window
+    (their minimal gram is still selected); docs shorter than K tokens
+    emit nothing.
+
+    All portable integer arithmetic (the rolling_fp token code + the
+    same MUL/MOD fold), windows/joins only — engine-exact.
+
+    100 TB shape: the gram stream is token-linear with a doc_id
+    window (ROWS frame over consecutive offsets); the rightmost-min
+    pick joins on (doc_id, hash) equi keys with a W-bounded range
+    residual; output is density-compressed (~2/(W+1) of grams)."""
+    wa = _words(F.col("text"))
+    codes = F.transform(wa, _winnow_code)
+    n = F.size(codes)
+    e = lambda i, j: F.element_at(codes, i + j)  # noqa: E731
+
+    def gram(i):
+        acc = F.lit(0).cast("long")
+        for j in range(WINNOW_K):
+            acc = F.pmod(acc * _FP_MUL + e(i, j), F.lit(_FP_MOD))
+        return acc
+
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(F.sequence(F.lit(1), n - WINNOW_K + 1), gram),
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select("doc_id", grams.alias("gh")).where(F.size("gh") > 0)
+    occ = g.select(
+        "doc_id",
+        F.size("gh").alias("m"),
+        F.posexplode("gh").alias("idx", "h"),
+    ).select("doc_id", "m", (F.col("idx") + 1).alias("off"), "h")
+    win = Window.partitionBy("doc_id").orderBy("off").rowsBetween(0, WINNOW_W - 1)
+    starts = (
+        occ.select("doc_id", "m", "off", F.min("h").over(win).alias("hmin"))
+        .where(
+            F.col("off")
+            <= F.greatest(F.lit(1), F.col("m") - F.lit(WINNOW_W - 1))
+        )
+        .select("doc_id", F.col("off").alias("s"), "hmin")
+    )
+    o = occ.select(
+        F.col("doc_id").alias("o_doc"),
+        F.col("off").alias("o_off"),
+        F.col("h").alias("o_h"),
+    )
+    sel = (
+        starts.join(
+            o,
+            (F.col("doc_id") == F.col("o_doc"))
+            & (F.col("o_h") == F.col("hmin"))
+            & (F.col("o_off") >= F.col("s"))
+            & (F.col("o_off") <= F.col("s") + WINNOW_W - 1),
+        )
+        .groupBy("doc_id", "s", "hmin")
+        .agg(F.max("o_off").alias("pos"))
+    )
+    return sel.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), F.col("hmin").alias("fp")
+    ).distinct()
+
+
+def _q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_fp(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing at least one
+    winnowing fingerprint, with the count of distinct shared
+    fingerprints — the MOSS candidate generator (high n_shared =
+    near-certain template/plagiarism pair; the K+W-1 guarantee bounds
+    the false-negative length).
+
+    100 TB shape: the self-join keys on fp — cost tracks shared-
+    fingerprint mass, never corpus^2; a stop-fp cap (drop fps in > T
+    docs) is the standard hub guard at web scale."""
+    fps = winnowing_fp(docs).select("doc_id", "fp").distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def _q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_candidates(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update(
+    {
+        "text_winnowing_fp": _q_winnowing_fp,
+        "dedup_winnow_candidates": _q_winnow_candidates,
+    }
+)
+
+_WINNOW_FP_SQL = f"""
+WITH wt AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> CAST(length(t) AS BIGINT) * 131
+                             + CAST(ascii(substring(t, 1, 1)) AS BIGINT) * 31
+                             + CAST(ascii(right(t, 1)) AS BIGINT)) AS codes
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= {WINNOW_K}
+              THEN list_transform(generate_series(1, len(codes) - {WINNOW_K} + 1),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                                       codes[i:i + {WINNOW_K} - 1]),
+                          (acc, cd) -> (acc * {_FP_MUL} + cd) % {_FP_MOD}))
+              ELSE [] END AS gh
+  FROM wt
+),
+o AS (
+  SELECT doc_id, unnest(gh) AS h, generate_subscripts(gh, 1) AS off,
+         len(gh) AS m
+  FROM g WHERE len(gh) > 0
+),
+mn AS (
+  SELECT doc_id, off AS s, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY off
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS hmin
+  FROM o
+),
+st AS (SELECT doc_id, s, hmin FROM mn WHERE s <= greatest(1, m - {WINNOW_W - 1})),
+sel AS (
+  SELECT st.doc_id, st.s, st.hmin AS fp, max(o.off) AS pos
+  FROM st JOIN o ON o.doc_id = st.doc_id AND o.h = st.hmin
+                AND o.off BETWEEN st.s AND st.s + {WINNOW_W - 1}
+  GROUP BY 1, 2, 3
+)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, fp::BIGINT AS fp FROM sel
+"""
+
+ORACLES.update(
+    {
+        "text_winnowing_fp": _WINNOW_FP_SQL,
+        "dedup_winnow_candidates": f"""
+WITH fps AS (SELECT DISTINCT doc_id, fp FROM ({_WINNOW_FP_SQL}))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    }
+)

@@ -89,3 +89,39 @@ def test_round4_ops_survive_degenerate_and_empty(spark):
     assert all(r["n_rows"] == 0 and r["min_prefix"] == "" for r in eprof)
     assert corpus_interleave_shards(empty).count() == 0
     assert media_dedup(as_media(empty)).count() == 0
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    from quacfka_service_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_candidates,
+        winnowing_fp,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, "intro one two " + shared + " tail xyz"),
+        (2, shared + " completely different ending words here"),
+        (3, "no overlap with anything else in this corpus at all truly"),
+        (4, "tiny doc"),  # < K tokens -> no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fp(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # the Schleimer guarantee: a shared run of >= K+W-1 tokens (here 8
+    # >= 7) forces a shared selected fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert 4 not in by_doc
+    # density: never more fingerprints than windows
+    import collections
+
+    n_fp = collections.Counter(r["doc_id"] for r in fps)
+    for doc_id, text in rows[:3]:
+        m = len(text.split()) - WINNOW_K + 1
+        assert n_fp[doc_id] <= max(1, m - WINNOW_W + 1)
+    cand = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in winnow_candidates(docs).collect()}
+    assert (1, 2) in cand and cand[(1, 2)] >= 1
+    assert all(p == (1, 2) or 3 not in p for p in cand)
