@@ -2364,3 +2364,71 @@ FROM ex ORDER BY n_spans DESC, snippet ASC LIMIT {BOILERPLATE_TOP}
 """,
     }
 )
+
+
+def component_purity(docs: DataFrame) -> DataFrame:
+    """(component_id, n_docs, n_sources, majority_source, purity):
+    source purity of each near-dup component — the cluster-level
+    mirror check (a pure component is an intra-feed template; a mixed
+    one is cross-source mirroring, the dedup_source_overlap signal
+    localized to an actual duplicate family).
+
+    Majority pick = (count DESC, source ASC) via a min-struct on the
+    negated count (partial-agg friendly, no window).
+
+    100 TB shape: rides the hash-to-min components (duplicate-mass
+    vertices only); the report aggregates over the bounded
+    (component, source) key space."""
+    cc = connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    j = cc.join(docs.select("doc_id", "source"), "doc_id")
+    per = j.groupBy("component_id", "source").agg(F.count(F.lit(1)).alias("n"))
+    comp = per.groupBy("component_id").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("source").alias("src"))
+        ).alias("mj"),
+    )
+    return comp.select(
+        "component_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_sources",
+        F.col("mj.src").alias("majority_source"),
+        ((-F.col("mj.neg")) / F.col("n_docs")).alias("purity"),
+    )
+
+
+def _q_component_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return component_purity(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_component_purity": _q_component_purity})
+
+ORACLES.update(
+    {
+        "dedup_component_purity": f"""
+WITH comp AS ({ORACLES["dedup_components"]}),
+j AS (
+  SELECT c.component_id, d.source
+  FROM comp c JOIN documents d USING (doc_id)
+  WHERE c.component_id IS NOT NULL
+),
+per AS (SELECT component_id, source, count(*)::BIGINT AS n FROM j GROUP BY 1, 2),
+tot AS (
+  SELECT component_id, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_sources
+  FROM per GROUP BY 1
+),
+mj AS (
+  SELECT component_id, source AS majority_source, n AS maj_n FROM (
+    SELECT component_id, source, n,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY n DESC, source ASC) AS rn
+    FROM per
+  ) WHERE rn = 1
+)
+SELECT t.component_id, t.n_docs, t.n_sources, m.majority_source,
+       m.maj_n / t.n_docs AS purity
+FROM tot t JOIN mj m USING (component_id)
+""",
+    }
+)
