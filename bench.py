@@ -95,6 +95,8 @@ HEADLINE = [
     "embedding_silhouette",
     "similarity_hard_negatives",
     "similarity_reciprocal_topk",
+    "text_winnowing_fp",
+    "dedup_top_boilerplate",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.

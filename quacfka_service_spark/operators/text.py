@@ -1119,27 +1119,29 @@ def winnowing_fp(docs: DataFrame) -> DataFrame:
     window (ROWS frame over consecutive offsets); the rightmost-min
     pick joins on (doc_id, hash) equi keys with a W-bounded range
     residual; output is density-compressed (~2/(W+1) of grams)."""
-    wa = _words(F.col("text"))
-    codes = F.transform(wa, _winnow_code)
-    n = F.size(codes)
-    e = lambda i, j: F.element_at(codes, i + j)  # noqa: E731
-
-    def gram(i):
-        acc = F.lit(0).cast("long")
-        for j in range(WINNOW_K):
-            acc = F.pmod(acc * _FP_MUL + e(i, j), F.lit(_FP_MOD))
-        return acc
-
-    grams = F.when(
-        n >= WINNOW_K,
-        F.transform(F.sequence(F.lit(1), n - WINNOW_K + 1), gram),
-    ).otherwise(F.array().cast("array<long>"))
-    g = docs.select("doc_id", grams.alias("gh")).where(F.size("gh") > 0)
-    occ = g.select(
-        "doc_id",
-        F.size("gh").alias("m"),
-        F.posexplode("gh").alias("idx", "h"),
-    ).select("doc_id", "m", (F.col("idx") + 1).alias("off"), "h")
+    # ROW formulation, not array HOFs: an element_at(codes, i+j) gram
+    # build re-inlines the whole codes array (regex split + per-token
+    # code) into EVERY reference (projection collapse — the repo-wide
+    # trap), going quadratic per document (measured 175 s at sf0.1).
+    # Exploding tokens once and folding over lead() columns evaluates
+    # each token code exactly once and each gram as four row-level
+    # pmod steps — the same ((0*M+c0)%MOD...) fold order, same values.
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("idx", "tok")
+    ).select("doc_id", (F.col("idx") + 1).alias("off"), _winnow_code(F.col("tok")).alias("c"))
+    wlead = Window.partitionBy("doc_id").orderBy("off")
+    lead_cols = [F.lead("c", j).over(wlead).alias(f"c{j}") for j in range(1, WINNOW_K)]
+    seq = toks.select("doc_id", "off", F.col("c").alias("c0"), *lead_cols)
+    acc = F.lit(0).cast("long")
+    for j in range(WINNOW_K):
+        acc = F.pmod(acc * _FP_MUL + F.col(f"c{j}"), F.lit(_FP_MOD))
+    grams_row = seq.where(F.col(f"c{WINNOW_K - 1}").isNotNull()).select(
+        "doc_id", "off", acc.alias("h")
+    )
+    wm = Window.partitionBy("doc_id")
+    occ = grams_row.select(
+        "doc_id", "off", "h", F.count(F.lit(1)).over(wm).alias("m")
+    )
     win = Window.partitionBy("doc_id").orderBy("off").rowsBetween(0, WINNOW_W - 1)
     starts = (
         occ.select("doc_id", "m", "off", F.min("h").over(win).alias("hmin"))
