@@ -1860,6 +1860,47 @@ def _gram_occurrences(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     return t.mapInArrow(fn, "doc_id long, off long, g string")
 
 
+_ROLL_B = 0x9E3779B97F4A7C15 | 1  # odd -> invertible mod 2^64
+_ROLL_BINV = pow(_ROLL_B, -1, 1 << 64)
+
+
+def _roll_tables(pw, ipw, n):
+    """Grow the B^i / B^-i power tables (uint64 wraparound) to >= n by
+    doubling; shared by the executor kernel and the pure-Python
+    property tests so both exercise the identical table construction."""
+    import numpy as np
+
+    B = np.uint64(_ROLL_B)
+    BINV = np.uint64(_ROLL_BINV)
+    while pw.size < n:
+        nxt = np.empty(pw.size * 2, np.uint64)
+        nxt[: pw.size] = pw
+        nxt[pw.size :] = pw * (pw[-1] * B)
+        pw = nxt
+        nxt = np.empty(ipw.size * 2, np.uint64)
+        nxt[: ipw.size] = ipw
+        nxt[ipw.size :] = ipw * (ipw[-1] * BINV)
+        ipw = nxt
+    return pw, ipw
+
+
+def _roll_hashes(t: str, k: int, pw, ipw):
+    """uint64 polynomial rolling hash of every k-CHARACTER gram of t
+    (UTF-32 widening = code-point semantics, matching Spark/DuckDB
+    substring): h(i) = sum_j c[i+j] * B^j mod 2^64 via prefix sums and
+    the modular inverse of B.  Pure function of the text — equal
+    character grams hash equal anywhere in the corpus."""
+    import numpy as np
+
+    c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n = c.size
+    m = n - k + 1
+    s = np.cumsum(c * pw[:n])
+    w = s[k - 1 :].copy()
+    w[1:] -= s[: m - 1]
+    return w * ipw[:m]
+
+
 def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     """(doc_id, off, rh): uint64 polynomial rolling hash of the k-gram
     at every character offset — the vectorized prefilter for the batch
@@ -1881,8 +1922,6 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     import pyarrow as pa
 
     kk = k
-    B = np.uint64(0x9E3779B97F4A7C15 | 1)
-    BINV = np.uint64(pow(0x9E3779B97F4A7C15 | 1, -1, 1 << 64))
 
     def fn(batches):
         np.seterr(over="ignore")  # uint64 wraparound IS the modulus
@@ -1892,28 +1931,14 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             ids = b.column(0).to_pylist()
             texts = b.column(1).to_pylist()
             longest = max((len(t) for t in texts if t is not None), default=0)
-            while pw.size < longest:
-                nxt = np.empty(pw.size * 2, np.uint64)
-                nxt[: pw.size] = pw
-                nxt[pw.size :] = pw * (pw[-1] * B)
-                pw = nxt
-                nxt = np.empty(ipw.size * 2, np.uint64)
-                nxt[: ipw.size] = ipw
-                nxt[ipw.size :] = ipw * (ipw[-1] * BINV)
-                ipw = nxt
+            pw, ipw = _roll_tables(pw, ipw, longest)
             out_id, out_off, out_h = [], [], []
             for doc_id, t in zip(ids, texts):
                 if t is None or len(t) < kk:
                     continue
-                c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(
-                    np.uint64
-                )
-                n = c.size
-                m = n - kk + 1
-                s = np.cumsum(c * pw[:n])
-                w = s[kk - 1 :].copy()
-                w[1:] -= s[: m - 1]
-                out_h.append(w * ipw[:m])
+                h = _roll_hashes(t, kk, pw, ipw)
+                m = h.size
+                out_h.append(h)
                 out_id.append(np.full(m, doc_id, np.int64))
                 out_off.append(np.arange(1, m + 1, dtype=np.int64))
             if out_id:

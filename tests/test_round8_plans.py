@@ -308,3 +308,24 @@ def test_neardup_kernel_matches_hof_fold_bits(spark):
 
     for k in got:
         assert struct.pack("<d", got[k]) == struct.pack("<d", want[k]), k
+
+
+def test_neardup_pair_scan_has_no_crossjoin(emb):
+    from quacfka_service_spark.operators.dedup import embedding_neardup
+
+    plan = formatted_plan(embedding_neardup(emb, 0.25))
+    # cogrouped numpy kernel: label-keyed FlatMapCoGroups... no pair
+    # join materialization, no cartesian/broadcast nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "CoGroup" in plan or "FlatMapCoGroups" in plan
+
+
+def test_winnowing_pick_is_hash_join_not_nested_loop(docs):
+    from quacfka_service_spark.operators.text import winnowing_fp
+
+    plan = formatted_plan(winnowing_fp(docs))
+    # the rightmost-min pick must key on (doc_id, hash) equi columns
+    # with the W-bounded range as residual — never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
