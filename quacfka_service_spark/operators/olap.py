@@ -2001,3 +2001,114 @@ FROM isl GROUP BY ep
 """,
     }
 )
+
+
+# --- round-8 closing addition: mergeable histogram quantiles ---------------
+
+QUANTILE_QS = (50, 90, 99)
+
+
+def value_bins(ev: DataFrame) -> DataFrame:
+    """(event_type, bin, n): the mergeable quantile-sketch state —
+    event values floor-quantized to integer cents and histogrammed.
+    Fixed data-independent bin rule, so counts SUM-merge over any
+    partitioning/batching (the IncrementalQuantile contract), exactly
+    like CMS counters."""
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_bins(bins: DataFrame, qs: tuple = QUANTILE_QS) -> DataFrame:
+    """(event_type, q, n, bin, est): the deterministic quantile
+    readout — smallest bin whose cumulative count reaches
+    ceil(q * n / 100), all integer arithmetic; ``est`` is the bin
+    lower bound in value units (one exact division).  Shared verbatim
+    by the batch operator and the streaming twin so their equality is
+    structural."""
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_tot = W.partitionBy("event_type")
+    c = bins.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("tot"),
+    )
+    ex = c.select(
+        "event_type",
+        "bin",
+        "cum",
+        "tot",
+        F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+    )
+    hit = ex.where(F.col("cum") >= F.expr("(q * tot + 99) DIV 100"))
+    out = hit.groupBy("event_type", "q").agg(
+        F.min("bin").alias("bin"), F.max("tot").alias("n")
+    )
+    return out.select(
+        "event_type",
+        F.col("q").cast("long").alias("q"),
+        F.col("n").cast("long").alias("n"),
+        "bin",
+        (F.col("bin") / F.lit(100.0)).alias("est"),
+    )
+
+
+def hist_quantiles(ev: DataFrame, qs: tuple = QUANTILE_QS) -> DataFrame:
+    """p50/p90/p99 of ``value`` per event_type from the mergeable
+    histogram sketch — the quantile member of the sketch family
+    (HLL = distinct, CMS = frequency, this = distribution).  At cent
+    resolution the estimate is exact to the bin floor (error bounded
+    by the 0.01 bin width), and unlike exact percentile it needs only
+    one sketch-sized exchange and never a per-group sort of raw
+    values.
+
+    100 TB shape: the only corpus-sized stage is the map-side-combined
+    (type, bin) count; the cumsum window runs over bounded bin
+    cardinality (value-range/0.01 per type), and state SUM-merges
+    across batches — the same economics as the CMS."""
+    return quantiles_from_bins(value_bins(ev), qs)
+
+
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hist_quantiles(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_value_quantiles": _q_hist_quantiles})
+
+ORACLES.update(
+    {
+        "events_value_quantiles": f"""
+WITH b AS (
+  SELECT event_type, floor(value * 100)::BIGINT AS bin, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(n) OVER (PARTITION BY event_type)::BIGINT AS tot
+  FROM b
+),
+x AS (
+  SELECT c.event_type, c.bin, c.cum, c.tot, t.q
+  FROM c CROSS JOIN (VALUES (50), (90), (99)) AS t(q)
+),
+h AS (
+  SELECT event_type, q, min(bin) AS bin, max(tot) AS n
+  FROM x WHERE cum >= (q * tot + 99) // 100
+  GROUP BY 1, 2
+)
+SELECT event_type, q::BIGINT AS q, n, bin, bin / 100.0 AS est FROM h
+""",
+    }
+)

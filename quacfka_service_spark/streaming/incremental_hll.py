@@ -115,3 +115,42 @@ class IncrementalCMS:
     def compact(self, spark: SparkSession) -> int:
         folded = self.merged(spark).localCheckpoint(eager=True)
         return self.counters.overwrite(folded)
+
+
+class IncrementalQuantile:
+    """Streaming histogram-quantile sketch — the distribution twin of
+    ``IncrementalHLL``/``IncrementalCMS``: (type, bin) counts
+    SUM-merge like CMS counters, and the readout shares
+    ``quantiles_from_bins`` verbatim with the batch operator, so
+    ``quantiles()`` equals ``hist_quantiles`` over the union of every
+    ingested batch for ANY batching (replay = txn no-op).  State is
+    bounded by value-range/0.01 bins per event type, independent of
+    event count."""
+
+    APP_ID = "incremental-quantile"
+
+    def __init__(self, root: str):
+        self.bins = TxTable(f"{root}/bins")
+
+    def process_batch(self, ev: DataFrame, epoch: int) -> int:
+        from ..operators.olap import value_bins
+
+        return self.bins.append(
+            value_bins(ev), txn={"app_id": self.APP_ID, "epoch": epoch}
+        )
+
+    def merged(self, spark: SparkSession) -> DataFrame:
+        return (
+            self.bins.read(spark)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def quantiles(self, spark: SparkSession) -> DataFrame:
+        from ..operators.olap import quantiles_from_bins
+
+        return quantiles_from_bins(self.merged(spark))
+
+    def compact(self, spark: SparkSession) -> int:
+        folded = self.merged(spark).localCheckpoint(eager=True)
+        return self.bins.overwrite(folded)

@@ -48,3 +48,29 @@ def test_incremental_winnow_equals_batch_and_replay_is_noop(spark, tmp_path):
 def test_incremental_winnow_empty_before_ingest(spark, tmp_path):
     dd = IncrementalWinnowDeduper(str(tmp_path / "wn0"))
     assert dd.result(spark).count() == 0
+
+
+def test_incremental_quantile_equals_batch_and_replay_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from quacfka_service_spark.operators.olap import hist_quantiles
+    from quacfka_service_spark.streaming.incremental_hll import IncrementalQuantile
+
+    ev = load_table(spark, SF_DIR, "events")
+    parts = [ev.where(F.col("event_id") % 3 == r) for r in range(3)]
+    sk = IncrementalQuantile(str(tmp_path / "qs"))
+    for epoch, part in enumerate(parts):
+        v = sk.process_batch(part, epoch)
+    assert sk.process_batch(parts[0], 0) == v  # replay no-op
+
+    def rows(df):
+        return {
+            (r["event_type"], r["q"], r["n"], r["bin"], r["est"])
+            for r in df.collect()
+        }
+
+    got = rows(sk.quantiles(spark))
+    want = rows(hist_quantiles(ev))
+    assert want and got == want
+    sk.compact(spark)
+    assert rows(sk.quantiles(spark)) == want  # compaction preserves
