@@ -97,6 +97,7 @@ HEADLINE = [
     "similarity_reciprocal_topk",
     "text_winnowing_fp",
     "dedup_top_boilerplate",
+    "events_value_quantiles",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.
