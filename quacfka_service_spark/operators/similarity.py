@@ -1891,3 +1891,86 @@ b AS (
 SELECT a.id_a, a.id_b, a.cos, a.rank_ab, b.rank_ba
 FROM a JOIN b USING (id_a, id_b)
 """
+
+
+# --- round-8 closing addition: ANN MRR evaluation ---------------------------
+
+
+def ann_mrr(emb: DataFrame) -> DataFrame:
+    """(method, n_queries, hits, mrr): Mean Reciprocal Rank of the LSH
+    and IVF retrieval arms against the exact top-1 neighbor — the
+    rank-position eval recall@k cannot see (an arm that always buries
+    the true neighbor at rank 5 has perfect recall@5 and terrible
+    MRR; MRR is what matters when downstream reads the list top-down).
+
+    Exactness trick: reciprocal ranks 1/1..1/5 are encoded as the
+    integers 60/rank (60 = lcm(1..5)), so the per-method sum is exact
+    integer arithmetic and the final mrr = sum / (60.0 * n_queries) is
+    ONE division — engine-identical, unlike a float mean of
+    reciprocals whose value depends on summation order.
+
+    100 TB shape: truth = one broadcast-query exact pass; each arm's
+    join keys on (q_id, neighbor_id) over top-k-sized frames."""
+    truth = brute_force_topk(emb, k=1).select(
+        "q_id", F.col("neighbor_id").alias("true_id")
+    )
+    arms = [("lsh", lsh_topk(emb)), ("ivf", ivf_topk(emb))]
+    outs = []
+    for name, df in arms:
+        cand = df.select(
+            F.col("q_id").alias("c_q"),
+            F.col("neighbor_id").alias("c_n"),
+            "rank",
+        )
+        j = truth.join(
+            cand,
+            (F.col("q_id") == F.col("c_q")) & (F.col("true_id") == F.col("c_n")),
+            "left",
+        )
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.count("rank").cast("long").alias("hits"),
+                F.sum(F.coalesce(F.expr("60 DIV rank"), F.lit(0))).alias("s60"),
+            ).select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "hits",
+                (F.col("s60") / (F.lit(60.0) * F.col("n_queries"))).alias("mrr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_mrr(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES.update({"similarity_ann_mrr": _q_ann_mrr})
+
+ORACLES["similarity_ann_mrr"] = f"""
+WITH ex AS (
+  SELECT q_id, neighbor_id FROM ({ORACLES["similarity_topk"]}) WHERE rank = 1
+),
+l AS (SELECT q_id, neighbor_id, rank FROM ({ORACLES["similarity_lsh_topk"]})),
+iv AS (SELECT q_id, neighbor_id, rank FROM ({ORACLES["similarity_ivf_topk"]})),
+sl AS (
+  SELECT ex.q_id, coalesce(60 // l.rank, 0) AS sc,
+         CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex LEFT JOIN l ON l.q_id = ex.q_id AND l.neighbor_id = ex.neighbor_id
+),
+si AS (
+  SELECT ex.q_id, coalesce(60 // iv.rank, 0) AS sc,
+         CASE WHEN iv.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex LEFT JOIN iv ON iv.q_id = ex.q_id AND iv.neighbor_id = ex.neighbor_id
+)
+SELECT 'lsh' AS method, count(*)::BIGINT AS n_queries, sum(hit)::BIGINT AS hits,
+       sum(sc) / (60.0 * count(*)) AS mrr
+FROM sl
+UNION ALL
+SELECT 'ivf', count(*)::BIGINT, sum(hit)::BIGINT, sum(sc) / (60.0 * count(*))
+FROM si
+"""

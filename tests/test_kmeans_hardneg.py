@@ -194,3 +194,17 @@ def test_reciprocal_topk_planted_mutual_and_hub(spark):
     emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
     got = {(r["id_a"], r["id_b"]) for r in reciprocal_topk(emb, k=1).collect()}
     assert got == {(1, 2), (3, 4)}
+
+
+def test_ann_mrr_bounds_and_consistency(spark):
+    from quacfka_service_spark.operators.similarity import ann_mrr
+    from quacfka_service_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {r["method"]: r for r in ann_mrr(emb).collect()}
+    assert set(got) == {"lsh", "ivf"}
+    for m, r in got.items():
+        assert r["n_queries"] > 0
+        assert 0 <= r["hits"] <= r["n_queries"]
+        # each hit contributes at most 1 and at least 1/5 (k=5)
+        assert r["hits"] / (5 * r["n_queries"]) <= r["mrr"] <= r["hits"] / r["n_queries"] or r["hits"] == 0
