@@ -2024,42 +2024,48 @@ def value_bins(ev: DataFrame) -> DataFrame:
     )
 
 
-def quantiles_from_bins(bins: DataFrame, qs: tuple = QUANTILE_QS) -> DataFrame:
-    """(event_type, q, n, bin, est): the deterministic quantile
-    readout — smallest bin whose cumulative count reaches
-    ceil(q * n / 100), all integer arithmetic; ``est`` is the bin
-    lower bound in value units (one exact division).  Shared verbatim
-    by the batch operator and the streaming twin so their equality is
-    structural."""
+def quantiles_from_bins(
+    bins: DataFrame,
+    qs: tuple = QUANTILE_QS,
+    key: str | None = "event_type",
+    scale: float = 100.0,
+) -> DataFrame:
+    """([key,] q, n, bin, est): the deterministic quantile readout —
+    smallest bin whose cumulative count reaches ceil(q * n / 100), all
+    integer arithmetic; ``est`` is the bin lower bound in value units
+    (one exact division by ``scale``).  ``key=None`` computes one
+    global distribution.  Shared verbatim by the batch operators and
+    the streaming twin so their equality is structural."""
     from pyspark.sql.window import Window as W
 
-    w_cum = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+    kcols = [key] if key else []
+    w_cum = W.partitionBy(*kcols).orderBy("bin").rowsBetween(
         W.unboundedPreceding, 0
     )
-    w_tot = W.partitionBy("event_type")
+    w_tot = W.partitionBy(*kcols)
     c = bins.select(
-        "event_type",
+        *kcols,
         "bin",
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_tot).alias("tot"),
     )
     ex = c.select(
-        "event_type",
+        *kcols,
         "bin",
         "cum",
         "tot",
         F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
     )
     hit = ex.where(F.col("cum") >= F.expr("(q * tot + 99) DIV 100"))
-    out = hit.groupBy("event_type", "q").agg(
+    out = hit.groupBy(*kcols, "q").agg(
         F.min("bin").alias("bin"), F.max("tot").alias("n")
     )
     return out.select(
-        "event_type",
+        *kcols,
         F.col("q").cast("long").alias("q"),
         F.col("n").cast("long").alias("n"),
         "bin",
-        (F.col("bin") / F.lit(100.0)).alias("est"),
+        (F.col("bin") / F.lit(float(scale))).alias("est"),
     )
 
 
@@ -2112,3 +2118,90 @@ SELECT event_type, q::BIGINT AS q, n, bin, bin / 100.0 AS est FROM h
 """,
     }
 )
+
+
+def session_duration_quantiles(ev: DataFrame) -> DataFrame:
+    """(q, n, bin, est): p50/p90/p99 of session DURATION seconds over
+    the gap sessionizer — the engagement-depth distribution behind the
+    bounce rate (a p50 of 0 s with a fat p99 is a drive-by corpus; a
+    rising p90 is stickiness).  Durations come from integer epoch
+    seconds (max - min per session), never from re-parsing rendered
+    timestamps — string round-trips through a non-UTC driver session
+    could shift DST-straddling sessions by an hour.
+
+    100 TB shape: one user-keyed session window (the sessionizer's
+    own exchange), a duration-bin count, then the shared sketch
+    readout over bounded bin cardinality."""
+    from pyspark.sql.window import Window as W
+
+    from .sessionize import GAP_SECS
+
+    sec = F.unix_timestamp("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_sec = F.lag(sec).over(w)
+    is_new = F.when(prev_sec.isNull() | (sec - prev_sec > GAP_SECS), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    with_idx = ev.select(
+        "user_id", "ts", "event_id", sec.alias("sec"),
+        F.sum(is_new).over(run).alias("session_idx"),
+    )
+    ses = with_idx.groupBy("user_id", "session_idx").agg(
+        (F.max("sec") - F.min("sec")).alias("bin")
+    )
+    bins = ses.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    return quantiles_from_bins(bins, key=None, scale=1.0)
+
+
+def _q_session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_duration_quantiles(load_table(spark, sf_dir, "events"))
+
+
+QUERIES.update({"events_session_duration_quantiles": _q_session_duration_quantiles})
+
+
+def _sess_dur_oracle() -> str:
+    from .sessionize import GAP_SECS
+
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS sec,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, sec,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > {GAP_SECS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, sec,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+),
+ses AS (
+  SELECT user_id, session_idx, max(sec) - min(sec) AS bin
+  FROM runs GROUP BY 1, 2
+),
+b AS (SELECT bin, count(*)::BIGINT AS n FROM ses GROUP BY 1),
+c AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         sum(n) OVER ()::BIGINT AS tot
+  FROM b
+),
+x AS (SELECT c.bin, c.cum, c.tot, t.q
+      FROM c CROSS JOIN (VALUES (50), (90), (99)) AS t(q)),
+h AS (SELECT q, min(bin) AS bin, max(tot) AS n
+      FROM x WHERE cum >= (q * tot + 99) // 100 GROUP BY 1)
+SELECT q::BIGINT AS q, n, bin, bin / 1.0 AS est FROM h
+"""
+
+
+ORACLES.update({"events_session_duration_quantiles": _sess_dur_oracle()})
