@@ -346,3 +346,30 @@ def test_top_boilerplate_ranks_planted_templates(spark):
     by_snip = {r["snippet"]: r for r in got}
     assert by_snip[note]["n_docs"] == 2
     assert 6 not in {r["example_doc_id"] for r in got}
+
+
+def test_component_purity_planted_mixed_and_pure(spark):
+    from quacfka_service_spark.operators.dedup import component_purity
+
+    tpl_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    tpl_b = "one two three four five six seven eight nine ten eleven " * 3
+    rows = [
+        # pure family: both copies from the same source
+        (1, tpl_a + "x", "s1"),
+        (2, tpl_a + "y", "s1"),
+        # mirrored family: copies across two sources
+        (3, tpl_b + "p", "s1"),
+        (4, tpl_b + "q", "s2"),
+        (5, tpl_b + "r", "s2"),
+        (6, "completely unrelated text with none of those words at all", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["component_id"]: r for r in component_purity(docs).collect()}
+    pure = got[1]
+    assert pure["n_docs"] == 2 and pure["n_sources"] == 1
+    assert pure["majority_source"] == "s1" and pure["purity"] == 1.0
+    mixed = got[3]
+    assert mixed["n_docs"] == 3 and mixed["n_sources"] == 2
+    assert mixed["majority_source"] == "s2"
+    assert abs(mixed["purity"] - 2 / 3) < 1e-12
+    assert 6 not in {r for r in got}  # singletons never appear
