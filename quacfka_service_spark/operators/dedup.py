@@ -413,7 +413,13 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    # NULL-label rows are dropped to match the equi-join semantics this
+    # kernel replaced (a.label == b.label never matches NULL) and the
+    # DuckDB oracle; groupby-applyInPandas would otherwise keep a NULL
+    # group and emit pairs inside it.
+    d = emb.where(F.col("label").isNotNull()).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     d = d.select("vec_id", "label", "v", norm.alias("nrm"))
     thr = float(threshold)

@@ -27,6 +27,8 @@ oracle's list_dot_product on the same values.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1903,14 +1905,18 @@ def ann_mrr(emb: DataFrame) -> DataFrame:
     the true neighbor at rank 5 has perfect recall@5 and terrible
     MRR; MRR is what matters when downstream reads the list top-down).
 
-    Exactness trick: reciprocal ranks 1/1..1/5 are encoded as the
-    integers 60/rank (60 = lcm(1..5)), so the per-method sum is exact
-    integer arithmetic and the final mrr = sum / (60.0 * n_queries) is
-    ONE division — engine-identical, unlike a float mean of
-    reciprocals whose value depends on summation order.
+    Exactness trick: reciprocal ranks 1/1..1/k are encoded as the
+    integers M/rank with M = lcm(1..k) (= 60 at the default k=5), so
+    the per-method sum is exact integer arithmetic and the final
+    mrr = sum / (M * n_queries) is ONE division — engine-identical,
+    unlike a float mean of reciprocals whose value depends on
+    summation order.  M is DERIVED from TOP_K so raising k can never
+    silently truncate (e.g. 60 DIV 7) — the encoding stays exact for
+    any k.
 
     100 TB shape: truth = one broadcast-query exact pass; each arm's
     join keys on (q_id, neighbor_id) over top-k-sized frames."""
+    mult = math.lcm(*range(1, TOP_K + 1))  # 60 at k=5; exact for any k
     truth = brute_force_topk(emb, k=1).select(
         "q_id", F.col("neighbor_id").alias("true_id")
     )
@@ -1931,12 +1937,16 @@ def ann_mrr(emb: DataFrame) -> DataFrame:
             j.agg(
                 F.count(F.lit(1)).cast("long").alias("n_queries"),
                 F.count("rank").cast("long").alias("hits"),
-                F.sum(F.coalesce(F.expr("60 DIV rank"), F.lit(0))).alias("s60"),
+                F.sum(
+                    F.coalesce(F.expr(f"{mult} DIV rank"), F.lit(0))
+                ).alias("s60"),
             ).select(
                 F.lit(name).alias("method"),
                 "n_queries",
                 "hits",
-                (F.col("s60") / (F.lit(60.0) * F.col("n_queries"))).alias("mrr"),
+                (F.col("s60") / (F.lit(float(mult)) * F.col("n_queries"))).alias(
+                    "mrr"
+                ),
             )
         )
     out = outs[0]
@@ -1951,6 +1961,8 @@ def _q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"similarity_ann_mrr": _q_ann_mrr})
 
+_MRR_MULT = math.lcm(*range(1, TOP_K + 1))  # keep oracle lockstep with ann_mrr
+
 ORACLES["similarity_ann_mrr"] = f"""
 WITH ex AS (
   SELECT q_id, neighbor_id FROM ({ORACLES["similarity_topk"]}) WHERE rank = 1
@@ -1958,19 +1970,19 @@ WITH ex AS (
 l AS (SELECT q_id, neighbor_id, rank FROM ({ORACLES["similarity_lsh_topk"]})),
 iv AS (SELECT q_id, neighbor_id, rank FROM ({ORACLES["similarity_ivf_topk"]})),
 sl AS (
-  SELECT ex.q_id, coalesce(60 // l.rank, 0) AS sc,
+  SELECT ex.q_id, coalesce({_MRR_MULT} // l.rank, 0) AS sc,
          CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
   FROM ex LEFT JOIN l ON l.q_id = ex.q_id AND l.neighbor_id = ex.neighbor_id
 ),
 si AS (
-  SELECT ex.q_id, coalesce(60 // iv.rank, 0) AS sc,
+  SELECT ex.q_id, coalesce({_MRR_MULT} // iv.rank, 0) AS sc,
          CASE WHEN iv.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
   FROM ex LEFT JOIN iv ON iv.q_id = ex.q_id AND iv.neighbor_id = ex.neighbor_id
 )
 SELECT 'lsh' AS method, count(*)::BIGINT AS n_queries, sum(hit)::BIGINT AS hits,
-       sum(sc) / (60.0 * count(*)) AS mrr
+       sum(sc) / ({_MRR_MULT}.0 * count(*)) AS mrr
 FROM sl
 UNION ALL
-SELECT 'ivf', count(*)::BIGINT, sum(hit)::BIGINT, sum(sc) / (60.0 * count(*))
+SELECT 'ivf', count(*)::BIGINT, sum(hit)::BIGINT, sum(sc) / ({_MRR_MULT}.0 * count(*))
 FROM si
 """
