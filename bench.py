@@ -98,6 +98,13 @@ HEADLINE = [
     "text_winnowing_fp",
     "dedup_top_boilerplate",
     "events_value_quantiles",
+    # round-9 additions (same non-comparability caveat): the remaining
+    # two ExactSubstr dashboard keys — with the shared span memo the
+    # Spark side pays the gram scan once for the whole 4-key family,
+    # while the per-query DuckDB oracles necessarily recompute it; the
+    # per-key times make that architectural difference visible.
+    "dedup_substring_clean",
+    "dedup_span_coverage",
 ]
 
 # Bisect support: run only a comma-separated subset of HEADLINE (e.g.
@@ -271,6 +278,18 @@ def main() -> None:
             # query, not a cache read (plan-identical re-invocations
             # would otherwise hit the first run's persisted data)
             spark.catalog.clearCache()
+            # The ExactSubstr family shares ONE memoized span scan
+            # (operators/dedup.py _SPANS_CACHE).  Honest accounting:
+            # the PRODUCING key re-pays the scan every run (so its
+            # number measures the scan, not a checkpoint read); the
+            # downstream dashboard keys (top_boilerplate, clean,
+            # coverage) keep the memo — their cost IS the shared-scan
+            # amortized tail, which is what a user running the whole
+            # dashboard pays.
+            if name == "dedup_substring_exact":
+                from quacfka_service_spark.operators import dedup as _dedup
+
+                _dedup._SPANS_CACHE.clear()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         adjusted[name] = round(

@@ -1072,12 +1072,41 @@ def connected_components(
     stays O(1).  The convergence probe is a limit(1) existence check,
     not a full count.  No driver-side collection of the graph.
     """
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .persist()
-    )
+    # The pair graph is duplicate-mass-sized, not corpus-sized, so the
+    # per-round join/agg shuffles at the session's corpus-sized
+    # partition count are pure scheduling floor (r8: 3 rounds x ~600
+    # tiny tasks locally).  Scope spark.sql.shuffle.partitions to the
+    # loop: first to core count (the distinct/persist materialization),
+    # then refined to edge-mass-sized once the edge count is known.
+    # localCheckpoint pins each round's physical partitioning, so AQE
+    # alone cannot coalesce these — the scope is the only lever.  The
+    # conf is restored in the finally; at cluster scale the cap is the
+    # session's own setting, so the 100 TB shape is unchanged.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    try:
+        cur = int(old)
+    except (TypeError, ValueError):
+        cur = spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(conf_key, str(min(cur, spark.sparkContext.defaultParallelism)))
+        sym = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+            .distinct()
+            .persist()
+        )
+        n_edges = sym.count()
+        spark.conf.set(
+            conf_key, str(max(1, min(cur, n_edges // 500_000 + 1)))
+        )
+        return _cc_loop(sym, max_iters)
+    finally:
+        spark.conf.set(conf_key, old)
+
+
+def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     labels = sym.select(F.col("s").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     ).localCheckpoint(eager=True)
@@ -2030,8 +2059,29 @@ def _spans_from_occ(occ: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_len")
 
 
+# The four ExactSubstr dashboard keys (spans / clean / coverage /
+# boilerplate) all start from the SAME maximal-span frame; recomputing
+# it per key repeats the corpus-character-sized rolling-hash scan four
+# times (r8 bench: the family's dominant cost).  Memoize the
+# MATERIALIZED spans per (session, sf_dir, k): first key pays the scan,
+# the other three read the localCheckpoint.  Keyed on applicationId so
+# a fresh session (driver round, new sweep) never sees a stale frame.
+_SPANS_CACHE: dict = {}
+
+
+def _spans_for(spark: SparkSession, sf_dir: str, k: int = SUBSTR_K) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, str(sf_dir), int(k))
+    df = _SPANS_CACHE.get(ck)
+    if df is None:
+        df = substring_spans(load_table(spark, sf_dir, "documents"), k).localCheckpoint(
+            eager=True
+        )
+        _SPANS_CACHE[ck] = df
+    return df
+
+
 def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_spans(load_table(spark, sf_dir, "documents"))
+    return _spans_for(spark, sf_dir)
 
 
 QUERIES.update({"dedup_substring_exact": _q_substring_spans})
@@ -2062,7 +2112,9 @@ FROM runs GROUP BY doc_id, grp
 )
 
 
-def substring_clean(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def substring_clean(
+    docs: DataFrame, k: int = SUBSTR_K, spans: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, clean_text, removed_chars): the corpus with every
     maximal duplicated substring CUT OUT — the transform Lee et al.
     actually apply after finding ExactSubstr spans (their models train
@@ -2083,7 +2135,8 @@ def substring_clean(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     (scan-speed, keyed on doc_id)."""
     from pyspark.sql.window import Window
 
-    spans = substring_spans(docs, k)
+    if spans is None:
+        spans = substring_spans(docs, k)
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("span_start")
@@ -2155,7 +2208,9 @@ def substring_clean(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
 
 def _q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_clean(load_table(spark, sf_dir, "documents"))
+    return substring_clean(
+        load_table(spark, sf_dir, "documents"), spans=_spans_for(spark, sf_dir)
+    )
 
 
 QUERIES.update({"dedup_substring_clean": _q_substring_clean})
@@ -2212,7 +2267,9 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
 )
 
 
-def span_coverage(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def span_coverage(
+    docs: DataFrame, k: int = SUBSTR_K, spans: DataFrame | None = None
+) -> DataFrame:
     """(source, n_docs, total_chars, dup_chars, dup_frac): how much of
     each source's text sits inside exact-duplicate substrings — the
     per-feed ExactSubstr dashboard (a feed at 40% duplicated mass is a
@@ -2228,7 +2285,8 @@ def span_coverage(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     partition by doc_id over span rows; the report is |sources| rows."""
     from pyspark.sql.window import Window
 
-    spans = substring_spans(docs, k)
+    if spans is None:
+        spans = substring_spans(docs, k)
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("span_start")
@@ -2276,7 +2334,9 @@ def span_coverage(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
 
 def _q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return span_coverage(load_table(spark, sf_dir, "documents"))
+    return span_coverage(
+        load_table(spark, sf_dir, "documents"), spans=_spans_for(spark, sf_dir)
+    )
 
 
 QUERIES.update({"dedup_span_coverage": _q_span_coverage})
@@ -2322,7 +2382,12 @@ GROUP BY 1
 BOILERPLATE_TOP = 10
 
 
-def top_boilerplate(docs: DataFrame, k: int = SUBSTR_K, top: int = BOILERPLATE_TOP) -> DataFrame:
+def top_boilerplate(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    top: int = BOILERPLATE_TOP,
+    spans: DataFrame | None = None,
+) -> DataFrame:
     """(snippet, n_spans, n_docs, example_doc_id, example_start): the
     ``top`` most-repeated MAXIMAL duplicated substrings, as text — the
     human-readable half of the ExactSubstr dashboard (span_coverage
@@ -2335,7 +2400,8 @@ def top_boilerplate(docs: DataFrame, k: int = SUBSTR_K, top: int = BOILERPLATE_T
     each document once to cut its snippets; the report group key space
     is distinct-boilerplate-sized and the final pick is a
     TakeOrdered(top), never a global sort."""
-    spans = substring_spans(docs, k)
+    if spans is None:
+        spans = substring_spans(docs, k)
     d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     j = spans.join(d, "doc_id").select(
         "doc_id",
@@ -2361,7 +2427,9 @@ def top_boilerplate(docs: DataFrame, k: int = SUBSTR_K, top: int = BOILERPLATE_T
 
 
 def _q_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return top_boilerplate(load_table(spark, sf_dir, "documents"))
+    return top_boilerplate(
+        load_table(spark, sf_dir, "documents"), spans=_spans_for(spark, sf_dir)
+    )
 
 
 QUERIES.update({"dedup_top_boilerplate": _q_top_boilerplate})

@@ -22,14 +22,15 @@ Suite (each an exact integer count, SQL-oracle-able):
 - lineitem.(l_orderkey) FK -> orders.o_orderkey
 - documents.doc_id unique, n_chars = length(text) consistency
 
-Scale shape: per-table conditional-sum constraints share ONE
-map-side-combined aggregate pass over that table (a single Row of
-counters — no shuffle of data rows, just the 1-row agg exchange); the
-uniqueness checks are count-distinct aggs on the key; the FK checks
-are anti-join COUNTS whose dim side broadcasts while it fits and
+Scale shape: EVERY constraint on a table — conditional sums,
+uniqueness count-distincts, and FK orphan counts — shares ONE
+map-side-combined aggregate pass over that table.  The FK checks ride
+the same pass as a left join on the DISTINCT parent key set (cannot
+multiply child rows, so sum(key-missed) == the anti-join orphan
+count); the optimizer broadcasts the key set while it fits and
 degrades to a co-partitioned shuffle past that.  Everything after is
-unioning 1-row frames.  No driver-side looping over constraints with
-separate jobs: Spark evaluates each table's scalar suite in one pass.
+unioning 1-row frames: four table scans total, no re-scan per check,
+no driver-side looping over constraints with separate jobs.
 """
 
 from __future__ import annotations
@@ -77,23 +78,19 @@ def _scalar_suite(df: DataFrame, table: str, checks: list) -> DataFrame:
     return agged.select(F.explode(rows).alias("r")).select("r.*")
 
 
-def _fk_check(
-    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str,
-    table: str, name: str,
+def _with_fk_flag(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    orphans = child.select(F.col(child_key)).join(
-        parent.select(F.col(parent_key)),
-        F.col(child_key) == F.col(parent_key),
-        "left_anti",
-    )
-    n = child.agg(F.count(F.lit(1)).alias("n_rows"))
-    v = orphans.agg(F.count(F.lit(1)).alias("n_viol"))
-    return n.join(v).select(
-        F.lit(table).alias("table_name"),
-        F.lit(name).alias("check_name"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_viol").cast("long").alias("n_violations"),
-        (F.col("n_viol") == 0).alias("passed"),
+    """child + ``_fk_miss`` boolean — TRUE where the key has no parent.
+    A left join on DISTINCT parent keys cannot multiply child rows, so
+    sum(_fk_miss) equals the anti-join orphan count (a NULL child key
+    never matches in either formulation) and the FK check shares the
+    child table's single aggregate pass instead of re-scanning it.
+    No broadcast hint: the optimizer broadcasts the key set while it
+    fits and falls back to a co-partitioned shuffle past that."""
+    pk = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    return child.join(pk, F.col(child_key) == F.col("_pk"), "left").withColumn(
+        "_fk_miss", F.col("_pk").isNull()
     )
 
 
@@ -121,11 +118,12 @@ def expectations_report(
         ],
     )
     od = _scalar_suite(
-        orders,
+        _with_fk_flag(orders, "o_custkey", customer, "c_custkey"),
         "orders",
         [
             ("o_orderkey_unique", None, "o_orderkey"),
             ("o_totalprice_nonneg", F.col("o_totalprice") < 0, None),
+            ("o_custkey_fk_customer", F.col("_fk_miss"), None),
         ],
     )
     dc = _scalar_suite(
@@ -136,9 +134,12 @@ def expectations_report(
             ("n_chars_consistent", F.col("n_chars") != F.length("text"), None),
         ],
     )
-    fk1 = _fk_check(orders, "o_custkey", customer, "c_custkey", "orders", "o_custkey_fk_customer")
-    fk2 = _fk_check(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem", "l_orderkey_fk_orders")
-    return reduce(DataFrame.unionByName, [ev, od, dc, fk1, fk2])
+    li = _scalar_suite(
+        _with_fk_flag(lineitem, "l_orderkey", orders, "o_orderkey"),
+        "lineitem",
+        [("l_orderkey_fk_orders", F.col("_fk_miss"), None)],
+    )
+    return reduce(DataFrame.unionByName, [ev, od, dc, li])
 
 
 def _q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:

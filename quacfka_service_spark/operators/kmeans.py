@@ -61,53 +61,54 @@ def _quantized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "label", qv.alias("qv"))
 
 
-def _argmin_dist(cents: list[list[int]]):
-    """struct<d: long, i: int> — the winning (min) integer L2 distance
-    and its centroid index against the inlined literal centroid list.
-    Strict ``<`` replacement keeps the EARLIEST index on ties —
-    identical to a (dist ASC, j ASC) row_number tie-break."""
-    lit = F.array(
-        *[F.array(*[F.lit(int(x)) for x in c]) for c in cents]
-    )
-    dists = F.transform(
-        lit,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return F.aggregate(
-        dists,
-        F.struct(
-            F.lit(None).cast("long").alias("d"),
-            F.lit(-1).alias("i"),
-            F.lit(0).alias("j"),
-        ),
-        lambda acc, x: F.struct(
-            F.when(acc["d"].isNull() | (x < acc["d"]), x)
-            .otherwise(acc["d"])
-            .alias("d"),
-            F.when(acc["d"].isNull() | (x < acc["d"]), acc["j"])
-            .otherwise(acc["i"])
-            .alias("i"),
-            (acc["j"] + 1).alias("j"),
-        ),
-    )
+def _np_dists(b, C):
+    """(ids, Q, dist): the per-batch exact int64 distance matrix —
+    n x k squared L2 against the centroid matrix.  numpy int64 is
+    exact (no float path) and stays within the module's overflow
+    budget (< 2^48 per distance)."""
+    import numpy as np
+
+    ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+    Q = np.array(b.column("qv").to_pylist(), dtype=np.int64)
+    if Q.size == 0:
+        return ids, Q, np.zeros((0, C.shape[0]), np.int64)
+    diff = Q[:, None, :] - C[None, :, :]
+    return ids, Q, np.einsum("nkd,nkd->nk", diff, diff)
 
 
 def _assign(d: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """(vec_id, qv, cluster, dist): map-only nearest-centroid
-    assignment — explode_outer barrier so extracting (cluster, dist)
-    cannot re-inline the k-distance fold per consumer."""
-    out = d.select(
-        "vec_id", "qv", F.explode_outer(F.array(_argmin_dist(cents))).alias("b")
-    )
-    return out.select(
-        "vec_id",
-        "qv",
-        F.col("b.i").alias("cluster"),
-        F.col("b.d").alias("dist"),
+    """(vec_id, cluster, dist): map-only nearest-centroid assignment.
+
+    Arrow-batched numpy kernel, not a Catalyst literal fold: the k x d
+    inlined-literal argmin expression recompiled per Lloyd round
+    (centroid literals change every round) and its codegen dominated
+    the key's wall time at any local SF.  numpy argmin keeps the
+    EARLIEST index on ties — identical to the strict-< fold / a
+    (dist ASC, j ASC) row_number — and every distance is exact int64,
+    so the emitted values are bit-identical to the SQL oracle's."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(cents, dtype=np.int64)
+
+    def fn(batches):
+        for b in batches:
+            ids, _Q, dist = _np_dists(b, C)
+            if dist.shape[0] == 0:
+                continue
+            cl = dist.argmin(axis=1)
+            dm = dist[np.arange(dist.shape[0]), cl]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(ids, np.int64)),
+                    pa.array(cl.astype(np.int32)),
+                    pa.array(dm),
+                ],
+                names=["vec_id", "cluster", "dist"],
+            )
+
+    return d.select("vec_id", "qv").mapInArrow(
+        fn, "vec_id long, cluster int, dist long"
     )
 
 
@@ -126,28 +127,61 @@ def kmeans_train(
     partial-sum shuffle, driver-side floor-division (k x d ints — the
     bounded-state collect the module docstring justifies).  Clusters
     that lose all members keep their previous centroid."""
+    import numpy as np
+    import pyarrow as pa
+
     d = _quantized(emb).localCheckpoint(eager=False)
     cents = seed_centroids_quantized(emb, k)
     if not cents:
         return cents
     dim = len(cents[0])
     for _ in range(rounds):
-        asg = _assign(d, cents)
-        upd = (
-            asg.select("cluster", F.posexplode("qv").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        # one Arrow-batched pass: assign + per-cluster integer partial
+        # sums INSIDE the kernel, emitting k bounded rows per batch —
+        # the collect is (k x partitions) rows, never corpus-sized.
+        # (The old posexplode -> groupBy(cluster, pos) round shipped a
+        # dim-times-corpus exploded frame into a shuffle every round.)
+        C = np.asarray(cents, dtype=np.int64)
+        kk = C.shape[0]
+
+        def fn(batches, _C=C, _k=kk, _dim=dim):
+            S = np.zeros((_k, _dim), np.int64)
+            N = np.zeros(_k, np.int64)
+            seen = False
+            for b in batches:
+                _ids, Q, dist = _np_dists(b, _C)
+                if dist.shape[0] == 0:
+                    continue
+                seen = True
+                cl = dist.argmin(axis=1)
+                np.add.at(S, cl, Q)
+                N += np.bincount(cl, minlength=_k)
+            if seen:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.arange(_k, dtype=np.int32)),
+                        pa.array(N),
+                        pa.array(S.tolist(), pa.list_(pa.int64())),
+                    ],
+                    names=["cluster", "n", "s"],
+                )
+
+        rows = (
+            d.select("vec_id", "qv")
+            .mapInArrow(fn, "cluster int, n long, s array<long>")
             .collect()
         )
-        by_cluster: dict[int, list] = {}
-        for r in upd:
-            by_cluster.setdefault(r["cluster"], [None] * dim)[r["pos"]] = (
-                r["s"],
-                r["n"],
-            )
+        S = np.zeros((kk, dim), np.int64)
+        N = np.zeros(kk, np.int64)
+        for r in rows:
+            S[r["cluster"]] += np.asarray(r["s"], np.int64)
+            N[r["cluster"]] += r["n"]
+        # clusters that lose all members keep their previous centroid;
+        # Python // is floor division, matching the oracle's pmod
+        # identity for negative sums
         cents = [
-            [s // n for (s, n) in by_cluster[j]] if j in by_cluster else cents[j]
-            for j in range(len(cents))
+            [int(S[j, p]) // int(N[j]) for p in range(dim)] if N[j] else cents[j]
+            for j in range(kk)
         ]
     return cents
 
