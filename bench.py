@@ -290,6 +290,16 @@ def main() -> None:
                 from quacfka_service_spark.operators import dedup as _dedup
 
                 _dedup._SPANS_CACHE.clear()
+            # Same contract for the shared near-dup component map:
+            # dedup_components is the producing key and re-pays the
+            # pair join + CC rounds every run; the downstream
+            # consumers (keep_best_quality, near_keep, purity, stats)
+            # read the memoized closure — the dashboard's amortized
+            # cost.
+            if name == "dedup_components":
+                from quacfka_service_spark.operators import dedup as _dedup
+
+                _dedup._COMPONENTS_CACHE.clear()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         adjusted[name] = round(

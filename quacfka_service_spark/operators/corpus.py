@@ -742,7 +742,7 @@ def _q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_length_deciles(load_table(spark, sf_dir, "documents"))
 
 
-def keep_best_quality(docs: DataFrame) -> DataFrame:
+def keep_best_quality(docs: DataFrame, comp: DataFrame | None = None) -> DataFrame:
     """Near-dup survivor selection by QUALITY: within each near-dup
     component keep the HIGHEST-quality doc (tie -> lowest doc_id), plus
     every unpaired doc — the curation rule production pipelines
@@ -759,9 +759,10 @@ def keep_best_quality(docs: DataFrame) -> DataFrame:
     (small by construction) and broadcasts; the window partitions by
     component_id — component-bounded, never corpus-wide; unpaired docs
     take a broadcast anti-join, no shuffle."""
-    comp = connected_components(
-        ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    )
+    if comp is None:
+        comp = connected_components(
+            ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+        )
     q = text_quality(docs).select("doc_id", "quality")
     in_comp = q.join(comp, "doc_id")
     w = Window.partitionBy("component_id").orderBy(
@@ -779,7 +780,11 @@ def keep_best_quality(docs: DataFrame) -> DataFrame:
 
 
 def _q_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return keep_best_quality(load_table(spark, sf_dir, "documents"))
+    from .dedup import components_for
+
+    return keep_best_quality(
+        load_table(spark, sf_dir, "documents"), comp=components_for(spark, sf_dir)
+    )
 
 
 QUERIES = {

@@ -1203,15 +1203,37 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Five registered keys (components / near_keep / component_stats /
+# component_purity / corpus_keep_best_quality) consume the IDENTICAL
+# transitive closure of the full-documents shingle pair graph; each
+# recomputing it repeats the corpus-dominant shingle self-join + the
+# CC rounds per key.  Memoize the MATERIALIZED component map per
+# (session, sf_dir) — same contract as _SPANS_CACHE: first consumer
+# pays, the rest read the localCheckpoint; keyed on applicationId so a
+# fresh session never sees a stale frame.  (corpus_curation filters
+# docs BEFORE pairing, so its graph is different and ineligible.)
+_COMPONENTS_CACHE: dict = {}
+
+
+def components_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _COMPONENTS_CACHE.get(ck)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = connected_components(
+            ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+        ).localCheckpoint(eager=True)
+        _COMPONENTS_CACHE[ck] = df
+    return df
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    return components_for(spark, sf_dir)
 
 
 def _q_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
-    return neardup_keep_canonical(docs, comp)
+    return neardup_keep_canonical(docs, components_for(spark, sf_dir))
 
 
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,10 +1241,7 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return component_stats(
-        connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
-    )
+    return component_stats(components_for(spark, sf_dir))
 
 
 def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2465,7 +2484,7 @@ FROM ex ORDER BY n_spans DESC, snippet ASC LIMIT {BOILERPLATE_TOP}
 )
 
 
-def component_purity(docs: DataFrame) -> DataFrame:
+def component_purity(docs: DataFrame, comp: DataFrame | None = None) -> DataFrame:
     """(component_id, n_docs, n_sources, majority_source, purity):
     source purity of each near-dup component — the cluster-level
     mirror check (a pure component is an intra-feed template; a mixed
@@ -2478,7 +2497,11 @@ def component_purity(docs: DataFrame) -> DataFrame:
     100 TB shape: rides the hash-to-min components (duplicate-mass
     vertices only); the report aggregates over the bounded
     (component, source) key space."""
-    cc = connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    cc = (
+        connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+        if comp is None
+        else comp
+    )
     j = cc.join(docs.select("doc_id", "source"), "doc_id")
     per = j.groupBy("component_id", "source").agg(F.count(F.lit(1)).alias("n"))
     comp = per.groupBy("component_id").agg(
@@ -2498,7 +2521,9 @@ def component_purity(docs: DataFrame) -> DataFrame:
 
 
 def _q_component_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return component_purity(load_table(spark, sf_dir, "documents"))
+    return component_purity(
+        load_table(spark, sf_dir, "documents"), comp=components_for(spark, sf_dir)
+    )
 
 
 QUERIES.update({"dedup_component_purity": _q_component_purity})

@@ -1324,9 +1324,13 @@ def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
+    # rev feeds THREE consumers (banding, the max-scalar subquery, the
+    # grand total) — persist so the orders scan + groupBy runs once per
+    # action instead of once per broadcast subquery.  Entity-sized
+    # (one row per customer), i.e. the operator's working set anyway.
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
-    )
+    ).persist()
     mx = rev.agg(F.max(F.col("rev").cast("double")).alias("mx"))
     banded = rev.join(F.broadcast(mx)).select(
         "o_custkey",
