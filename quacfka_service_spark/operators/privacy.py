@@ -270,3 +270,124 @@ GROUP BY 1, 2
 """,
     }
 )
+
+
+# --- round-9 addition: t-closeness audit ------------------------------------
+
+# threshold t = T_CLOSE_NUM / T_CLOSE_DEN (0.3 — the value the original
+# paper's experiments center on)
+T_CLOSE_NUM = 3
+T_CLOSE_DEN = 10
+
+
+def t_closeness(
+    docs: DataFrame,
+    quasi: tuple[str, ...] = ("source", "len_bin"),
+    sensitive: str = "lang",
+    t_num: int = T_CLOSE_NUM,
+    t_den: int = T_CLOSE_DEN,
+) -> DataFrame:
+    """(quasi..., n_docs, tv_num, t_close, meets_t): t-closeness audit
+    (Li, Li & Venkatasubramanian 2007) — the third member of the
+    release-gate trio.  l-diversity's blind spot is SKEW: a group can
+    have l distinct sensitive values yet a wildly different
+    distribution from the corpus (the "similarity attack" /
+    skewness attack).  t-closeness bounds, per quasi-identifier
+    group, the distance between the group's sensitive-value
+    distribution and the GLOBAL one; this audit uses total variation
+    distance (the categorical-attribute instantiation of the paper's
+    EMD, ground distance 1).
+
+    Engine-exactness: TV = 0.5 * sum_s |n_cs/n_c - n_s/n| is computed
+    as the INTEGER numerator  tv_num = sum_s |n_cs*n - n_s*n_c|  over
+    the full (class x sensitive-value) grid (absent combinations
+    contribute n_s*n_c — they are real distribution mass the class is
+    missing), then ONE division  t_close = tv_num / (2.0*n_c*n);  the
+    gate compares integers only:  meets_t <=> tv_num*t_den <=
+    2*t_num*n_c*n  — no float threshold comparison anywhere.
+    Headroom: n_cs*n < 2^63 up to ~3e9 documents; past that lift the
+    products to DECIMAL(38,0) on both engines.
+
+    100 TB shape: three map-side-combined hash aggs on bounded key
+    spaces (quasi-id grid, sensitive cardinality, their product); the
+    grid join is broadcast-sized by construction; zero data-sized
+    exchanges beyond the scans."""
+    cls = docs.groupBy(*quasi).agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    sv = docs.groupBy(sensitive).agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cs = docs.groupBy(*quasi, sensitive).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    grid = cls.crossJoin(F.broadcast(sv)).crossJoin(F.broadcast(tot))
+    j = grid.join(cs, [*quasi, sensitive], "left").select(
+        *quasi,
+        "n_c",
+        "n",
+        F.abs(
+            F.coalesce(F.col("n_cs"), F.lit(0)) * F.col("n")
+            - F.col("n_s") * F.col("n_c")
+        ).alias("term"),
+    )
+    agg = j.groupBy(*quasi).agg(
+        F.max("n_c").alias("n_docs"),
+        F.max("n").alias("n"),
+        F.sum("term").cast("long").alias("tv_num"),
+    )
+    return agg.select(
+        *quasi,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "tv_num",
+        (F.col("tv_num") / (F.lit(2.0) * F.col("n_docs") * F.col("n"))).alias(
+            "t_close"
+        ),
+        (
+            F.col("tv_num") * F.lit(t_den)
+            <= F.lit(2 * t_num) * F.col("n_docs") * F.col("n")
+        ).alias("meets_t"),
+    )
+
+
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("CAST(n_chars DIV 100 AS STRING)").alias("len_bin"),
+        "lang",
+    )
+    return t_closeness(docs)
+
+
+QUERIES.update({"privacy_t_closeness": _q_t_closeness})
+
+ORACLES.update(
+    {
+        "privacy_t_closeness": f"""
+WITH d AS (
+  SELECT source, (n_chars // 100)::VARCHAR AS len_bin, lang FROM documents
+),
+cls AS (SELECT source, len_bin, count(*)::BIGINT AS n_c FROM d GROUP BY 1, 2),
+sv AS (SELECT lang, count(*)::BIGINT AS n_s FROM d GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM d),
+cs AS (
+  SELECT source, len_bin, lang, count(*)::BIGINT AS n_cs
+  FROM d GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT cls.source, cls.len_bin, cls.n_c, tot.n, sv.lang, sv.n_s
+  FROM cls CROSS JOIN sv CROSS JOIN tot
+),
+terms AS (
+  SELECT g.source, g.len_bin, g.n_c, g.n,
+         abs(COALESCE(cs.n_cs, 0) * g.n - g.n_s * g.n_c) AS term
+  FROM grid g
+  LEFT JOIN cs ON cs.source = g.source AND cs.len_bin = g.len_bin
+             AND cs.lang = g.lang
+)
+SELECT source, len_bin, max(n_c)::BIGINT AS n_docs,
+       sum(term)::BIGINT AS tv_num,
+       sum(term)::BIGINT / (2.0 * max(n_c) * max(n)) AS t_close,
+       sum(term)::BIGINT * {T_CLOSE_DEN} <= {2 * T_CLOSE_NUM} * max(n_c) * max(n)
+         AS meets_t
+FROM terms GROUP BY 1, 2
+""",
+    }
+)

@@ -1986,3 +1986,87 @@ UNION ALL
 SELECT 'ivf', count(*)::BIGINT, sum(hit)::BIGINT, sum(sc) / ({_MRR_MULT}.0 * count(*))
 FROM si
 """
+
+
+# --- round-9 addition: reciprocal-rank fusion of the ANN arms ---------------
+
+RRF_K0 = 60  # the standard RRF constant (Cormack, Clarke & Buettcher 2009)
+
+
+def rrf_fusion(emb: DataFrame, k0: int = RRF_K0) -> DataFrame:
+    """(q_id, neighbor_id, n_arms, rrf_num, rrf_score, fused_rank):
+    reciprocal-rank fusion of the LSH and IVF retrieval arms — the
+    standard ensemble-retrieval combiner (score = sum over arms of
+    1/(k0 + rank)).  Production retrieval stacks fuse heterogeneous
+    rankers exactly this way because RRF needs no score calibration,
+    only ranks; here it doubles as the quality floor for either
+    single arm (a neighbor surfaced by both arms outranks one either
+    arm buried).
+
+    Exactness trick (the ann_mrr idiom generalized): 1/(k0+rank) for
+    rank 1..k is encoded as the integer M/(k0+rank) with
+    M = lcm(k0+1..k0+k), so the per-pair sum is exact integer
+    arithmetic, the fused ordering is an INTEGER ordering, and
+    rrf_score = rrf_num / M is ONE division — engine-identical.  M is
+    derived from (k0, TOP_K), so changing either can never silently
+    truncate.  Headroom: M(60, 5) = lcm(61..65) ~ 5.0e8, per-arm term
+    <= M/61, so even dozens of arms stay far inside int64.
+
+    Tie-break: (rrf_num DESC, neighbor_id ASC) row_number — fully
+    deterministic on both engines.
+
+    100 TB shape: both arm retrievals are the bucketed paths; the
+    fusion itself aggregates and windows over top-k-sized frames
+    (queries x k x arms rows), a rounding error next to retrieval."""
+    mult = math.lcm(*range(k0 + 1, k0 + TOP_K + 1))
+    arms = lsh_topk(emb).select("q_id", "neighbor_id", "rank").unionByName(
+        ivf_topk(emb).select("q_id", "neighbor_id", "rank")
+    )
+    scored = arms.groupBy("q_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arms"),
+        F.sum(F.expr(f"{mult} DIV ({k0} + rank)")).cast("long").alias("rrf_num"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_num"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "q_id",
+            "neighbor_id",
+            "n_arms",
+            "rrf_num",
+            (F.col("rrf_num") / F.lit(float(mult))).alias("rrf_score"),
+            F.row_number().over(w).cast("long").alias("fused_rank"),
+        )
+        .where(F.col("fused_rank") <= TOP_K)
+    )
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fusion(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES.update({"similarity_rrf_fusion": _q_rrf_fusion})
+
+_RRF_MULT = math.lcm(*range(RRF_K0 + 1, RRF_K0 + TOP_K + 1))
+
+ORACLES["similarity_rrf_fusion"] = f"""
+WITH l AS (SELECT q_id, neighbor_id, rank FROM ({ORACLES["similarity_lsh_topk"]})),
+iv AS (SELECT q_id, neighbor_id, rank FROM ({ORACLES["similarity_ivf_topk"]})),
+arms AS (SELECT * FROM l UNION ALL SELECT * FROM iv),
+scored AS (
+  SELECT q_id, neighbor_id, count(*)::BIGINT AS n_arms,
+         sum({_RRF_MULT} // ({RRF_K0} + rank))::BIGINT AS rrf_num
+  FROM arms GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, neighbor_id, n_arms, rrf_num,
+         rrf_num / {_RRF_MULT}.0 AS rrf_score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf_num DESC, neighbor_id ASC)::BIGINT
+           AS fused_rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, n_arms, rrf_num, rrf_score, fused_rank
+FROM ranked WHERE fused_rank <= {TOP_K}
+"""

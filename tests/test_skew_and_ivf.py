@@ -387,3 +387,47 @@ def test_pq_rerank_improves_recall_on_clusters(spark):
     r_rerank = recall(pq_rerank_topk(df, query_mod=10))
     assert r_rerank > r_adc
     assert r_rerank >= 0.8, f"rerank recall too low: {r_rerank}"
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF invariants on the fixture: per-query top-k shape, integer
+    score encoding, and the ensemble property (a neighbor ranked #1
+    by BOTH arms must outrank any single-arm neighbor)."""
+    import math
+
+    from quacfka_service_spark.operators.similarity import (
+        RRF_K0,
+        TOP_K,
+        rrf_fusion,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = rrf_fusion(emb).collect()
+    assert out, "fusion produced no rows"
+    mult = math.lcm(*range(RRF_K0 + 1, RRF_K0 + TOP_K + 1))
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+        # integer encoding: every score is rrf_num / M exactly
+        assert r["rrf_score"] == r["rrf_num"] / mult
+        assert 1 <= r["n_arms"] <= 2
+        # a single-arm neighbor's numerator is one reciprocal term
+        if r["n_arms"] == 1:
+            assert r["rrf_num"] in {
+                mult // (RRF_K0 + rk) for rk in range(1, TOP_K + 1)
+            }
+    for q, rows in by_q.items():
+        ranks = sorted(r["fused_rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+        # fused_rank ordering is exactly (rrf_num DESC, neighbor ASC)
+        srt = sorted(rows, key=lambda r: (-r["rrf_num"], r["neighbor_id"]))
+        assert [r["fused_rank"] for r in srt] == list(range(1, len(rows) + 1))
+    # the dual-consensus property on at least one query (non-vacuous)
+    both = [r for r in out if r["n_arms"] == 2]
+    assert both, "no neighbor surfaced by both arms on the fixture"
+    top1_num = mult // (RRF_K0 + 1)
+    for r in both:
+        # ranked #1 by both arms -> numerator 2*M/(k0+1), the maximum
+        if r["rrf_num"] == 2 * top1_num:
+            assert r["fused_rank"] == 1
