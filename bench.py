@@ -300,6 +300,13 @@ def main() -> None:
                 from quacfka_service_spark.operators import dedup as _dedup
 
                 _dedup._COMPONENTS_CACHE.clear()
+            # And for the shared PCA state (mu/cov/v/lam tuple):
+            # embedding_pca_power produces, the other three PCA keys
+            # consume.
+            if name == "embedding_pca_power":
+                from quacfka_service_spark.operators import pca as _pca
+
+                _pca._PCA_STATE_CACHE.clear()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         adjusted[name] = round(
