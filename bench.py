@@ -307,6 +307,11 @@ def main() -> None:
                 from quacfka_service_spark.operators import pca as _pca
 
                 _pca._PCA_STATE_CACHE.clear()
+            # And the trained k-means centroids shared with the elbow:
+            if name == "embedding_kmeans_quantized":
+                from quacfka_service_spark.operators import kmeans as _kmeans
+
+                _kmeans._CENTS_CACHE.clear()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         adjusted[name] = round(

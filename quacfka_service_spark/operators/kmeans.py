@@ -186,14 +186,35 @@ def kmeans_train(
     return cents
 
 
+# Trained centroids are bounded driver state shared by
+# embedding_kmeans_quantized and the elbow's same-k leg — memoized per
+# (session, sf_dir, k, rounds), the _PCA_STATE_CACHE discipline.
+_CENTS_CACHE: dict = {}
+
+
+def _cents_for(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS
+) -> list[list[int]]:
+    ck = (spark.sparkContext.applicationId, str(sf_dir), int(k), int(rounds))
+    cents = _CENTS_CACHE.get(ck)
+    if cents is None:
+        cents = kmeans_train(load_table(spark, sf_dir, "embeddings"), k, rounds)
+        _CENTS_CACHE[ck] = cents
+    return cents
+
+
 def kmeans_assign(
-    emb: DataFrame, k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS
+    emb: DataFrame,
+    k: int = K_CLUSTERS,
+    rounds: int = LLOYD_ROUNDS,
+    cents: list[list[int]] | None = None,
 ) -> DataFrame:
     """(vec_id, cluster, dist): the final assignment under the trained
     quantized centroids — the oracle-checkable surface of the trainer
     (every round of the trajectory feeds the emitted distances, so a
     hash match proves the whole Lloyd replay)."""
-    cents = kmeans_train(emb, k, rounds)
+    if cents is None:
+        cents = kmeans_train(emb, k, rounds)
     d = _quantized(emb)
     if not cents:
         return d.select(
@@ -207,7 +228,9 @@ def kmeans_assign(
 
 
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), cents=_cents_for(spark, sf_dir)
+    )
 
 
 def prototypicality(emb: DataFrame, top: int = PROTO_TOP) -> DataFrame:
@@ -459,7 +482,10 @@ ELBOW_KS = (2, 4, 8)
 
 
 def kmeans_elbow(
-    emb: DataFrame, ks: tuple[int, ...] = ELBOW_KS, rounds: int = LLOYD_ROUNDS
+    emb: DataFrame,
+    ks: tuple[int, ...] = ELBOW_KS,
+    rounds: int = LLOYD_ROUNDS,
+    pretrained: dict | None = None,
 ) -> DataFrame:
     """(k, inertia, max_dist): the elbow curve — total and worst
     within-cluster squared distance after ``rounds`` exact Lloyd
@@ -475,7 +501,7 @@ def kmeans_elbow(
     spark = emb.sparkSession
     out = []
     for k in ks:
-        cents = kmeans_train(emb, k, rounds)
+        cents = (pretrained or {}).get(k) or kmeans_train(emb, k, rounds)
         if not cents:
             continue
         row = (
@@ -491,7 +517,11 @@ def kmeans_elbow(
 
 
 def _q_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kmeans_elbow(load_table(spark, sf_dir, "embeddings"))
+    # the k=K_CLUSTERS leg shares embedding_kmeans_quantized's training
+    return kmeans_elbow(
+        load_table(spark, sf_dir, "embeddings"),
+        pretrained={K_CLUSTERS: _cents_for(spark, sf_dir)},
+    )
 
 
 QUERIES = {
