@@ -1853,14 +1853,25 @@ def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     the surviving duplicated offsets (duplicate-mass-sized, not
     corpus-sized).  Raise k or sample offsets (stride) to trade recall
     for throughput; the semantics knob is k itself."""
+    from pyspark.sql.window import Window
+
     d = docs.select(F.col("doc_id").cast("long"), "text")
-    # the rolling stream feeds TWO consumers (the dup census and the
-    # semi-join probe) — checkpoint so the kernel runs once
-    rh = _gram_occurrences_rolling(d, k).localCheckpoint(eager=False)
-    dup_rh = (
-        rh.groupBy("rh").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
+    # Duplicate-offset selection as ONE pass over the rolling stream:
+    # count(*) OVER (PARTITION BY rh) > 1 keeps every offset whose
+    # gram hash occurs twice anywhere in the corpus.  One exchange on
+    # rh, spill-safe (no per-key list materialization — a boilerplate
+    # gram shared by 1e8 docs stays streaming), and the kernel output
+    # has a single consumer, so no checkpoint of the corpus-character-
+    # sized stream.  (The previous census-agg + localCheckpoint +
+    # broadcast-semi shape paid the same exchange PLUS materializing
+    # the stream into storage memory.)
+    rh = _gram_occurrences_rolling(d, k)
+    w_rh = Window.partitionBy("rh")
+    surv = (
+        rh.select("doc_id", "off", F.count(F.lit(1)).over(w_rh).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("doc_id", "off")
     )
-    surv = rh.join(dup_rh.select("rh"), "rh", "left_semi").select("doc_id", "off")
     occ = _md5_verify_occurrences(d, surv, k).localCheckpoint(eager=False)
     return _spans_from_occ(occ, k)
 
