@@ -212,9 +212,11 @@ def test_kmeans_assignment_subtree_is_map_only(emb):
     assert "Join" not in plan and "Window" not in plan
 
 
-def test_kmeans_update_exchange_is_centroid_sized(emb):
-    # the per-round partial-sum agg must be map-side combined: a
-    # partial HashAggregate below the exchange, final above
+def test_kmeans_assign_is_map_only_and_tiebreaks_earliest(emb):
+    # r9 numpy kernel: assignment must be a pure map (zero exchanges —
+    # the per-round sums ride the same pass and collect bounded rows),
+    # and argmin must keep the EARLIEST centroid index on ties, the
+    # contract the old strict-< Catalyst fold pinned.
     from quacfka_service_spark.operators.kmeans import (
         _assign,
         _quantized,
@@ -222,15 +224,13 @@ def test_kmeans_update_exchange_is_centroid_sized(emb):
     )
 
     cents = seed_centroids_quantized(emb, k=4)
-    upd = (
-        _assign(_quantized(emb), cents)
-        .select("cluster", F.posexplode("qv").alias("pos", "x"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    plan = formatted_plan(upd)
-    assert plan.count("HashAggregate") >= 2  # partial + final
-    assert count_exchanges(upd) <= 2
+    asg = _assign(_quantized(emb), cents)
+    assert count_exchanges(asg) == 0
+    assert asg.count() == emb.count()
+    # duplicated centroid: every row ties between index 0 and 1 and
+    # must land on 0
+    dup = _assign(_quantized(emb), [cents[0], cents[0]])
+    assert dup.where(F.col("cluster") != 0).count() == 0
 
 
 def test_substring_rolling_prefilter_is_superset_and_exact(spark):
