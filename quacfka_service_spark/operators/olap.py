@@ -1324,41 +1324,51 @@ def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    # rev feeds THREE consumers (banding, the max-scalar subquery, the
-    # grand total) — persist so the orders scan + groupBy runs once per
-    # action instead of once per broadcast subquery.  Entity-sized
+    from decimal import Decimal
+
+    # rev feeds the banding pass AND the bounded per-band stats — persist
+    # so the orders scan + groupBy runs once per action.  Entity-sized
     # (one row per customer), i.e. the operator's working set anyway.
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
     ).persist()
-    mx = rev.agg(F.max(F.col("rev").cast("double")).alias("mx"))
-    banded = rev.join(F.broadcast(mx)).select(
-        "o_custkey",
-        "rev",
-        F.least(
-            F.floor(F.col("rev").cast("double") / F.col("mx") * n_bands).cast("int"),
-            F.lit(n_bands - 1),
-        ).alias("band"),
+    # BOUNDED driver state instead of a broadcast-subquery chain: the
+    # max scalar, the <= n_bands per-band totals, their higher-band
+    # prefix offsets, and the grand total are all band-cardinality
+    # data.  r8 shape ran them as chained broadcast joins + a global
+    # window — 8 exchanges, 17 AQE stage-jobs at any SF, pure
+    # scheduling floor locally.  Collect them (two bounded jobs),
+    # compute offsets in exact Python Decimal/int arithmetic (decimal
+    # addition is associative — identical to the window sum), and feed
+    # the per-row pass one broadcast-local lookup frame.
+    mx = rev.agg(F.max(F.col("rev").cast("double"))).collect()[0][0]
+    if mx is None:  # empty corpus: keep the literal typed; zero rows flow
+        mx = 1.0
+    band_col = F.least(
+        F.floor(F.col("rev").cast("double") / F.lit(mx) * n_bands).cast("int"),
+        F.lit(n_bands - 1),
     )
-    per_band = banded.groupBy("band").agg(
+    banded = rev.select("o_custkey", "rev", band_col.alias("band"))
+    pb = banded.groupBy("band").agg(
         F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
+    ).collect()
+    stats = sorted(
+        ((r["band"], r["brev"], r["bn"]) for r in pb), key=lambda t: -t[0]
     )
-    # global window over <= n_bands rows: offset of strictly-HIGHER bands
-    wb = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, -1)
-    offs = per_band.select(
-        "band",
-        F.coalesce(F.sum("brev").over(wb), F.lit(0).cast("decimal(22,2)")).alias(
-            "boff"
-        ),
-        F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("long").alias("noff"),
-    )
-    total = rev.agg(
-        F.sum("rev").cast("decimal(38,2)").alias("total")
+    total = sum((b for _, b, _ in stats), Decimal("0.00"))
+    offs_rows, boff, noff = [], Decimal("0.00"), 0
+    for band, brev, bn in stats:
+        offs_rows.append((band, boff, noff, total))
+        boff += brev
+        noff += bn
+    spark = orders.sparkSession
+    offs = spark.createDataFrame(
+        offs_rows,
+        "band int, boff decimal(22,2), noff bigint, total decimal(38,2)",
     )
     ww = W.partitionBy("band").orderBy(F.desc("rev"), F.asc("o_custkey"))
     cum = (
         banded.join(F.broadcast(offs), "band")
-        .join(F.broadcast(total))
         .select(
             "o_custkey",
             "rev",
