@@ -312,6 +312,12 @@ def main() -> None:
                 from quacfka_service_spark.operators import kmeans as _kmeans
 
                 _kmeans._CENTS_CACHE.clear()
+            # And the md5 MinHash signature table shared with the
+            # estimator report:
+            if name == "dedup_minhash_exact":
+                from quacfka_service_spark.operators import dedup as _dedup
+
+                _dedup._SIG_CACHE.clear()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         adjusted[name] = round(

@@ -498,7 +498,7 @@ def minhash_md5_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
+def minhash_md5_pairs(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """Banded-MinHash candidate pairs with md5 as the hash family —
     the engine-portable sibling of ``minhash_lsh_pairs``.
 
@@ -518,7 +518,8 @@ def minhash_md5_pairs(docs: DataFrame) -> DataFrame:
     keyed on (band, band_hash) (the bucket join).  Hot buckets are
     real duplicates by construction — the join fans out exactly where
     duplicate mass exists."""
-    sig = minhash_md5_signatures(docs)
+    if sig is None:
+        sig = minhash_md5_signatures(docs)
     bands = sig.select(
         "doc_id",
         *[
@@ -627,7 +628,7 @@ def containment_pairs(
     )
 
 
-def minhash_estimate(docs: DataFrame) -> DataFrame:
+def minhash_estimate(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """Estimator-quality report: for every banded-LSH candidate pair,
     the MinHash Jaccard ESTIMATE (fraction of the 8 md5 permutation
     minima that agree — the unbiased estimator LSH systems threshold
@@ -668,19 +669,22 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # md5 pre-projection before the min aggregate — same rationale
-    # (and measurement) as minhash_md5_signatures.
-    sig = (
-        ex.select(
-            "doc_id",
-            *[
-                F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
-                for p in range(MD5_N_PERM)
-            ],
+    # (and measurement) as minhash_md5_signatures.  A caller-supplied
+    # sig (the _SIG_CACHE memo shared with dedup_minhash_exact) skips
+    # the 8-permutation re-hash; the inline build stays for direct use.
+    if sig is None:
+        sig = (
+            ex.select(
+                "doc_id",
+                *[
+                    F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
+                    for p in range(MD5_N_PERM)
+                ],
+            )
+            .groupBy("doc_id")
+            .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(MD5_N_PERM)])
+            .localCheckpoint(eager=False)
         )
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(MD5_N_PERM)])
-        .localCheckpoint(eager=False)
-    )
     bands = sig.select(
         "doc_id",
         *[
@@ -1035,8 +1039,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# The md5 signature table (|docs| x 8 hex minima) is shared by
+# dedup_minhash_exact and dedup_minhash_estimate — same memo contract
+# as _SPANS_CACHE / _COMPONENTS_CACHE (producer: dedup_minhash_exact).
+_SIG_CACHE: dict = {}
+
+
+def _sig_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _SIG_CACHE.get(ck)
+    if df is None:
+        df = minhash_md5_signatures(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _SIG_CACHE[ck] = df
+    return df
+
+
 def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_md5_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_md5_pairs(
+        load_table(spark, sf_dir, "documents"), sig=_sig_for(spark, sf_dir)
+    )
 
 
 def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,7 +1268,9 @@ def _q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_estimate(load_table(spark, sf_dir, "documents"))
+    return minhash_estimate(
+        load_table(spark, sf_dir, "documents"), sig=_sig_for(spark, sf_dir)
+    )
 
 
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
