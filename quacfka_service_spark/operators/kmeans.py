@@ -571,11 +571,36 @@ SELECT sel_order, vec_id, dist FROM {prev}
     return head + "".join(steps) + tail
 
 
+def _kmeans_cents_oracle(k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS) -> str:
+    """The trained quantized centroids as (j, qv) — the trajectory
+    replay of `_kmeans_oracle` with the final-assignment tail swapped
+    for a centroid projection.  Lets downstream oracles (the trained
+    IVF arm in similarity.py) consume the exact trained codebook."""
+    head, steps, prev = _kmeans_oracle_parts(k, rounds)
+    return head + "".join(steps) + f"\nSELECT j, qv FROM {prev}\n"
+
+
 def _kmeans_oracle(k: int = K_CLUSTERS, rounds: int = LLOYD_ROUNDS) -> str:
     """CTE replay of the exact Lloyd trajectory (the pagerank-oracle
     generator style, graph.py): assignment = (dist, j) row_number,
     update = per-(j, dim) integer sums with portable floor division,
     empty clusters keep the previous centroid via coalesce."""
+    head, steps, prev = _kmeans_oracle_parts(k, rounds)
+    tail = f"""
+SELECT vec_id, j::BIGINT AS cluster, dist FROM (
+  SELECT d.vec_id, c.j,
+         list_sum(list_transform(list_zip(d.qv, c.qv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY list_sum(list_transform(list_zip(d.qv, c.qv),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.j) AS rn
+  FROM d CROSS JOIN {prev} c
+) WHERE rn = 1
+"""
+    return head + "".join(steps) + tail
+
+
+def _kmeans_oracle_parts(k: int, rounds: int) -> tuple[str, list[str], str]:
     q = Q_SCALE
     head = f"""
 WITH d AS MATERIALIZED (
@@ -618,18 +643,7 @@ cent{r} AS MATERIALIZED (
   FROM {prev} c LEFT JOIN newc{r} nc USING (j)
 )""")
         prev = f"cent{r}"
-    tail = f"""
-SELECT vec_id, j::BIGINT AS cluster, dist FROM (
-  SELECT d.vec_id, c.j,
-         list_sum(list_transform(list_zip(d.qv, c.qv),
-                  p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS dist,
-         row_number() OVER (PARTITION BY d.vec_id
-                            ORDER BY list_sum(list_transform(list_zip(d.qv, c.qv),
-                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.j) AS rn
-  FROM d CROSS JOIN {prev} c
-) WHERE rn = 1
-"""
-    return head + "".join(steps) + tail
+    return head, steps, prev
 
 
 def _elbow_oracle(ks: tuple[int, ...] = ELBOW_KS) -> str:

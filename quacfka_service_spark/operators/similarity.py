@@ -294,25 +294,35 @@ def seed_centroids(
     return [list(r["v"]) for r in seeds]
 
 
-def train_centroids(emb: DataFrame, n_cells: int = N_CELLS) -> list[list[float]]:
-    """KMeans-trained coarse codebook (pyspark.ml, fixed seed), each
-    center L2-normalized: ``_nearest_cells`` assigns by raw dot
-    product, so unnormalized mean-centroids would bias assignment
-    toward large-norm centers instead of nearest directions.  The
-    training pass is one ML job over (vec_id, features) — the driver
-    holds only n_cells centers."""
+def train_centroids(
+    emb: DataFrame, n_cells: int = N_CELLS, rounds: int = 6
+) -> list[list[float]]:
+    """Trained coarse codebook from the repo's EXACT integer Lloyd
+    trainer (operators/kmeans.kmeans_train — floor-quantized int64
+    trajectory, engine-replayable), each center L2-normalized:
+    ``_nearest_cells`` assigns by raw dot product, so unnormalized
+    mean-centroids would bias assignment toward large-norm centers
+    instead of nearest directions.
+
+    r9 change (was pyspark.ml KMeans): MLlib's float summation order
+    is partitioning-dependent, which made every consumer of a trained
+    codebook rows-only by design.  The integer trainer's centroids are
+    a pure function of the data, and the float tail here (x / 1e6 per
+    component, one sqrt of a SEQUENTIAL sum of squares, one division
+    per component) is a fixed IEEE op sequence both engines replay —
+    so trained-IVF consumers can now carry exact SQL oracles.  Codebook
+    quality at equal budget is comparable (Lloyd is Lloyd; rounds is
+    the knob) — the pinned trained-vs-seeded floors in
+    tests/test_skew_and_ivf.py still hold."""
     import math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from .kmeans import kmeans_train
 
-    d = _with_norm(emb)
-    feat = d.select("vec_id", array_to_vector(F.col("v")).alias("features"))
-    model = KMeans(k=n_cells, seed=42, maxIter=20).fit(feat)
     out = []
-    for c in model.clusterCenters():
-        n = math.sqrt(sum(x * x for x in c)) or 1.0
-        out.append([float(x) / n for x in c])
+    for c in kmeans_train(emb, k=n_cells, rounds=rounds):
+        f = [x / 1000000.0 for x in c]
+        n = math.sqrt(sum(x * x for x in f)) or 1.0
+        out.append([x / n for x in f])
     return out
 
 
@@ -816,9 +826,13 @@ def recall_report_trained(emb: DataFrame) -> DataFrame:
     absolute trained-recall floor).  On clustered real embeddings the
     balance gap widens — that is WHY scale deployments train.
 
-    Rows-only by design: KMeans training is not SQL-expressible; the
-    seeded codebook's recall twin IS hash-verified via
-    ``similarity_recall_report``."""
+    Oracled since r9: the trained arm uses the exact integer Lloyd
+    trainer (see train_centroids), whose full trajectory — and the
+    fixed-order float normalization tail — the DuckDB oracle replays,
+    so BOTH arms' recall and scan_frac are value-checked, not just
+    rows-counted.  (The occupancy/scan numbers in the paragraph above
+    are the r8 MLlib-era measurements; the floors the suite pins are
+    trainer-agnostic and still hold.)"""
     exact = brute_force_topk(emb).select("q_id", "neighbor_id")
     d = _with_norm(emb)
     queries = d.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -1312,7 +1326,7 @@ QUERIES = {
     "embedding_centroid_assign": _q_centroid_assign,
     "embedding_quantize_sq8": _q_quantize,
     "similarity_recall_report": _q_recall_report,  # oracled r6 (composed twins)
-    "similarity_recall_trained": _q_recall_report_trained,  # rows-only (KMeans)
+    "similarity_recall_trained": _q_recall_report_trained,  # oracled r9 (integer-Lloyd trainer)
     "similarity_topk": _q_topk,
     "similarity_filtered_topk": _q_filtered_topk,
     "similarity_hard_negatives": _q_hard_negatives,
@@ -2070,3 +2084,109 @@ ranked AS (
 SELECT q_id, neighbor_id, n_arms, rrf_num, rrf_score, fused_rank
 FROM ranked WHERE fused_rank <= {TOP_K}
 """
+
+
+# --- round-9: similarity_recall_trained gains an exact oracle ---------------
+# The r8 docstring said "rows-only by design: KMeans training is not
+# SQL-expressible" — true of MLlib's partitioning-dependent float sums,
+# no longer true of the integer Lloyd trainer train_centroids now uses:
+# the quantized trajectory is replayed by kmeans._kmeans_cents_oracle
+# (proven bit-identical to the numpy trainer), and the float tail
+# (component / 1e6, one sequential sum of squares, sqrt, one division
+# per component) is a fixed IEEE op sequence DuckDB replays below.
+# Both arms then share the seeded-IVF oracle's probe idioms: cell
+# assignment = (dot DESC, c DESC) rn = 1, probes rn <= N_PROBE, rank =
+# (cos DESC, neighbor ASC), scan_frac = avg(per-query probed-cell
+# occupancy) / corpus size — all exact-integer or single-division.
+
+def _recall_trained_oracle() -> str:
+    from .kmeans import _kmeans_cents_oracle
+
+    def arm(p: str, cents_cte: str) -> str:
+        return f"""
+{p}_cs AS (
+  SELECT dd.vec_id, c.c, list_dot_product(dd.v, c.cv) AS s
+  FROM dd CROSS JOIN {cents_cte} c
+),
+{p}_cell AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM {p}_cs
+  ) WHERE rn = 1
+),
+{p}_qc AS (
+  SELECT q_id, cell FROM (
+    SELECT vec_id AS q_id, c AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM {p}_cs WHERE vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+{p}_topk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT qq.q_id, dd.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.q_id
+             ORDER BY list_dot_product(dd.v, qq.qv) / (dd.nrm * qq.qn) DESC,
+                      dd.vec_id ASC) AS rank
+    FROM dd
+    JOIN {p}_cell ON dd.vec_id = {p}_cell.vec_id
+    JOIN {p}_qc ON {p}_cell.cell = {p}_qc.cell
+    JOIN qq ON qq.q_id = {p}_qc.q_id
+    WHERE dd.vec_id <> qq.q_id
+  ) WHERE rank <= {TOP_K}
+),
+{p}_hit AS (
+  SELECT count(*)::BIGINT AS n_hit
+  FROM {p}_topk SEMI JOIN ex USING (q_id, neighbor_id)
+),
+{p}_occ AS (SELECT cell, count(*)::BIGINT AS n FROM {p}_cell GROUP BY 1),
+{p}_scan AS (
+  SELECT avg(s) AS mean_s FROM (
+    SELECT qc.q_id, sum(coalesce(o.n, 0))::BIGINT AS s
+    FROM {p}_qc qc LEFT JOIN {p}_occ o USING (cell)
+    GROUP BY 1
+  )
+)"""
+
+    return f"""
+WITH dd AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM dd WHERE vec_id % {QUERY_MOD} = 0),
+ex AS (SELECT q_id, neighbor_id FROM ({ORACLES["similarity_topk"]})),
+nex AS (SELECT count(*)::BIGINT AS n_exact FROM ex),
+tot AS (SELECT count(*)::BIGINT AS n FROM dd),
+s_cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM dd WHERE vec_id % {QUERY_MOD} = 1 ORDER BY vec_id LIMIT {N_CELLS}
+),
+t_ci AS MATERIALIZED (SELECT j, qv FROM ({_kmeans_cents_oracle(N_CELLS, 6)})),
+t_cents AS (
+  SELECT j AS c, list_transform(f, x -> x / nrm) AS cv
+  FROM (
+    SELECT j, f, CASE WHEN sqrt(s) = 0 THEN 1.0 ELSE sqrt(s) END AS nrm
+    FROM (
+      SELECT j, f,
+             list_reduce(list_prepend(0.0, list_transform(f, x -> x * x)),
+                         (a, b) -> a + b) AS s
+      FROM (SELECT j, list_transform(qv, x -> x / 1000000.0) AS f FROM t_ci)
+    )
+  )
+),{arm('s', 's_cents')},{arm('t', 't_cents')}
+SELECT 'ivf_seeded' AS method,
+       (SELECT n_hit FROM s_hit) AS n_hit,
+       (SELECT n_exact FROM nex) AS n_exact,
+       (SELECT n_hit FROM s_hit) / (SELECT n_exact FROM nex) AS recall_at_k,
+       (SELECT mean_s FROM s_scan) / (SELECT n FROM tot) AS scan_frac
+UNION ALL
+SELECT 'ivf_trained',
+       (SELECT n_hit FROM t_hit),
+       (SELECT n_exact FROM nex),
+       (SELECT n_hit FROM t_hit) / (SELECT n_exact FROM nex),
+       (SELECT mean_s FROM t_scan) / (SELECT n FROM tot)
+"""
+
+
+ORACLES["similarity_recall_trained"] = _recall_trained_oracle()
