@@ -284,21 +284,20 @@ def test_abc_pareto_banded_equals_naive_and_classes(spark):
 
 
 def test_abc_pareto_no_global_data_window(spark):
-    """The only empty-partition (global) window may touch band rows
-    (<= 32), never the full customer set: assert every Window with an
-    empty partition spec sits above the per-band aggregate."""
+    """No global (empty-partition-spec) window over data rows at all:
+    since the r9 rewrite the band offsets are bounded driver state, so
+    the ONLY Window node is the within-band running sum, which must
+    list band in its partition spec — the distributed prefix-sum
+    guarantee that survives 10^8+ customers."""
     from quacfka_service_spark.operators.olap import abc_pareto
 
     orders = load_table(spark, SF_DIR, "orders")
     plan = abc_pareto(orders)._jdf.queryExecution().executedPlan().toString()
     import re as _re
 
-    # exactly 2 Window nodes: the <=32-row band-offset window (global,
-    # but band-count-bounded) and the within-band running sum, which
-    # must list band in its partition spec.
     wins = _re.findall(r"Window .*", plan)
-    assert len(wins) == 2, plan
-    assert any("band" in w and "rev" in w for w in wins), wins
+    assert len(wins) == 1, plan
+    assert "band" in wins[0] and "rev" in wins[0], wins
 
 
 # --- PCA power iteration --------------------------------------------------
