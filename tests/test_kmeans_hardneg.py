@@ -208,3 +208,46 @@ def test_ann_mrr_bounds_and_consistency(spark):
         assert 0 <= r["hits"] <= r["n_queries"]
         # each hit contributes at most 1 and at least 1/5 (k=5)
         assert r["hits"] / (5 * r["n_queries"]) <= r["mrr"] <= r["hits"] / r["n_queries"] or r["hits"] == 0
+
+
+def test_trainer_centroids_match_sql_trajectory(spark):
+    """The contract the r9 trained-recall oracle rests on: the numpy
+    trainer's integer centroids equal the DuckDB CTE replay
+    bit-for-bit at (k=16, rounds=6) — the exact configuration
+    similarity.train_centroids consumes."""
+    import duckdb
+
+    from quacfka_service_spark.operators.kmeans import (
+        _kmeans_cents_oracle,
+        kmeans_train,
+    )
+    from quacfka_service_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    py = kmeans_train(load_table(spark, sf, "embeddings"), k=16, rounds=6)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    sql = {j: list(qv) for j, qv in con.execute(_kmeans_cents_oracle(16, 6)).fetchall()}
+    assert len(py) == len(sql) == 16
+    for j in range(16):
+        assert py[j] == sql[j], f"centroid {j} diverges"
+
+
+def test_train_centroids_normalization_tail(spark):
+    """The float tail (x/1e6, sequential sum of squares, sqrt, per-
+    component division) produces unit-norm centers — and the 'or 1.0'
+    guard keeps a zero vector finite."""
+    import math
+
+    from quacfka_service_spark.operators.similarity import train_centroids
+    from quacfka_service_spark.session import load_table
+
+    cents = train_centroids(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"), n_cells=4, rounds=2
+    )
+    assert len(cents) == 4
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        assert abs(n - 1.0) < 1e-9
