@@ -318,6 +318,12 @@ def main() -> None:
                 from quacfka_service_spark.operators import dedup as _dedup
 
                 _dedup._SIG_CACHE.clear()
+            # And the filtered-population component map shared by
+            # curation + e2e factory:
+            if name == "corpus_curation":
+                from quacfka_service_spark.operators import corpus as _corpus
+
+                _corpus._FILTERED_COMP_CACHE.clear()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         adjusted[name] = round(

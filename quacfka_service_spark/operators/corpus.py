@@ -62,6 +62,7 @@ def corpus_curation(
     min_quality: float = MIN_QUALITY,
     langs: tuple[str, ...] = KEEP_LANGS,
     pair_emitter: Callable[[DataFrame], DataFrame] | None = None,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """lang-ID filter -> quality filter -> near-dup keep-canonical ->
     train/val/test split, one plan end to end.
@@ -87,7 +88,8 @@ def corpus_curation(
         .where(F.col("quality") >= min_quality)
         .select("doc_id", "text", "lang_pred", "quality")
     )
-    comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
+    if comp is None:
+        comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
     kept = neardup_keep_canonical(filtered, comp)
     return (
         assign_split(filtered.join(kept, "doc_id"), "doc_id")
@@ -102,6 +104,7 @@ def corpus_e2e_factory(
     langs: tuple[str, ...] = KEEP_LANGS,
     cap: int | None = None,
     pair_emitter: Callable[[DataFrame], DataFrame] | None = None,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """The whole data factory as ONE Catalyst plan: lang-ID filter ->
     quality filter -> near-dup keep-canonical -> per-source cap ->
@@ -125,7 +128,8 @@ def corpus_e2e_factory(
         .where(F.col("quality") >= min_quality)
         .select("doc_id", "text", "lang_pred", "quality")
     )
-    comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
+    if comp is None:
+        comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
     kept = neardup_keep_canonical(filtered, comp)
     survivors = (
         filtered.join(kept, "doc_id")
@@ -669,8 +673,40 @@ def corpus_interleave_shards(docs: DataFrame, salt: str = INTERLEAVE_SALT) -> Da
     )
 
 
+# corpus_curation and corpus_e2e_factory (default emitter, default
+# filters) compute the IDENTICAL post-filter component map — memoized
+# per (session, sf_dir) like dedup's _COMPONENTS_CACHE (that one is the
+# FULL-docs closure; this one is the filtered-population closure the
+# curation docstring requires).  Custom-emitter variants (lsh,
+# semantic) have different graphs and never touch this memo.
+_FILTERED_COMP_CACHE: dict = {}
+
+
+def _filtered_components_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, str(sf_dir))
+    df = _FILTERED_COMP_CACHE.get(ck)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        filtered = (
+            docs.join(
+                lang_id(docs).where(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id"
+            )
+            .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
+            .where(F.col("quality") >= MIN_QUALITY)
+            .select("doc_id", "text")
+        )
+        df = connected_components(
+            ngram_jaccard_pairs(filtered).select("doc_a", "doc_b")
+        ).localCheckpoint(eager=True)
+        _FILTERED_COMP_CACHE[ck] = df
+    return df
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_curation(load_table(spark, sf_dir, "documents"))
+    return corpus_curation(
+        load_table(spark, sf_dir, "documents"),
+        comp=_filtered_components_for(spark, sf_dir),
+    )
 
 
 def _q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,7 +838,8 @@ QUERIES = {
         load_table(spark, sf_dir, "documents")
     ),
     "corpus_e2e_factory": lambda spark, sf_dir: corpus_e2e_factory(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"),
+        comp=_filtered_components_for(spark, sf_dir),
     ),
     "corpus_curation": _q_curation,
     "corpus_curation_semantic": _q_curation_semantic,  # new in r6
@@ -1590,7 +1627,9 @@ FROM agg
 # --- round-8 addition: dedup funnel report -----------------------------------
 
 
-def dedup_funnel(docs: DataFrame, emb: DataFrame) -> DataFrame:
+def dedup_funnel(
+    docs: DataFrame, emb: DataFrame, comp: DataFrame | None = None
+) -> DataFrame:
     """(stage, n_docs): how many documents survive each dedup family
     applied cumulatively — raw -> exact (identical text) -> near-dup
     (ngram-Jaccard components, min-id canonical) -> semantic (SemDeDup
@@ -1617,9 +1656,11 @@ def dedup_funnel(docs: DataFrame, emb: DataFrame) -> DataFrame:
 
     spark = docs.sparkSession
     k1 = dedup_keep_first(docs).select("doc_id").localCheckpoint(eager=False)
-    near = neardup_keep_canonical(
-        docs, connected_components(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
-    ).select("doc_id")
+    if comp is None:
+        comp = connected_components(
+            ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+        )
+    near = neardup_keep_canonical(docs, comp).select("doc_id")
     k2 = k1.join(near, "doc_id", "left_semi").localCheckpoint(eager=False)
     sem = semantic_dedup(emb).select(F.col("vec_id").alias("doc_id"), "kept")
     k3 = (
@@ -1643,8 +1684,12 @@ def dedup_funnel(docs: DataFrame, emb: DataFrame) -> DataFrame:
 
 
 def _q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import components_for
+
     return dedup_funnel(
-        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        comp=components_for(spark, sf_dir),
     )
 
 
