@@ -251,3 +251,124 @@ FROM members GROUP BY 1
 """,
     }
 )
+
+
+# --- round-9 addition: k-core of the shingle near-dup graph -----------------
+
+KCORE_K = 2
+KCORE_MAX_PEELS = 8
+
+
+def kcore_neardup(docs: DataFrame, k: int = KCORE_K, max_peels: int = KCORE_MAX_PEELS) -> DataFrame:
+    """(doc_id, degree): the k-core of the ngram-Jaccard near-dup
+    graph — the maximal subgraph where every member keeps >= k
+    near-dup neighbors AFTER all weaker vertices are removed (Seidman
+    1983).  Curation meaning: components find clusters, triangles
+    count local density, the k-core isolates the DENSE MUTUAL cluster
+    mass — template mills and mirror farms survive the peel, while
+    chain-of-pairs artifacts (A~B~C with no A~C) dissolve.  ``degree``
+    is the within-core degree, the density rank inside the farm.
+
+    Standard peel: drop vertices with degree < k, repeat until stable.
+    Converges in O(peel depth) rounds — near-dup graphs are shallow
+    (the CC argument); fails loudly past ``max_peels`` like
+    connected_components, and the oracle unrolls exactly max_peels
+    rounds (a converged peel is a fixpoint, so extra unrolled rounds
+    are no-ops and the two sides agree at ANY true depth <= max).
+
+    Engine-exactness: the pair graph is the hash-proven
+    ngram_jaccard_pairs; the peel is integer degree counts + semi
+    joins.
+
+    100 TB shape: per round one map-side-combined degree agg + two
+    semi joins co-partitioned on the vertex, all edge-mass-sized;
+    lineage truncated per round (localCheckpoint); convergence probe
+    is a scalar count."""
+    from .dedup import ngram_jaccard_pairs
+
+    # edge-mass shuffle scope, the connected_components discipline:
+    # peel shuffles at the session's corpus-sized partition count are
+    # scheduling floor — localCheckpoint pins physical partitioning,
+    # so the conf scope is the only lever; restored in the finally.
+    spark = docs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    try:
+        cur_parts = int(old)
+    except (TypeError, ValueError):
+        cur_parts = spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(
+            conf_key, str(min(cur_parts, spark.sparkContext.defaultParallelism))
+        )
+        pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+        cur = (
+            pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+            .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_cur = cur.count()
+        spark.conf.set(conf_key, str(max(1, min(cur_parts, n_cur // 500_000 + 1))))
+        for _ in range(max_peels):
+            keep = (
+                cur.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("s")
+            )
+            nxt = (
+                cur.join(keep, "s", "left_semi")
+                .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            if n_nxt == n_cur:
+                break
+            cur, n_cur = nxt, n_nxt
+        else:
+            raise RuntimeError(
+                f"kcore_neardup did not stabilize in {max_peels} peels; "
+                "the graph is deeper than expected — raise max_peels"
+            )
+        return (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .select(F.col("s").alias("doc_id"), "degree")
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore_neardup(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"dedup_graph_kcore": _q_kcore})
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_MAX_PEELS) -> str:
+    from .dedup import _JACCARD_CTES, _SHINGLE_CTE
+
+    parts = [
+        f"WITH {_SHINGLE_CTE.strip()}, {_JACCARD_CTES},\n"
+        "e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs\n"
+        "                    UNION SELECT doc_b, doc_a FROM pairs)"
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+k{r} AS (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.s, e.d FROM {prev} e
+  SEMI JOIN k{r} a ON e.s = a.s
+  SEMI JOIN k{r} b ON e.d = b.s
+)""")
+        prev = f"e{r}"
+    parts.append(
+        f"\nSELECT s AS doc_id, count(*)::BIGINT AS degree FROM {prev} GROUP BY s\n"
+    )
+    return "".join(parts)
+
+
+ORACLES.update({"dedup_graph_kcore": _kcore_oracle()})

@@ -373,3 +373,31 @@ def test_component_purity_planted_mixed_and_pure(spark):
     assert mixed["majority_source"] == "s2"
     assert abs(mixed["purity"] - 2 / 3) < 1e-12
     assert 6 not in {r for r in got}  # singletons never appear
+
+
+def test_kcore_keeps_clique_drops_chain(spark):
+    """Planted near-dup graph: a 3-clique of identical-ish docs (every
+    pair shares most shingles) plus a chain A~B~C with no A~C edge.
+    The 2-core must keep exactly the clique — with degree 2 each —
+    and dissolve the chain."""
+    from quacfka_service_spark.operators.graph import kcore_neardup
+
+    base = "the quick brown fox jumps over the lazy dog near the misty river bank today"
+    chain_mid = "completely different middle text that shares a run of words with each end"
+    rows = [
+        # clique: three near-identical docs
+        (1, base + " one"),
+        (2, base + " two"),
+        (3, base + " three"),
+        # chain: 10 shares a half with 11, 11 shares its other half with 12,
+        # but 10 and 12 share nothing
+        (10, "alpha beta gamma delta epsilon zeta eta theta " + chain_mid),
+        (11, chain_mid + " iota kappa lambda mu nu xi omicron pi rho sigma"),
+        (12, "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+        # isolated
+        (20, "nothing here resembles anything else in the corpus at all truly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["degree"] for r in kcore_neardup(docs).collect()}
+    assert set(out) == {1, 2, 3}, out
+    assert all(v == 2 for v in out.values()), out
