@@ -303,7 +303,10 @@ K_CENTER = 8
 
 def _min_dist_to(chosen: list[list[int]]):
     """Column: exact integer L2 distance to the NEAREST of the inlined
-    chosen points (map-only, same literal-fold idiom as _argmin_dist)."""
+    chosen points (map-only, the inlined-literal fold idiom the r9
+    numpy `_assign` kernel replaced for the trainer — kept here
+    because the chosen set grows by one per greedy step, so each step
+    IS a fresh small plan and a kernel would re-ship per step)."""
     lit = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in chosen])
     dists = F.transform(
         lit,
