@@ -181,6 +181,18 @@ def ngram_jaccard_pairs(
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
+    return _jaccard_pairs_from_exploded(ex_all, threshold, max_df)
+
+
+def _jaccard_pairs_from_exploded(
+    ex_all: DataFrame, threshold: float = 0.2, max_df: int = NGRAM_MAX_DF
+) -> DataFrame:
+    """The ngram_jaccard_pairs tail over an already-exploded
+    (doc_id, s) shingle stream — shared with the incremental k-core's
+    result() so the stored-stream path cannot drift from the batch
+    operator.  The df-cap census runs HERE (query time), because a
+    shingle's document frequency is a corpus-global, retroactive
+    quantity."""
     # Boilerplate census: shingles with df > max_df.  Shingles are
     # distinct per doc (list_distinct), so count(*) == document
     # frequency.  Partial aggregation combines map-side; the survivors

@@ -286,11 +286,21 @@ def kcore_neardup(docs: DataFrame, k: int = KCORE_K, max_peels: int = KCORE_MAX_
     is a scalar count."""
     from .dedup import ngram_jaccard_pairs
 
+    return kcore_from_pairs(
+        ngram_jaccard_pairs(docs).select("doc_a", "doc_b"), k, max_peels
+    )
+
+
+def kcore_from_pairs(
+    pairs: DataFrame, k: int = KCORE_K, max_peels: int = KCORE_MAX_PEELS
+) -> DataFrame:
+    """The peel over an explicit (doc_a, doc_b) pair frame — shared by
+    the batch operator and the streaming twin's result()."""
     # edge-mass shuffle scope, the connected_components discipline:
     # peel shuffles at the session's corpus-sized partition count are
     # scheduling floor — localCheckpoint pins physical partitioning,
     # so the conf scope is the only lever; restored in the finally.
-    spark = docs.sparkSession
+    spark = pairs.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key)
     try:
@@ -301,7 +311,6 @@ def kcore_neardup(docs: DataFrame, k: int = KCORE_K, max_peels: int = KCORE_MAX_
         spark.conf.set(
             conf_key, str(min(cur_parts, spark.sparkContext.defaultParallelism))
         )
-        pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
         cur = (
             pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
             .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
