@@ -193,17 +193,23 @@ def _jaccard_pairs_from_exploded(
     operator.  The df-cap census runs HERE (query time), because a
     shingle's document frequency is a corpus-global, retroactive
     quantity."""
-    # Boilerplate census: shingles with df > max_df.  Shingles are
-    # distinct per doc (list_distinct), so count(*) == document
-    # frequency.  Partial aggregation combines map-side; the survivors
-    # are few enough to broadcast by the pigeonhole bound above.
-    hot = (
-        ex_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .select("s")
+    # Boilerplate census folded into ONE window pass (the r9 substring-
+    # census idiom): count(*) OVER (PARTITION BY s) is the document
+    # frequency (shingles are distinct per doc via list_distinct), and
+    # filtering df <= max_df inline replaces the census agg + broadcast
+    # anti-join — one exchange on s instead of two traversals, and the
+    # self-join below joins ON s, so its sides reuse the same hash
+    # partitioning.  Spill-safe: no per-key state beyond the window
+    # count, a web-scale hot shingle streams through.
+    from pyspark.sql.window import Window as _W
+
+    ex = (
+        ex_all.select(
+            "doc_id", "s", F.count(F.lit(1)).over(_W.partitionBy("s")).alias("df")
+        )
+        .where(F.col("df") <= max_df)
+        .select("doc_id", "s")
     )
-    ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")
