@@ -1654,7 +1654,27 @@ def dedup_funnel(
     )
     from .semdedup import semantic_dedup
 
-    spark = docs.sparkSession
+    out = None
+    for name, frame in _funnel_keepsets(docs, emb, comp):
+        row = frame.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _funnel_keepsets(docs, emb, comp=None):
+    """The cumulative keep-set frames behind the funnel reports —
+    shared by dedup_funnel (doc counts) and dedup_savings (character
+    mass) so the two dashboards can never disagree on membership."""
+    from .dedup import (
+        connected_components,
+        dedup_keep_first,
+        neardup_keep_canonical,
+        ngram_jaccard_pairs,
+    )
+    from .semdedup import semantic_dedup
+
     k1 = dedup_keep_first(docs).select("doc_id").localCheckpoint(eager=False)
     if comp is None:
         comp = connected_components(
@@ -1668,19 +1688,70 @@ def dedup_funnel(
         .where(F.col("kept").isNull() | F.col("kept"))
         .select("doc_id")
     )
-    stages = [
+    return [
         ("1_raw", docs.select("doc_id")),
         ("2_exact", k1),
         ("3_near", k2),
         ("4_semantic", k3),
     ]
+
+
+def dedup_savings(
+    docs: DataFrame, emb: DataFrame, comp: DataFrame | None = None
+) -> DataFrame:
+    """(stage, n_docs, total_chars, removed_docs, removed_chars,
+    removed_frac): the funnel in CHARACTER MASS — the number a storage
+    and training-budget owner actually acts on (a stage that removes
+    1% of documents but 30% of characters is killing giant mirrors; the
+    reverse is killing boilerplate stubs).  Same cumulative keep-sets
+    as corpus_dedup_funnel (shared helper, cannot drift); mass comes
+    from the documents table's n_chars.
+
+    All integer sums + one division per row — engine-exact.
+
+    100 TB shape: inherits each keep kernel's plan; adds only
+    doc_id-keyed joins onto the (doc_id, n_chars) projection and four
+    2-column aggregate rows."""
+    chars = docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+    raw = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("raw_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("raw_chars"),
+    )
     out = None
-    for name, frame in stages:
-        row = frame.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
+    for name, frame in _funnel_keepsets(docs, emb, comp):
+        row = (
+            frame.join(chars, "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("nc").cast("long").alias("total_chars"),
+            )
+            .crossJoin(F.broadcast(raw))
+            .select(
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "total_chars",
+                (F.col("raw_docs") - F.col("n_docs")).cast("long").alias("removed_docs"),
+                (F.col("raw_chars") - F.col("total_chars"))
+                .cast("long")
+                .alias("removed_chars"),
+                (
+                    (F.col("raw_chars") - F.col("total_chars"))
+                    / F.col("raw_chars")
+                ).alias("removed_frac"),
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import components_for
+
+    return dedup_savings(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        comp=components_for(spark, sf_dir),
+    )
 
 
 def _q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1693,7 +1764,12 @@ def _q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update({"corpus_dedup_funnel": _q_dedup_funnel})
+QUERIES.update(
+    {
+        "corpus_dedup_funnel": _q_dedup_funnel,
+        "corpus_dedup_savings": _q_dedup_savings,
+    }
+)
 
 # Composed verbatim from the hash-verified keep-set oracles.
 from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
@@ -1716,6 +1792,40 @@ SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
 UNION ALL SELECT '2_exact', count(*)::BIGINT FROM k1
 UNION ALL SELECT '3_near', count(*)::BIGINT FROM k2
 UNION ALL SELECT '4_semantic', count(*)::BIGINT FROM k3
+""",
+        "corpus_dedup_savings": f"""
+WITH k1 AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+near_keep AS ({_DEDUP_ORACLES["dedup_near_keep"]}),
+sem AS ({_SEM_ORACLES["dedup_semantic"]}),
+k2 AS (SELECT k1.doc_id FROM k1 JOIN near_keep USING (doc_id)),
+k3 AS (
+  SELECT k2.doc_id FROM k2 LEFT JOIN sem ON sem.vec_id = k2.doc_id
+  WHERE sem.kept IS NULL OR sem.kept
+),
+raw AS (
+  SELECT count(*)::BIGINT AS raw_docs, sum(n_chars)::BIGINT AS raw_chars
+  FROM documents
+),
+st AS (
+  SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars FROM documents
+  UNION ALL
+  SELECT '2_exact', count(*)::BIGINT, sum(d.n_chars)::BIGINT
+  FROM k1 JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT '3_near', count(*)::BIGINT, sum(d.n_chars)::BIGINT
+  FROM k2 JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT '4_semantic', count(*)::BIGINT, sum(d.n_chars)::BIGINT
+  FROM k3 JOIN documents d USING (doc_id)
+)
+SELECT st.stage, st.n_docs, st.total_chars,
+       (raw.raw_docs - st.n_docs)::BIGINT AS removed_docs,
+       (raw.raw_chars - st.total_chars)::BIGINT AS removed_chars,
+       (raw.raw_chars - st.total_chars) / raw.raw_chars AS removed_frac
+FROM st CROSS JOIN raw
 """,
     }
 )

@@ -47,3 +47,30 @@ def test_incremental_kcore_equals_batch_and_replay_is_noop(spark, tmp_path):
 def test_incremental_kcore_empty_before_ingest(spark, tmp_path):
     kc = IncrementalKCore(str(tmp_path / "kc0"))
     assert kc.result(spark).count() == 0
+
+
+def test_dedup_savings_mass_conservation(spark):
+    """Funnel-in-mass invariants: stage masses are monotone
+    non-increasing, removed_* columns complement them exactly, and
+    the doc counts agree with corpus_dedup_funnel row for row."""
+    from quacfka_service_spark.operators.corpus import dedup_funnel, dedup_savings
+    from quacfka_service_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sav = {r["stage"]: r for r in dedup_savings(docs, emb).collect()}
+    fun = {r["stage"]: r for r in dedup_funnel(docs, emb).collect()}
+    assert set(sav) == set(fun) == {"1_raw", "2_exact", "3_near", "4_semantic"}
+    raw_docs = sav["1_raw"]["n_docs"]
+    raw_chars = sav["1_raw"]["total_chars"]
+    prev_chars = None
+    for stage in ["1_raw", "2_exact", "3_near", "4_semantic"]:
+        r = sav[stage]
+        assert r["n_docs"] == fun[stage]["n_docs"]
+        assert r["removed_docs"] == raw_docs - r["n_docs"]
+        assert r["removed_chars"] == raw_chars - r["total_chars"]
+        assert abs(r["removed_frac"] - r["removed_chars"] / raw_chars) < 1e-12
+        if prev_chars is not None:
+            assert r["total_chars"] <= prev_chars
+        prev_chars = r["total_chars"]
+    assert sav["4_semantic"]["removed_chars"] > 0, "fixture removes nothing (vacuous)"
