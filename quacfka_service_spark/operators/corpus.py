@@ -26,10 +26,13 @@ pluggable: the DEFAULT is the exact shingle self-join
 (``ngram_jaccard_pairs``) because DuckDB can reproduce it bit-exactly
 for the correctness gate, but it is quadratic in docs-per-shingle — at
 100 TB a hot shingle makes that join explode.  The scale path is
-``corpus_curation_lsh`` (registered below), which plugs in
-``minhash_lsh_pairs``: the only joins are (band, band_hash) bucket
+``corpus_curation_lsh`` (registered below), which plugs in the banded
+MinHash-LSH emitter: the only joins are (band, band_hash) bucket
 equi-joins plus a candidate-only exact verify, so cost tracks true
-near-duplicates rather than corpus².
+near-duplicates rather than corpus².  The registered key uses the md5
+hash family (``minhash_lsh_verified``) so the whole pipeline is
+DuckDB-value-checkable; ``dedup.minhash_lsh_pairs`` is the xxhash64
+twin for production (same plan shape, ~6x cheaper per shingle).
 """
 
 from __future__ import annotations
@@ -42,9 +45,10 @@ from pyspark.sql import functions as F
 from ..session import load_table
 from .dedup import (
     _JACCARD_CTES,
+    _LSH_VERIFY_CTES,
     _SHINGLE_CTE,
     connected_components,
-    minhash_lsh_pairs,
+    minhash_lsh_verified,
     neardup_keep_canonical,
     ngram_jaccard_pairs,
 )
@@ -76,8 +80,10 @@ def corpus_curation(
     ``pair_emitter`` maps the filtered (doc_id, text, ...) frame to
     (doc_a, doc_b, ...) near-dup pairs.  Default: the exact shingle
     self-join (oracle-reproducible; quadratic in docs-per-shingle).
-    Pass ``minhash_lsh_pairs`` for the bucketed 100 TB path — that's
-    what ``corpus_curation_lsh`` registers.
+    Pass an LSH emitter for the bucketed 100 TB path —
+    ``corpus_curation_lsh`` registers ``minhash_lsh_verified`` (md5,
+    oracle-checkable); ``dedup.minhash_lsh_pairs`` is its xxhash64
+    production twin.
     """
     emit = ngram_jaccard_pairs if pair_emitter is None else pair_emitter
     filtered = (
@@ -118,7 +124,7 @@ def corpus_e2e_factory(
     runs on the deduped population (a capped-out near-dup must not
     block its duplicate from counting against the cap), and the split
     is a pure hash at the end.  Same emitter pluggability as
-    corpus_curation (exact shingle join by default; minhash_lsh_pairs
+    corpus_curation (exact shingle join by default; an LSH emitter
     at 100 TB)."""
     cap = CAP_PER_SOURCE if cap is None else cap  # module global, call-time
     emit = ngram_jaccard_pairs if pair_emitter is None else pair_emitter
@@ -721,14 +727,15 @@ def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB curation pipeline: MinHash-LSH pair emitter instead of
-    the exact shingle self-join.  Rows-only driver check (the LSH
-    signatures use engine-specific hashes DuckDB can't reproduce);
-    tests/test_corpus.py pins non-vacuity (it actually removes
-    near-dups at sf0.01) and the plan shape (no shingle-string
-    self-join)."""
+    """The 100 TB curation pipeline: banded MinHash-LSH pair emitter
+    instead of the exact shingle self-join.  r10: the emitter is the
+    md5-family ``minhash_lsh_verified`` (same candidate->verify shape
+    as the xxhash64 production twin, engine-portable values), so the
+    driver value-checks the WHOLE pipeline against DuckDB instead of
+    rows-only; tests/test_corpus.py still pins non-vacuity and the
+    plan shape (no shingle-string self-join) for the xxhash64 twin."""
     return corpus_curation(
-        load_table(spark, sf_dir, "documents"), pair_emitter=minhash_lsh_pairs
+        load_table(spark, sf_dir, "documents"), pair_emitter=minhash_lsh_verified
     )
 
 
@@ -1059,6 +1066,61 @@ edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION
   SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.v
+),
+comp AS (SELECT v, MIN(lbl) AS lbl FROM walk GROUP BY v),
+kept AS (
+  SELECT f.doc_id FROM filtered f
+  LEFT JOIN comp c ON f.doc_id = c.v
+  WHERE c.v IS NULL OR c.v = c.lbl
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {BUCKETS} AS bucket
+  FROM kept
+)
+SELECT f.doc_id, f.lang_pred, f.quality,
+       CASE WHEN b.bucket < {TRAIN_PCT} THEN 'train'
+            WHEN b.bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM filtered f JOIN b USING (doc_id)
+""",
+    # same pipeline as corpus_curation but with the md5-LSH verified
+    # pair emitter (dedup._LSH_VERIFY_CTES — shared with the
+    # dedup_minhash_lsh oracle so the band math cannot drift).
+    "corpus_curation_lsh": f"""
+WITH RECURSIVE
+wq AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+lang AS (SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM wq),
+filtered AS (
+  SELECT d.doc_id, d.text, l.lang_pred, q.quality
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE l.lang_pred IN ({_LANGS_IN}) AND q.quality >= {MIN_QUALITY}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM filtered)
+),
+{_LSH_VERIFY_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lshpairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM lshpairs
 ),
 walk(v, lbl) AS (
   SELECT DISTINCT s, s FROM edges

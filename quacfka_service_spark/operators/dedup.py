@@ -8,15 +8,19 @@ the 100 TB path:
   self-join.  Quadratic in docs-per-shingle; correct-but-expensive
   baseline that the MinHash variant replaces at scale (oracle-checked
   here since DuckDB can reproduce it exactly).
-- ``dedup_minhash_lsh`` — MinHash signatures (32 perms, pure column
-  algebra over xxhash64) -> 8 bands x 4 rows -> bucket join -> exact
-  Jaccard verify of *candidates only*.  This is the scale path: the
-  join key is (band, band_hash), so cost is proportional to true
-  near-duplicates, not to corpus².  Rows-only check (hash functions
-  are engine-specific, not SQL-portable).
-- ``dedup_simhash``     — 64-bit SimHash fingerprints + Hamming<=3
-  pairs found by the 4x16-bit band trick (pigeonhole: distance<=3 =>
-  at least one of 4 bands equal).  Rows-only check.
+- ``dedup_minhash_lsh`` — the banded-MinHash candidate->exact-verify
+  pipeline.  The registered key runs the md5 hash family end to end
+  (signature minima, band hashes, verified jaccards all
+  DuckDB-value-checkable); ``minhash_lsh_pairs`` is the same-shape
+  xxhash64 variant (~6x cheaper per shingle, engine-specific values,
+  pytest-pinned) for the 100 TB hot path.  Either way the join key is
+  (band, band_hash), so cost is proportional to true near-duplicates,
+  not to corpus².
+- ``dedup_simhash``     — per-doc 64-bit SimHash fingerprints (md5
+  bit family, value-checked); Hamming<=3 pairs via the 4x16-bit band
+  trick (pigeonhole: distance<=3 => at least one of 4 bands equal)
+  register as ``dedup_simhash_exact``.  ``simhash_fingerprints`` /
+  ``simhash_pairs`` are the xxhash64 scale twins, pytest-pinned.
 - ``dedup_embedding``   — exact cosine near-dup over the embedding
   column, blocked by ``label`` (the coarse partitioner); the
   LSH-bucketed variant for unlabeled corpora lives in similarity.py.
@@ -578,6 +582,125 @@ def minhash_md5_pairs(docs: DataFrame, sig: DataFrame | None = None) -> DataFram
     )
 
 
+def minhash_lsh_verified(
+    docs: DataFrame,
+    sig: DataFrame | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """The full LSH dedup pipeline — banded-MinHash candidates, then an
+    exact-Jaccard VERIFY of candidates only — with md5 as the hash
+    family, so every stage (signature minima, band buckets, candidate
+    set, verified jaccard values) is value-checkable against the DuckDB
+    oracle.  This is what ``dedup_minhash_lsh`` registers (r10): same
+    signature->band->bucket-join->verify shape as the xxhash64
+    ``minhash_lsh_pairs`` (the per-shingle-cheaper hot path, pytest-
+    pinned on planted duplicates), reference parity per
+    `/root/reference/main.go` dedup-adjacent SURVEY §2 scope.
+
+    Jaccard is computed as exact distinct-shingle
+    ``inter / (sz_a + sz_b - inter)`` over candidate docs only — an
+    int64/int64 IEEE double division, bit-identical in both engines.
+
+    100 TB shape: one shuffle keyed on doc_id (signature agg), one on
+    (band, band_hash) (bucket join), and a verify join bounded by
+    candidate mass (near-duplicates), never corpus².  The exploded
+    shingles are the single tracked cache; the candidate-id semi-join
+    scopes the verify scan to candidate docs."""
+    from pyspark import StorageLevel
+
+    # doc_id repartition before shingling: same rationale as
+    # minhash_estimate — a sub-128 MB scan arrives as 1-2 partitions
+    # and would serialize the md5-per-shingle CPU on a couple cores.
+    ex = _track_persist(
+        doc_shingles(docs.repartition("doc_id"))
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if sig is None:
+        sig = (
+            ex.select(
+                "doc_id",
+                *[
+                    F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
+                    for p in range(MD5_N_PERM)
+                ],
+            )
+            .groupBy("doc_id")
+            .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(MD5_N_PERM)])
+            .localCheckpoint(eager=False)
+        )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"m{b * MD5_ROWS_PER_BAND + r}") for r in range(MD5_ROWS_PER_BAND)]
+                )
+            ).alias(f"b{b}")
+            for b in range(MD5_N_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(MD5_N_BANDS)])).alias(
+            "band", "bh"
+        ),
+    )
+    sa, sb = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        sa.join(
+            sb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        # candidate-pair-sized; feeds the verify probe AND the
+        # cand_ids semi-filter — checkpoint so the band self-join
+        # runs once (same contract as minhash_estimate).
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # UNCAPPED shingle universe for the verify (unlike the df-capped
+    # ngram_jaccard universe): the verified jaccard must equal the true
+    # array_intersect/array_union jaccard the threshold contract names.
+    exf = (
+        ex.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    lhs = pairs.join(exf.withColumnRenamed("doc_id", "doc_a"), "doc_a").select(
+        "doc_a", "doc_b", "s"
+    )
+    inter = (
+        lhs.join(exf.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # Inner joins: an emitted pair needs jaccard >= threshold > 0, so
+    # zero-intersection candidates (dropped by the inner inter join)
+    # are exactly the pairs the filter would drop anyway.
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
@@ -1049,14 +1172,6 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
-
-
-def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, sf_dir, "documents"))
-
-
 # The md5 signature table (|docs| x 8 hex minima) is shared by
 # dedup_minhash_exact and dedup_minhash_estimate — same memo contract
 # as _SPANS_CACHE / _COMPONENTS_CACHE (producer: dedup_minhash_exact).
@@ -1082,6 +1197,29 @@ def _q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_md5_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh (r10): the candidate->verify LSH pipeline over
+    the md5 hash family, sharing the _SIG_CACHE signature table with
+    dedup_minhash_exact / dedup_minhash_estimate.  The xxhash64
+    `minhash_lsh_pairs` keeps the same plan shape as the scale hot
+    path (pytest-pinned); registering the md5 form makes the driver
+    row value-checked instead of rows-only."""
+    return minhash_lsh_verified(
+        load_table(spark, sf_dir, "documents"), sig=_sig_for(spark, sf_dir)
+    )
+
+
+def _q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash (r10): the per-doc 64-bit SimHash fingerprint
+    table — the artifact a dedup system stores and indexes — over the
+    md5 hash family so the driver can value-check every fingerprint.
+    The Hamming<=3 pair extraction over the same fingerprints is
+    dedup_simhash_exact; the xxhash64 fingerprint+pair path
+    (simhash_fingerprints / simhash_pairs) stays the per-token-cheaper
+    scale variant, pytest-pinned on planted duplicates."""
+    return simhash_md5_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,11 +1443,15 @@ QUERIES = {
     "dedup_keep_first": _q_dedup_keep_first,
     "dedup_spans": _q_span_dedup,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
-    "dedup_minhash_lsh": _q_minhash,       # rows-only (engine hashes)
-    "dedup_minhash_exact": _q_minhash_md5,  # md5 family -> exact oracle
+    # r10: both keys moved to the md5 hash family so EVERY registered
+    # key is value-checkable (VERDICT r9 #2); the xxhash64 twins
+    # (minhash_lsh_pairs / simhash_pairs) remain the documented scale
+    # hot path, pytest-pinned in test_dedup_planted / test_corpus.
+    "dedup_minhash_lsh": _q_minhash_lsh_verified,  # candidates + verify
+    "dedup_minhash_exact": _q_minhash_md5,  # candidates only
     "dedup_minhash_estimate": _q_minhash_estimate,
-    "dedup_simhash": _q_simhash,           # rows-only (engine hashes)
-    "dedup_simhash_exact": _q_simhash_md5,  # md5 family -> exact oracle
+    "dedup_simhash": _q_simhash_fp,          # fingerprint table
+    "dedup_simhash_exact": _q_simhash_md5,   # Hamming<=3 pairs
     "dedup_edit_distance": _q_edit_distance,
     "dedup_embedding": _q_embedding_neardup,
     "dedup_components": _q_components,
@@ -1364,6 +1506,35 @@ _MD5_STACK = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(MD5_N_BANDS)
 )
 
+# md5-LSH candidate + exact-verify pair CTEs (assumes a `sh` CTE of
+# (doc_id, sh: distinct shingle list) is in scope) — shared by the
+# dedup_minhash_lsh oracle and corpus.py's corpus_curation_lsh oracle
+# so the band math and the verify denominator cannot drift between
+# the two.  Defines `lshpairs(doc_a, doc_b, jaccard >= threshold)`.
+_LSH_VERIFY_CTES = f"""exm AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_MD5_MINS} FROM exm GROUP BY doc_id),
+bands AS (SELECT doc_id, {_MD5_BANDS} FROM sig),
+st AS (
+  {_MD5_STACK}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM st a JOIN st b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+lsz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM exm GROUP BY doc_id),
+lint AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c JOIN exm a ON a.doc_id = c.doc_a
+              JOIN exm b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+lshpairs AS (
+  SELECT i.doc_a, i.doc_b, i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM lint i JOIN lsz sa ON sa.doc_id = i.doc_a
+              JOIN lsz sb ON sb.doc_id = i.doc_b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
+)"""
+
 # md5-SimHash oracle, generated from the same bit-layout constants as
 # simhash_md5_fingerprints so the two cannot drift.
 _SH_DIGITS = ", ".join(
@@ -1411,6 +1582,22 @@ st AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM st a JOIN st b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_SHINGLE_CTE},
+{_LSH_VERIFY_CTES}
+SELECT doc_a, doc_b, jaccard FROM lshpairs
+""",
+    "dedup_simhash": f"""
+WITH ex AS (
+  SELECT doc_id, md5(t) AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents
+  )
+),
+vs AS (SELECT doc_id, {_SH_DIGITS} FROM ex),
+agg AS (SELECT doc_id, {_SH_SUMS} FROM vs GROUP BY doc_id)
+SELECT doc_id, {_SH_FP} AS simhash FROM agg
 """,
     "dedup_edit_distance": f"""
 WITH d0 AS (
