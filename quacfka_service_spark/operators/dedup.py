@@ -2045,7 +2045,9 @@ SUBSTR_K = 32  # minimum duplicated span length, characters (Lee et al.
 # use 50 BPE tokens at web scale; 32 chars is the fixture-scaled knee)
 
 
-def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def substring_spans(
+    docs: DataFrame, k: int = SUBSTR_K, census: str = "window"
+) -> DataFrame:
     """(doc_id, span_start, span_end, span_len): maximal exact-duplicate
     substrings of length >= k characters — sub-span granularity beyond
     the rolling 8-WORD ``dedup_spans`` (VERDICT r7 "What's missing" #3;
@@ -2054,56 +2056,87 @@ def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
     Suffix-bucket formulation (no suffix array needed): a duplicated
     substring of length >= k contains a duplicated k-gram at every
-    offset it spans, so (1) hash the k-gram at EVERY character offset
-    (the gram array is built inside one projection and exploded, so
-    rows carry the 32-hex md5, never the document), (2) keep grams
-    occurring >= 2 times in the corpus (within- or cross-document,
-    exactly the paper's "appears more than once"), (3) merge each
-    document's consecutive duplicated offsets with the islands trick
-    (off - row_number run grouping) into MAXIMAL spans — the
-    suffix-array cluster runs, reconstructed by offset adjacency.
+    offset it spans, so (1) rolling-hash the k-gram at EVERY character
+    offset (rows carry an 8-byte hash, never the document), (2) keep
+    grams occurring >= 2 times in the corpus (within- or
+    cross-document, exactly the paper's "appears more than once"),
+    exact-verified by re-grouping survivors on the raw gram slice,
+    (3) merge each document's consecutive duplicated offsets with the
+    islands trick (off - row_number run grouping) into MAXIMAL spans —
+    the suffix-array cluster runs, reconstructed by offset adjacency.
 
     Engine-exactness: substring/length are 1-based character ops with
-    identical semantics in Spark and DuckDB, md5 is byte-identical,
-    and everything downstream is integer arithmetic.
+    identical semantics in Spark and DuckDB (the oracle groups on
+    md5(substr(...)) — the same equi-grouping of the same character
+    slices), and everything downstream is integer arithmetic.
 
     100 TB shape: the gram stream is the inherent ExactSubstr cost —
     ~1 row per corpus CHARACTER (the paper's suffix array is the same
     linear blow-up).  The batch path keeps that stream CHEAP twice
     over: (1) the per-offset hash is a vectorized uint64 polynomial
-    rolling hash (numpy, ~ns/char — no per-offset md5), so the census
-    shuffle carries 8-byte ints, not 32-hex strings; (2) md5 — the
-    oracle's hash — is computed ONLY for offsets whose rolling hash is
-    duplicated, i.e. duplicate-mass-sized work.  Exactness: equal
-    grams always hash equal, so the rolling-dup offset set is a
-    SUPERSET of the md5-dup set, and the md5 re-census over survivors
-    sees every occurrence of any truly-duplicated gram — rolling-hash
-    collisions (~n^2/2^64) can only add survivors that the md5 census
-    then discards.  The islands window partitions by doc_id over ONLY
-    the surviving duplicated offsets (duplicate-mass-sized, not
-    corpus-sized).  Raise k or sample offsets (stride) to trade recall
-    for throughput; the semantics knob is k itself."""
+    rolling hash (numpy, ~ns/char — no per-offset string hashing), so
+    the census shuffle carries 8-byte ints, not strings; (2) the exact
+    re-census runs ONLY on offsets whose rolling hash is duplicated,
+    i.e. duplicate-mass-sized work, and groups by the raw gram slice
+    (no hash at all — see _verify_occurrences).  Exactness: equal
+    grams always roll-hash equal, so the rolling-dup offset set is a
+    SUPERSET of the true duplicate set, and the exact census over
+    survivors sees every occurrence of any truly-duplicated gram —
+    rolling-hash collisions (~n^2/2^64) can only add survivors that
+    the exact census then discards.  The islands window partitions by
+    doc_id over ONLY the surviving duplicated offsets
+    (duplicate-mass-sized, not corpus-sized).  Raise k or sample
+    offsets (stride) to trade recall for throughput; the semantics
+    knob is k itself.
+
+    ``census``: how the duplicated-rolling-hash offsets are selected.
+    - "window" (default, local-SF optimization): count(*) OVER
+      (PARTITION BY rh) — ONE exchange of the char-linear stream, no
+      materialization.  CAVEAT (ADVICE r9 #1): WindowExec buffers each
+      rh partition, so a single boilerplate gram occurring ~1e8 times
+      becomes one-task skew; correct, but the wrong physical shape for
+      a web-scale corpus.
+    - "twopass" (the 100 TB path): map-side-combined groupBy census of
+      duplicated hashes, then a semi join back onto the (persisted)
+      stream.  Hot grams partially aggregate on the map side and never
+      buffer on one task; costs a second pass over the stream (persist
+      + one extra exchange) — the scale-safe trade.  Plan pinned in
+      tests/test_round8_plans.py."""
+    d = docs.select(F.col("doc_id").cast("long"), "text")
+    surv = _survivor_offsets(d, k, census)
+    occ = _verify_occurrences(d, surv, k).localCheckpoint(eager=False)
+    return _spans_from_occ(occ, k)
+
+
+def _survivor_offsets(d: DataFrame, k: int, census: str) -> DataFrame:
+    """(doc_id, off) offsets whose rolling gram hash occurs >= 2 times
+    corpus-wide — the census stage of ``substring_spans`` (see its
+    docstring for the window-vs-twopass trade)."""
     from pyspark.sql.window import Window
 
-    d = docs.select(F.col("doc_id").cast("long"), "text")
-    # Duplicate-offset selection as ONE pass over the rolling stream:
-    # count(*) OVER (PARTITION BY rh) > 1 keeps every offset whose
-    # gram hash occurs twice anywhere in the corpus.  One exchange on
-    # rh, spill-safe (no per-key list materialization — a boilerplate
-    # gram shared by 1e8 docs stays streaming), and the kernel output
-    # has a single consumer, so no checkpoint of the corpus-character-
-    # sized stream.  (The previous census-agg + localCheckpoint +
-    # broadcast-semi shape paid the same exchange PLUS materializing
-    # the stream into storage memory.)
     rh = _gram_occurrences_rolling(d, k)
-    w_rh = Window.partitionBy("rh")
-    surv = (
-        rh.select("doc_id", "off", F.count(F.lit(1)).over(w_rh).alias("n"))
+    if census == "window":
+        w_rh = Window.partitionBy("rh")
+        return (
+            rh.select("doc_id", "off", F.count(F.lit(1)).over(w_rh).alias("n"))
+            .where(F.col("n") >= 2)
+            .select("doc_id", "off")
+        )
+    from pyspark import StorageLevel
+
+    # Persist the char-linear stream: it feeds the census AND the
+    # semi join; MEMORY_AND_DISK spills rather than OOMs.  The dup
+    # set is duplicate-mass-sized — AQE broadcasts it when small,
+    # degrades to a shuffle semi join when not (never buffers a
+    # hot key on one task either way).
+    rh = rh.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        rh.groupBy("rh")
+        .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
-        .select("doc_id", "off")
+        .select("rh")
     )
-    occ = _md5_verify_occurrences(d, surv, k).localCheckpoint(eager=False)
-    return _spans_from_occ(occ, k)
+    return rh.join(dup, "rh", "left_semi").select("doc_id", "off")
 
 
 def _gram_occurrences(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
@@ -2211,8 +2244,15 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     semantics, so equal CHARACTER grams always collide and the
     survivor set is a true superset of the md5-duplicate set.
 
-    Power tables are grown once per Arrow batch to the longest
-    document and sliced per row — no per-document cumprod."""
+    Whole-batch vectorization (r10): the batch's documents are
+    concatenated into ONE code-point stream and hashed with a single
+    cumsum — h(i) = W(i) * B^-i is position-normalized, so the value
+    at a global offset equals the per-document hash at the local
+    offset (same polynomial sum), and offsets whose window crosses a
+    document boundary are masked out.  This removes the per-document
+    Python/numpy call overhead that dominated on short-document
+    corpora (the property-tested per-document ``_roll_hashes`` keeps
+    pinning the hash definition itself)."""
     import numpy as np
     import pyarrow as pa
 
@@ -2225,26 +2265,36 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         for b in batches:
             ids = b.column(0).to_pylist()
             texts = b.column(1).to_pylist()
-            longest = max((len(t) for t in texts if t is not None), default=0)
-            pw, ipw = _roll_tables(pw, ipw, longest)
-            out_id, out_off, out_h = [], [], []
-            for doc_id, t in zip(ids, texts):
-                if t is None or len(t) < kk:
-                    continue
-                h = _roll_hashes(t, kk, pw, ipw)
-                m = h.size
-                out_h.append(h)
-                out_id.append(np.full(m, doc_id, np.int64))
-                out_off.append(np.arange(1, m + 1, dtype=np.int64))
-            if out_id:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(out_id)),
-                        pa.array(np.concatenate(out_off)),
-                        pa.array(np.concatenate(out_h).view(np.int64)),
-                    ],
-                    names=["doc_id", "off", "rh"],
-                )
+            keep = [
+                (i, t) for i, t in zip(ids, texts) if t is not None and len(t) >= kk
+            ]
+            if not keep:
+                continue
+            id_arr = np.fromiter((i for i, _ in keep), np.int64, len(keep))
+            lens = np.fromiter((len(t) for _, t in keep), np.int64, len(keep))
+            blob = "".join(t for _, t in keep)
+            c = np.frombuffer(blob.encode("utf-32-le"), np.uint32).astype(np.uint64)
+            n = c.size
+            m = n - kk + 1
+            pw, ipw = _roll_tables(pw, ipw, n)
+            s = np.cumsum(c * pw[:n])
+            w = s[kk - 1 :].copy()
+            w[1:] -= s[: m - 1]
+            h_all = w * ipw[:m]
+            starts = np.zeros(len(keep), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            doc_of = np.repeat(np.arange(len(keep)), lens)
+            pos_in_doc = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+            # a valid offset's window lies entirely inside its document
+            idx = np.nonzero(pos_in_doc <= np.repeat(lens, lens) - kk)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(id_arr[doc_of[idx]]),
+                    pa.array(pos_in_doc[idx] + 1),
+                    pa.array(h_all[idx].view(np.int64)),
+                ],
+                names=["doc_id", "off", "rh"],
+            )
 
     # explicit numPartitions: AQE would coalesce a megabyte-scale text
     # exchange to ONE partition, serializing the per-char kernel — the
@@ -2256,48 +2306,88 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     return t.mapInArrow(fn, "doc_id long, off long, rh long")
 
 
-def _md5_verify_occurrences(
+def _verify_occurrences(
     docs: DataFrame, surv: DataFrame, k: int = SUBSTR_K
 ) -> DataFrame:
-    """(doc_id, off, g): the ORACLE hash (md5 of the k-char slice) for
-    the survivor offsets only — duplicate-mass-sized work.  Survivor
-    offsets are packed per document (collect_list) and joined to the
-    text on doc_id, so the kernel sees each document once with its
-    offset list, never one text copy per offset."""
+    """(doc_id, off, g): the exact census key for the survivor offsets
+    only — the k-char gram ITSELF, no hash at all (r10, VERDICT r9 #3:
+    the md5-per-survivor Python loop was the family's residual
+    constant).  Grouping by the raw gram is the ground-truth census —
+    md5 in the DuckDB oracle is merely that engine's equi-grouping of
+    the same slices, so the resulting duplicate-offset set (and every
+    span downstream) is identical.
+
+    Vectorized extraction: each document is widened once to UTF-32
+    code points; for ASCII documents ALL survivor grams are sliced in
+    one numpy fancy-index off a sliding window view and narrowed to
+    UTF-8 bytes in bulk (gram bytes == low byte of each code point),
+    and the Arrow string column is assembled zero-copy from the byte
+    slab + offsets — no per-offset Python work.  Non-ASCII documents
+    fall back to per-offset character slicing (still no hashing).
+
+    Survivor offsets are packed per document (collect_list) and joined
+    to the text on doc_id, so the kernel sees each document once with
+    its offset list, never one text copy per offset.  The packed side
+    is duplicate-doc-sized — AQE broadcasts it onto the text scan at
+    bench scale (no text shuffle at all); at 100 TB the join degrades
+    to a doc_id shuffle whose left side is the corpus scan.  No
+    explicit repartition: the join output inherits the scan/exchange
+    partitioning, which already spreads the slab work."""
+    import numpy as np
     import pyarrow as pa
 
     kk = k
-    packed = surv.groupBy("doc_id").agg(F.sort_array(F.collect_list("off")).alias("offs"))
+    packed = surv.groupBy("doc_id").agg(F.collect_list("off").alias("offs"))
     j = docs.join(packed, "doc_id")
 
     def fn(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
         for b in batches:
             ids = b.column(0).to_pylist()
             texts = b.column(1).to_pylist()
             offs = b.column(2).to_pylist()
-            out_id, out_off, out_g = [], [], []
+            out_id, out_off = [], []
+            buf = bytearray()
+            lens: list[int] = []
             for doc_id, t, oo in zip(ids, texts, offs):
-                for i in oo:
-                    out_id.append(doc_id)
-                    out_off.append(i)
-                    out_g.append(
-                        md5(t[i - 1 : i - 1 + kk].encode("utf-8")).hexdigest()
+                m = len(oo)
+                if m == 0:
+                    continue
+                oa = np.asarray(oo, np.int64)
+                out_id.append(np.full(m, doc_id, np.int64))
+                out_off.append(oa)
+                c = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+                if c.max() < 128:
+                    # ASCII bulk path: (m, k) uint8 slab == UTF-8 bytes
+                    buf += (
+                        sliding_window_view(c, kk)[oa - 1].astype(np.uint8).tobytes()
                     )
+                    lens.extend([kk] * m)
+                else:
+                    for i in oo:
+                        gb = t[i - 1 : i - 1 + kk].encode("utf-8")
+                        buf += gb
+                        lens.append(len(gb))
             if out_id:
+                offsets = np.zeros(len(lens) + 1, np.int32)
+                np.cumsum(np.asarray(lens, np.int32), out=offsets[1:])
+                garr = pa.StringArray.from_buffers(
+                    len(lens),
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(bytes(buf)),
+                )
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(out_id, pa.int64()),
-                        pa.array(out_off, pa.int64()),
-                        pa.array(out_g, pa.string()),
+                        pa.array(np.concatenate(out_id)),
+                        pa.array(np.concatenate(out_off)),
+                        garr,
                     ],
                     names=["doc_id", "off", "g"],
                 )
 
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        j.select("doc_id", "text", "offs")
-        .repartition(n_part, "doc_id")
-        .mapInArrow(fn, "doc_id long, off long, g string")
+    return j.select("doc_id", "text", "offs").mapInArrow(
+        fn, "doc_id long, off long, g string"
     )
 
 

@@ -264,6 +264,44 @@ def test_substring_rolling_prefilter_is_superset_and_exact(spark):
     assert fast == direct
 
 
+def test_substring_census_twopass_equals_window_and_plan(spark):
+    # r10 (ADVICE r9 #1): the scale-path two-pass census (map-side
+    # combined groupBy + semi join, no rh-partitioned WindowExec that
+    # would buffer a web-scale hot gram on one task) must produce the
+    # exact same spans as the local-SF window census — including
+    # through the non-ASCII verify fallback (UTF-8 grams wider than
+    # one byte per char exercise the per-offset slicing branch).
+    from quacfka_service_spark.operators.dedup import substring_spans
+
+    base = "àéîõü çñ žšđ " * 5
+    asc = "the quick brown fox jumps over the lazy dog " * 2
+    rows = [
+        (1, "prefix111 " + base + " middle " + asc),
+        (2, "prefix222 " + base + " other2 " + asc),
+        (3, "unique text with nothing duplicated in any other doc"),
+        (4, "çæ" * 20),
+        (5, "çæ" * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = sorted(map(tuple, substring_spans(docs, census="window").collect()))
+    t = sorted(map(tuple, substring_spans(docs, census="twopass").collect()))
+    assert w == t and len(w) >= 5
+    # non-ASCII spans actually survived (docs 4/5 are pure non-ASCII)
+    assert any(r[0] == 4 for r in w) and any(r[0] == 5 for r in w)
+    # plan pin on the census stage itself (the verify localCheckpoint
+    # truncates the end-to-end visible plan): twopass selects
+    # survivors via a LEFT SEMI join and has no rh-partitioned Window;
+    # the window path is the inverse.
+    from pyspark.sql import functions as SF
+    from quacfka_service_spark.operators.dedup import _survivor_offsets
+
+    d = docs.select(SF.col("doc_id").cast("long"), "text")
+    plan_t = formatted_plan(_survivor_offsets(d, 32, "twopass"))
+    plan_w = formatted_plan(_survivor_offsets(d, 32, "window"))
+    assert "LeftSemi" in plan_t and "Window" not in plan_t
+    assert "LeftSemi" not in plan_w and "Window" in plan_w
+
+
 def test_neardup_kernel_matches_hof_fold_bits(spark):
     # the numpy sequential fold must produce the identical cos DOUBLES
     # the old zip_with/aggregate HOF join produced
