@@ -136,7 +136,10 @@ NGRAM_MAX_DF = 1000
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.2, max_df: int = NGRAM_MAX_DF
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_df: int = NGRAM_MAX_DF,
+    census: str = "window",
 ) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
     >=1 retained shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer
@@ -150,10 +153,10 @@ def ngram_jaccard_pairs(
     shingle (cookie banner, license header) shared by d documents
     contributes d^2/2 join rows while carrying no dedup signal; the cap
     bounds every shingle block at max_df^2/2 regardless of corpus
-    adversarialness.  The hot-shingle set is SMALL by construction
-    (<= total shingle occurrences / max_df), so it broadcasts: the cap
-    costs one partial-aggregated groupBy over the exploded shingles +
-    a broadcast anti-join — no new shuffle of the corpus.
+    adversarialness.  How the df census runs is the ``census``
+    parameter ("window" local-SF default vs "twopass" hot-set
+    broadcast anti-join for web scale) — see
+    ``_jaccard_pairs_from_exploded``.
 
     Caches one shingle table per session (evicting any previous dedup
     invocation's) — see the CACHE CONTRACT note at `_track_persist`."""
@@ -185,35 +188,52 @@ def ngram_jaccard_pairs(
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
-    return _jaccard_pairs_from_exploded(ex_all, threshold, max_df)
+    return _jaccard_pairs_from_exploded(ex_all, threshold, max_df, census)
 
 
 def _jaccard_pairs_from_exploded(
-    ex_all: DataFrame, threshold: float = 0.2, max_df: int = NGRAM_MAX_DF
+    ex_all: DataFrame,
+    threshold: float = 0.2,
+    max_df: int = NGRAM_MAX_DF,
+    census: str = "window",
 ) -> DataFrame:
     """The ngram_jaccard_pairs tail over an already-exploded
     (doc_id, s) shingle stream — shared with the incremental k-core's
     result() so the stored-stream path cannot drift from the batch
     operator.  The df-cap census runs HERE (query time), because a
     shingle's document frequency is a corpus-global, retroactive
-    quantity."""
-    # Boilerplate census folded into ONE window pass (the r9 substring-
-    # census idiom): count(*) OVER (PARTITION BY s) is the document
-    # frequency (shingles are distinct per doc via list_distinct), and
-    # filtering df <= max_df inline replaces the census agg + broadcast
-    # anti-join — one exchange on s instead of two traversals, and the
-    # self-join below joins ON s, so its sides reuse the same hash
-    # partitioning.  Spill-safe: no per-key state beyond the window
-    # count, a web-scale hot shingle streams through.
-    from pyspark.sql.window import Window as _W
+    quantity.
 
-    ex = (
-        ex_all.select(
-            "doc_id", "s", F.count(F.lit(1)).over(_W.partitionBy("s")).alias("df")
+    ``census`` (ADVICE r9 #1 — same trade as ``substring_spans``):
+    - "window" (default, local-SF optimization): count(*) OVER
+      (PARTITION BY s) — one exchange on s, reused by the self-join
+      below.  CAVEAT: WindowExec buffers each shingle's partition, so
+      a web-scale hot shingle (cookie banner in 1e8 docs) becomes
+      one-task skew before the df filter can drop it.  Correct, but
+      the wrong physical shape for a web-scale corpus.
+    - "twopass" (the 100 TB path): map-side-combined groupBy census of
+      HOT shingles only (a set bounded at total occurrences / max_df,
+      hence broadcast-small by construction) + broadcast anti-join —
+      hot keys partially aggregate on the map side and never buffer on
+      one task.  Same shape ``containment_pairs`` always uses."""
+    if census == "window":
+        from pyspark.sql.window import Window as _W
+
+        ex = (
+            ex_all.select(
+                "doc_id", "s", F.count(F.lit(1)).over(_W.partitionBy("s")).alias("df")
+            )
+            .where(F.col("df") <= max_df)
+            .select("doc_id", "s")
         )
-        .where(F.col("df") <= max_df)
-        .select("doc_id", "s")
-    )
+    else:
+        hot = (
+            ex_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")

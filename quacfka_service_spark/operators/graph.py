@@ -319,7 +319,14 @@ def kcore_from_pairs(
         )
         n_cur = cur.count()
         spark.conf.set(conf_key, str(max(1, min(cur_parts, n_cur // 500_000 + 1))))
-        for _ in range(max_peels):
+        # max_peels + 1 iterations: the last one is a stability PROBE
+        # only (ADVICE r9 #3 — a graph whose peel converges exactly at
+        # round max_peels is a fixpoint the unrolled oracle emits, so
+        # it must NOT raise; the probe peel of a fixpoint reproduces
+        # it, so `cur` is unchanged when we break).  Real peel WORK
+        # beyond max_peels — the probe still shrinking the edge set —
+        # is the loud failure.
+        for i in range(max_peels + 1):
             keep = (
                 cur.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("deg"))
@@ -334,12 +341,12 @@ def kcore_from_pairs(
             n_nxt = nxt.count()
             if n_nxt == n_cur:
                 break
+            if i == max_peels:
+                raise RuntimeError(
+                    f"kcore_neardup did not stabilize in {max_peels} peels; "
+                    "the graph is deeper than expected — raise max_peels"
+                )
             cur, n_cur = nxt, n_nxt
-        else:
-            raise RuntimeError(
-                f"kcore_neardup did not stabilize in {max_peels} peels; "
-                "the graph is deeper than expected — raise max_peels"
-            )
         return (
             cur.groupBy("s")
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))

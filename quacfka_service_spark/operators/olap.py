@@ -1297,6 +1297,10 @@ CROSS JOIN total
 # --- round-7 addition: ABC / Pareto revenue classification ----------------
 
 ABC_BANDS = 32
+# sub-bands per band (r10): bounds the largest window partition at
+# ~N / (ABC_BANDS * ABC_SUBBANDS) rows even when revenue mass piles
+# into one band; driver state stays <= 32*16 = 512 offset rows.
+ABC_SUBBANDS = 16
 
 
 def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
@@ -1308,67 +1312,85 @@ def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
     cumulative window over all customers collapses to ONE partition
     (Spark's no-partition window), an entity-sized bottleneck at 10^8+
     customers.  Instead revenue space is cut into ``n_bands`` ordered
-    bands; per-band totals (n_bands rows) take the only global window;
-    each row's cumulative = its band's higher-bands offset + a
-    within-band running sum (window PARTITIONED by band).  Because
-    DECIMAL addition is associative, the banded sum is EXACTLY the
-    naive cumulative — which is what the oracle computes, so the
-    hash-check proves the rewrite.
+    bands, each further cut into ``ABC_SUBBANDS`` ordered SUB-bands
+    (VERDICT r9 #6 — a band-only window still sorted each band on one
+    task, ~1e8 rows per task at 1e9 customers); per-(band, sub) totals
+    (<= n_bands * ABC_SUBBANDS rows of driver state) give prefix
+    offsets, and each row's cumulative = its cell's higher-cells
+    offset + a within-cell running sum (window PARTITIONED by
+    (band, sub)).  Because DECIMAL addition is associative, the banded
+    sum is EXACTLY the naive cumulative — which is what the oracle
+    computes, so the hash-check proves the rewrite.
 
-    Banding uses double math (floor(rev/max * B)) — band boundaries
-    only need to respect revenue order and be engine-deterministic,
-    which single IEEE ops are.  Class thresholds compare integer
-    CENTS cross-multiplied (cum*100 <= total*80), no float ratios.
-    Headroom: total cents * 100 stays under 2^63 to ~9e14 dollars of
-    corpus revenue; past that, lift to DECIMAL(38,0).
+    Banding uses double math (floor(rev/max * B), and the sub-band is
+    the next ``floor`` of the within-band fraction) — boundaries only
+    need to respect revenue order and be engine-deterministic, which
+    single IEEE ops are.  Rows with EQUAL rev always share a cell, so
+    the (rev DESC, custkey ASC) order never straddles a cell boundary.
+    Class thresholds compare integer CENTS cross-multiplied
+    (cum*100 <= total*80), no float ratios.  Headroom: total cents *
+    100 stays under 2^63 to ~9e14 dollars of corpus revenue; past
+    that, lift to DECIMAL(38,0).
     """
     from pyspark.sql.window import Window as W
 
     from decimal import Decimal
 
-    # rev feeds the banding pass AND the bounded per-band stats — persist
-    # so the orders scan + groupBy runs once per action.  Entity-sized
-    # (one row per customer), i.e. the operator's working set anyway.
+    # rev feeds the banding pass AND the bounded per-cell stats — persist
+    # so the orders scan + groupBy runs once across the two bounded
+    # collect jobs; unpersisted right after (ADVICE r9 #5: a long-lived
+    # driver session calling queries() repeatedly must not accumulate
+    # entity-sized cached frames).  The final action recomputes the
+    # scan+agg once; banding is deterministic given the collected mx,
+    # so correctness is unaffected.
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
     ).persist()
-    # BOUNDED driver state instead of a broadcast-subquery chain: the
-    # max scalar, the <= n_bands per-band totals, their higher-band
-    # prefix offsets, and the grand total are all band-cardinality
-    # data.  r8 shape ran them as chained broadcast joins + a global
-    # window — 8 exchanges, 17 AQE stage-jobs at any SF, pure
-    # scheduling floor locally.  Collect them (two bounded jobs),
-    # compute offsets in exact Python Decimal/int arithmetic (decimal
-    # addition is associative — identical to the window sum), and feed
-    # the per-row pass one broadcast-local lookup frame.
-    mx = rev.agg(F.max(F.col("rev").cast("double"))).collect()[0][0]
-    if mx is None:  # empty corpus: keep the literal typed; zero rows flow
-        mx = 1.0
-    band_col = F.least(
-        F.floor(F.col("rev").cast("double") / F.lit(mx) * n_bands).cast("int"),
-        F.lit(n_bands - 1),
-    )
-    banded = rev.select("o_custkey", "rev", band_col.alias("band"))
-    pb = banded.groupBy("band").agg(
-        F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
-    ).collect()
+    try:
+        # BOUNDED driver state instead of a broadcast-subquery chain: the
+        # max scalar, the per-cell totals, their prefix offsets, and the
+        # grand total are all cell-cardinality data.  r8 shape ran them
+        # as chained broadcast joins + a global window — 8 exchanges, 17
+        # AQE stage-jobs at any SF, pure scheduling floor locally.
+        # Collect them (two bounded jobs), compute offsets in exact
+        # Python Decimal/int arithmetic (decimal addition is associative
+        # — identical to the window sum), and feed the per-row pass one
+        # broadcast-local lookup frame.
+        mx = rev.agg(F.max(F.col("rev").cast("double"))).collect()[0][0]
+        if mx is None:  # empty corpus: keep the literal typed; zero rows flow
+            mx = 1.0
+        pos = F.col("rev").cast("double") / F.lit(mx) * n_bands
+        band_col = F.least(F.floor(pos).cast("int"), F.lit(n_bands - 1))
+        sub_col = F.least(
+            F.floor((pos - band_col) * ABC_SUBBANDS).cast("int"),
+            F.lit(ABC_SUBBANDS - 1),
+        )
+        banded = rev.select(
+            "o_custkey", "rev", band_col.alias("band"), sub_col.alias("sub")
+        )
+        pb = banded.groupBy("band", "sub").agg(
+            F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
+        ).collect()
+    finally:
+        rev.unpersist()
     stats = sorted(
-        ((r["band"], r["brev"], r["bn"]) for r in pb), key=lambda t: -t[0]
+        ((r["band"], r["sub"], r["brev"], r["bn"]) for r in pb),
+        key=lambda t: (-t[0], -t[1]),
     )
-    total = sum((b for _, b, _ in stats), Decimal("0.00"))
+    total = sum((b for _, _, b, _ in stats), Decimal("0.00"))
     offs_rows, boff, noff = [], Decimal("0.00"), 0
-    for band, brev, bn in stats:
-        offs_rows.append((band, boff, noff, total))
+    for band, sub, brev, bn in stats:
+        offs_rows.append((band, sub, boff, noff, total))
         boff += brev
         noff += bn
     spark = orders.sparkSession
     offs = spark.createDataFrame(
         offs_rows,
-        "band int, boff decimal(22,2), noff bigint, total decimal(38,2)",
+        "band int, sub int, boff decimal(22,2), noff bigint, total decimal(38,2)",
     )
-    ww = W.partitionBy("band").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ww = W.partitionBy("band", "sub").orderBy(F.desc("rev"), F.asc("o_custkey"))
     cum = (
-        banded.join(F.broadcast(offs), "band")
+        banded.join(F.broadcast(offs), ["band", "sub"])
         .select(
             "o_custkey",
             "rev",

@@ -303,15 +303,30 @@ def t_closeness(
     the full (class x sensitive-value) grid (absent combinations
     contribute n_s*n_c — they are real distribution mass the class is
     missing), then ONE division  t_close = tv_num / (2.0*n_c*n);  the
-    gate compares integers only:  meets_t <=> tv_num*t_den <=
-    2*t_num*n_c*n  — no float threshold comparison anywhere.
-    Headroom: n_cs*n < 2^63 up to ~3e9 documents; past that lift the
-    products to DECIMAL(38,0) on both engines.
+    gate compares exact integers only:  meets_t <=> tv_num*t_den <=
+    2*t_num*n_c*n, with BOTH gate products lifted to DECIMAL(38,0)
+    on both engines (ADVICE r9 #2: tv_num itself can reach 2*n_c*n,
+    so int64 gate products would silently wrap near ~7e8 docs in
+    Spark's non-ANSI longs while DuckDB errors — engine divergence).
+    Headroom after the lift: the binding constraint is the single
+    int64 term n_cs*n < 2^63, i.e. ~3e9 documents; past that lift the
+    term products to DECIMAL(38,0) as well.
+
+    NULL sensitive values are coalesced to the sentinel '<NULL>'
+    BEFORE grouping (both engines — ADVICE r9 #4): an equality join on
+    the raw column would never match a NULL, double-counting a class's
+    NULL-sensitive docs as both missing class mass and global surplus
+    (tv_num could exceed its 2*n_c*n bound).  The sentinel makes NULL
+    an ordinary category, which is the audit semantics a release gate
+    wants.
 
     100 TB shape: three map-side-combined hash aggs on bounded key
     spaces (quasi-id grid, sensitive cardinality, their product); the
     grid join is broadcast-sized by construction; zero data-sized
     exchanges beyond the scans."""
+    docs = docs.withColumn(
+        sensitive, F.coalesce(F.col(sensitive), F.lit("<NULL>"))
+    )
     cls = docs.groupBy(*quasi).agg(F.count(F.lit(1)).cast("long").alias("n_c"))
     sv = docs.groupBy(sensitive).agg(F.count(F.lit(1)).cast("long").alias("n_s"))
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -341,8 +356,8 @@ def t_closeness(
             "t_close"
         ),
         (
-            F.col("tv_num") * F.lit(t_den)
-            <= F.lit(2 * t_num) * F.col("n_docs") * F.col("n")
+            F.col("tv_num").cast("decimal(38,0)") * F.lit(t_den)
+            <= F.lit(2 * t_num) * F.col("n_docs").cast("decimal(38,0)") * F.col("n")
         ).alias("meets_t"),
     )
 
@@ -362,7 +377,9 @@ ORACLES.update(
     {
         "privacy_t_closeness": f"""
 WITH d AS (
-  SELECT source, (n_chars // 100)::VARCHAR AS len_bin, lang FROM documents
+  SELECT source, (n_chars // 100)::VARCHAR AS len_bin,
+         COALESCE(lang, '<NULL>') AS lang
+  FROM documents
 ),
 cls AS (SELECT source, len_bin, count(*)::BIGINT AS n_c FROM d GROUP BY 1, 2),
 sv AS (SELECT lang, count(*)::BIGINT AS n_s FROM d GROUP BY 1),
@@ -385,7 +402,8 @@ terms AS (
 SELECT source, len_bin, max(n_c)::BIGINT AS n_docs,
        sum(term)::BIGINT AS tv_num,
        sum(term)::BIGINT / (2.0 * max(n_c) * max(n)) AS t_close,
-       sum(term)::BIGINT * {T_CLOSE_DEN} <= {2 * T_CLOSE_NUM} * max(n_c) * max(n)
+       sum(term)::DECIMAL(38,0) * {T_CLOSE_DEN}
+         <= {2 * T_CLOSE_NUM} * max(n_c)::DECIMAL(38,0) * max(n)
          AS meets_t
 FROM terms GROUP BY 1, 2
 """,

@@ -375,6 +375,28 @@ def test_component_purity_planted_mixed_and_pure(spark):
     assert 6 not in {r for r in got}  # singletons never appear
 
 
+def test_kcore_converging_exactly_at_max_peels_does_not_raise(spark):
+    """ADVICE r9 #3: a graph whose peel reaches its fixpoint exactly at
+    round max_peels is within contract — the unrolled oracle emits it —
+    so the loop must probe one extra round instead of raising."""
+    from quacfka_service_spark.operators.graph import kcore_from_pairs
+
+    # chain 0-1-2-3-4-5 plus a triangle 10-11-12: each k=2 peel strips
+    # the two chain endpoints, so the chain needs exactly 3 peels to
+    # vanish; with max_peels=3 the old loop raised, the fixed one
+    # returns the triangle.
+    chain = [(i, i + 1) for i in range(5)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["degree"] for r in kcore_from_pairs(pairs, 2, 3).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+    # one round short must still fail loudly
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        kcore_from_pairs(pairs, 2, 2).collect()
+
+
 def test_kcore_keeps_clique_drops_chain(spark):
     """Planted near-dup graph: a 3-clique of identical-ish docs (every
     pair shares most shingles) plus a chain A~B~C with no A~C edge.

@@ -107,3 +107,24 @@ def test_t_closeness_conservation_on_fixture(spark):
     assert sum(r["n_docs"] for r in out) == docs.count()
     assert all(r["tv_num"] >= 0 for r in out)
     assert all(0.0 <= r["t_close"] <= 1.0 for r in out)
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    """ADVICE r9 #4: NULL sensitive values coalesce to a sentinel
+    category, so tv_num respects its 2*n_c*n bound (t_close <= 1)
+    instead of double-counting NULL docs as missing class mass AND
+    global surplus."""
+    from quacfka_service_spark.operators.privacy import t_closeness
+
+    rows = [
+        ("a", "0", None), ("a", "0", None), ("a", "0", "en"),
+        ("b", "0", "fr"), ("b", "0", None), ("b", "0", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, len_bin string, lang string")
+    out = {(r["source"], r["len_bin"]): r for r in t_closeness(docs).collect()}
+    assert all(0.0 <= r["t_close"] <= 1.0 for r in out.values())
+    # group a: dist {<NULL>: 2/3, en: 1/3}; global {<NULL>: 1/2,
+    # en: 1/6, fr: 1/3} -> TV = (|2/3-1/2| + |1/3-1/6| + |0-1/3|)/2
+    # = 1/3; tv_num = 2*n_c*n*TV = 2*3*6*(1/3) = 12
+    assert out[("a", "0")]["tv_num"] == 12
+    assert abs(out[("a", "0")]["t_close"] - 1 / 3) < 1e-12

@@ -302,6 +302,28 @@ def test_substring_census_twopass_equals_window_and_plan(spark):
     assert "LeftSemi" not in plan_w and "Window" in plan_w
 
 
+def test_ngram_jaccard_census_twopass_equals_window_and_plan(spark):
+    # r10 (ADVICE r9 #1, shingle site): the df-cap census must offer
+    # the hot-set broadcast anti-join shape for web scale (no
+    # s-partitioned WindowExec buffering a corpus-hot shingle on one
+    # task), and both census modes must emit identical pairs.
+    from quacfka_service_spark.operators.dedup import ngram_jaccard_pairs
+    from quacfka_service_spark.plans.inspect import formatted_plan as fp
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    hotline = "all rights reserved cookie banner boilerplate line here ok"
+    rows = [(i, hotline + " unique tail %d" % i) for i in range(3, 9)]
+    rows += [(1, dup + " one"), (2, dup + " two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = sorted(map(tuple, ngram_jaccard_pairs(docs, max_df=4, census="window").collect()))
+    t = sorted(map(tuple, ngram_jaccard_pairs(docs, max_df=4, census="twopass").collect()))
+    assert w == t and len(w) >= 1
+    plan_t = fp(ngram_jaccard_pairs(docs, max_df=4, census="twopass"))
+    plan_w = fp(ngram_jaccard_pairs(docs, max_df=4, census="window"))
+    assert "LeftAnti" in plan_t and "Window" not in plan_t
+    assert "LeftAnti" not in plan_w and "Window" in plan_w
+
+
 def test_neardup_kernel_matches_hof_fold_bits(spark):
     # the numpy sequential fold must produce the identical cos DOUBLES
     # the old zip_with/aggregate HOF join produced

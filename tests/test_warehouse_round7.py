@@ -297,7 +297,51 @@ def test_abc_pareto_no_global_data_window(spark):
 
     wins = _re.findall(r"Window .*", plan)
     assert len(wins) == 1, plan
-    assert "band" in wins[0] and "rev" in wins[0], wins
+    assert "band" in wins[0] and "sub" in wins[0] and "rev" in wins[0], wins
+
+
+def test_abc_pareto_subbands_split_a_skewed_band(spark):
+    """VERDICT r9 #6: when revenue mass piles into ONE band (forced
+    skew: one whale sets max, everyone else lands in band 0), the
+    within-band window must still run over >1 (band, sub) cell — no
+    single band sorts on one task at entity scale — and the banded
+    cumulative must still equal the naive prefix sum exactly."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as SF
+
+    from quacfka_service_spark.operators.olap import ABC_BANDS, abc_pareto
+
+    # whale rev 32000 -> mx; 400 customers spread over [10, 990]:
+    # all in band 0 (rev/mx*32 < 1), but their within-band fraction
+    # spans [0.01, 0.99] -> many sub cells.
+    rows = [(0, 32000.0)] + [(i, 10.0 + (i * 7) % 981) for i in range(1, 401)]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double"
+    )
+    out = abc_pareto(orders).collect()
+    out.sort(key=lambda r: r.rank)
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    cums = [Decimal(r.cum) for r in out]
+    revs = [Decimal(r.revenue) for r in out]
+    assert cums[0] == revs[0]
+    for i in range(1, len(out)):
+        assert cums[i] - cums[i - 1] == revs[i]
+    # the skewed band really was split across sub cells
+    rev = orders.groupBy("o_custkey").agg(
+        SF.sum(SF.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+    )
+    mx = 32000.0
+    pos = SF.col("rev").cast("double") / SF.lit(mx) * ABC_BANDS
+    band = SF.least(SF.floor(pos).cast("int"), SF.lit(ABC_BANDS - 1))
+    n_cells = (
+        rev.select(band.alias("band"), SF.floor((pos - band) * 16).alias("sub"))
+        .where(SF.col("band") == 0)
+        .select("sub")
+        .distinct()
+        .count()
+    )
+    assert n_cells > 1
 
 
 # --- PCA power iteration --------------------------------------------------
