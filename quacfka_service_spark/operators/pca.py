@@ -157,25 +157,23 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
     x = emb.select(F.col("embedding").cast("array<double>").alias("x")).where(
         F.size("x") == dim
     )
-    n1 = x.agg(F.count(F.lit(1)).alias("n"))  # 1 row
 
-    # mean vector: quantized exact sums, then (S / Q) / n per component
+    # mean vector AND n in ONE aggregate pass (r10, VERDICT r9 #4: n
+    # was its own job + a broadcast join): per component j, the exact
+    # quantized sum and the row count (count per j == n since every
+    # surviving row has all dim components); the (S / Q) / n division
+    # stays Spark-side so the collected doubles are the same IEEE
+    # values the r5-r9 shape produced.
     ex = x.select(F.posexplode("x").alias("j", "xj"))
     mu_rows = ex.groupBy("j").agg(
         F.sum(F.floor(F.col("xj") * PCA_Q).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .cast("double")
-        .alias("s")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
-    mu1 = (
-        mu_rows.join(F.broadcast(n1))
-        .select("j", (F.col("s") / PCA_Q / F.col("n")).alias("mu"))
-        .groupBy()
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", "mu"))), lambda s: s["mu"]
-            ).alias("mu")
-        )
+    mu1 = mu_rows.select(
+        "j", (F.col("s") / PCA_Q / F.col("n")).alias("mu"), "n"
     )
 
     # centered outer products, quantized, exact sums — blocked Gram
@@ -187,11 +185,14 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
     # floor sequence per row per pair the oracle's covL computes, so
     # the cross-partition DECIMAL sum of partials equals the oracle's
     # sum of per-row floors bit-for-bit regardless of partitioning.
-    mu_vals = [float(m) for m in mu1.collect()[0]["mu"]]
-    if not mu_vals:  # empty corpus: keep d-length literals downstream
+    mu_collected = mu1.collect()  # bounded: d rows
+    if mu_collected:
+        mu_by_j = {r["j"]: float(r["mu"]) for r in mu_collected}
+        mu_vals = [mu_by_j[j] for j in range(dim)]
+        n = mu_collected[0]["n"]
+    else:  # empty corpus: keep d-length literals downstream
         mu_vals = [0.0] * dim
-    # n and the d x d covariance: one bounded collect (d^2 rows).
-    n = n1.collect()[0]["n"]
+        n = 0
     cov_cells = (
         _gram_partials(x, mu_vals, dim)
         .groupBy("j", "k")
