@@ -127,9 +127,11 @@ def run_static(df: DataFrame) -> DataFrame:
     keeps the result distributed (no driver row round-trip) and is
     what anchors execution inside the scope.
 
-    Use ONLY for bounded-output report plans: corpus-sized outputs
-    should stay lazy, and plans with genuinely data-dependent shape
-    (skewed joins, unknown build sides) want AQE on."""
+    Use ONLY for bounded-output report plans and artifact plans that
+    were ALREADY eagerly memoized (the _SPANS_CACHE discipline):
+    corpus-sized outputs should stay lazy, and plans with genuinely
+    data-dependent shape (skewed joins, unknown build sides) want AQE
+    on."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key)
