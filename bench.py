@@ -654,6 +654,16 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
+    # Carry forward the sf1 spot-bench block (tools/sf1_spot.py runs it
+    # on demand — minutes of DuckDB oracle time, not a per-round cost);
+    # a fresh headline run must not silently drop the measured scale
+    # trend from the canonical artifact.
+    try:
+        prior = json.load(open(out_path))
+        if "sf1_spot" in prior:
+            out["sf1_spot"] = prior["sf1_spot"]
+    except (OSError, ValueError):
+        pass
     try:
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
@@ -683,6 +693,7 @@ def main() -> None:
             "per_job_overhead_sec": out["per_job_overhead_sec"],
             "duckdb_total_sec": out["duckdb_total_sec"],
             "ingest_mb_per_sec": out["ingest_mb_per_sec"],
+            "sf1_spot_ratio": out.get("sf1_spot", {}).get("ratio"),
             "n_queries_timed": len(timings),
             "n_queries_shown": len(slim_queries),
             "queries": slim_queries,

@@ -213,7 +213,14 @@ def test_centroid_assign_is_map_only_plus_matrix_agg(spark):
     projection, so the corpus-side plan has NO join of any kind and NO
     window; the only exchange is the final |labels|²-key matrix agg,
     which must map-side combine."""
-    df = _q(spark, "embedding_centroid_assign")
+    # pin the OPERATOR's plan, not the registered key's: since r10 the
+    # key wraps it in run_static (eager localCheckpoint under a scoped
+    # non-AQE conf), whose returned frame is a checkpoint scan that
+    # hides the upstream shape.
+    from quacfka_service_spark.operators.similarity import centroid_assign
+    from quacfka_service_spark.session import load_table as _lt
+
+    df = centroid_assign(_lt(spark, SF_DIR, "embeddings"))
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert "Window" not in plan
