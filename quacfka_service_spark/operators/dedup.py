@@ -342,7 +342,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     # MEMORY_AND_DISK: at cluster scale this spills rather than OOMs.
     from pyspark import StorageLevel
 
-    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # _track_persist (r10): an untracked persist here leaked one
+    # shingle table per invocation into executor storage in a
+    # long-lived driver session — same hazard class as ADVICE r9 #5.
+    sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
     sig = minhash_signatures_from_shingles(sh)
     bands = []
     for bi in range(N_BANDS):
@@ -2148,8 +2151,10 @@ def _survivor_offsets(d: DataFrame, k: int, census: str) -> DataFrame:
     # semi join; MEMORY_AND_DISK spills rather than OOMs.  The dup
     # set is duplicate-mass-sized — AQE broadcasts it when small,
     # degrades to a shuffle semi join when not (never buffers a
-    # hot key on one task either way).
-    rh = rh.persist(StorageLevel.MEMORY_AND_DISK)
+    # hot key on one task either way).  Tracked: repeated invocations
+    # in one session must not accumulate corpus-character-sized
+    # cached streams (ADVICE r9 #5 hazard class).
+    rh = _track_persist(rh.persist(StorageLevel.MEMORY_AND_DISK))
     dup = (
         rh.groupBy("rh")
         .agg(F.count(F.lit(1)).alias("n"))
