@@ -302,7 +302,9 @@ def kcore_from_pairs(
     # so the conf scope is the only lever; restored in the finally.
     spark = pairs.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(conf_key)
+    old_aqe = spark.conf.get(aqe_key)
     try:
         cur_parts = int(old)
     except (TypeError, ValueError):
@@ -311,6 +313,11 @@ def kcore_from_pairs(
         spark.conf.set(
             conf_key, str(min(cur_parts, spark.sparkContext.defaultParallelism))
         )
+        # AQE off for the peel loop (r10, same measurement/argument as
+        # connected_components): the shuffle count is hand-scoped and
+        # each checkpointed round is a fixed agg+semi-join shape — AQE
+        # only fragments the round's action into per-stage jobs.
+        spark.conf.set(aqe_key, "false")
         cur = (
             pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
             .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
@@ -354,6 +361,7 @@ def kcore_from_pairs(
         )
     finally:
         spark.conf.set(conf_key, old)
+        spark.conf.set(aqe_key, old_aqe)
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
