@@ -1295,23 +1295,27 @@ def connected_components(
         cur = spark.sparkContext.defaultParallelism
     try:
         spark.conf.set(conf_key, str(min(cur, spark.sparkContext.defaultParallelism)))
-        # AQE off for the loop (r10): the shuffle count is already
-        # hand-scoped to edge mass below — better than AQE could pick —
-        # and each checkpointed round is a fixed join+agg shape where
-        # AQE only fragments the round's action into per-stage jobs
-        # (measured 22 -> 11 jobs, 4.0 -> 3.2 s warm for the
-        # dedup_components key at sf0.1; corpus_curation 36 -> 21
-        # jobs).  Restored in the finally; on
-        # a cluster the same argument holds because the round's plan
-        # shape is static and its partition count is set here.
-        spark.conf.set(aqe_key, "false")
         sym = (
             edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
             .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
             .distinct()
             .persist()
         )
+        # sym materializes HERE (the count) with AQE still ON: `edges`
+        # is a lazy plan that can embed the caller's whole pair-emitter
+        # join (corpus_curation's shingle self-join), which wants AQE's
+        # dynamic broadcast/coalesce decisions (scoping it off cost
+        # corpus_curation ~1.5 s at sf0.1).
         n_edges = sym.count()
+        # AQE off for the LOOP only (r10): the per-round shuffle count
+        # is hand-scoped to edge mass below — better than AQE could
+        # pick — and each checkpointed round is a fixed join+agg over
+        # the persisted sym, where AQE only fragments the round's
+        # action into per-stage jobs (measured 22 -> 11 jobs for the
+        # dedup_components key at sf0.1).  Restored in the finally; on
+        # a cluster the same argument holds because the round's plan
+        # shape is static and its partition count is set here.
+        spark.conf.set(aqe_key, "false")
         spark.conf.set(
             conf_key, str(max(1, min(cur, n_edges // 500_000 + 1)))
         )

@@ -313,11 +313,6 @@ def kcore_from_pairs(
         spark.conf.set(
             conf_key, str(min(cur_parts, spark.sparkContext.defaultParallelism))
         )
-        # AQE off for the peel loop (r10, same measurement/argument as
-        # connected_components): the shuffle count is hand-scoped and
-        # each checkpointed round is a fixed agg+semi-join shape — AQE
-        # only fragments the round's action into per-stage jobs.
-        spark.conf.set(aqe_key, "false")
         cur = (
             pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
             .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
@@ -325,6 +320,14 @@ def kcore_from_pairs(
             .localCheckpoint(eager=True)
         )
         n_cur = cur.count()
+        # AQE off for the PEEL LOOP only (r10, same measurement and
+        # argument as connected_components): the edge materialization
+        # above runs with AQE on — `pairs` can embed the caller's whole
+        # pair-emitter join, which wants AQE's dynamic decisions — but
+        # each checkpointed peel round is a fixed agg+semi-join over
+        # the materialized edges, where AQE only fragments the round's
+        # action into per-stage jobs.
+        spark.conf.set(aqe_key, "false")
         spark.conf.set(conf_key, str(max(1, min(cur_parts, n_cur // 500_000 + 1))))
         # max_peels + 1 iterations: the last one is a stability PROBE
         # only (ADVICE r9 #3 — a graph whose peel converges exactly at
