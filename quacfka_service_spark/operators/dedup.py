@@ -1286,9 +1286,7 @@ def connected_components(
     # session's own setting, so the 100 TB shape is unchanged.
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
-    aqe_key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(conf_key)
-    old_aqe = spark.conf.get(aqe_key)
     try:
         cur = int(old)
     except (TypeError, ValueError):
@@ -1301,28 +1299,23 @@ def connected_components(
             .distinct()
             .persist()
         )
-        # sym materializes HERE (the count) with AQE still ON: `edges`
-        # is a lazy plan that can embed the caller's whole pair-emitter
-        # join (corpus_curation's shingle self-join), which wants AQE's
-        # dynamic broadcast/coalesce decisions (scoping it off cost
-        # corpus_curation ~1.5 s at sf0.1).
         n_edges = sym.count()
-        # AQE off for the LOOP only (r10): the per-round shuffle count
-        # is hand-scoped to edge mass below — better than AQE could
-        # pick — and each checkpointed round is a fixed join+agg over
-        # the persisted sym, where AQE only fragments the round's
-        # action into per-stage jobs (measured 22 -> 11 jobs for the
-        # dedup_components key at sf0.1).  Restored in the finally; on
-        # a cluster the same argument holds because the round's plan
-        # shape is static and its partition count is set here.
-        spark.conf.set(aqe_key, "false")
+        # AQE stays ON for the loop (r10 lesson, measured at the sf1
+        # spot-bench): the per-round sym-x-labels join build side is a
+        # localCheckpoint'd frame with NO size statistics, so the
+        # STATIC planner cannot choose broadcast and falls back to a
+        # sort-merge join over the edge-mass-scoped partition count —
+        # 2.3x slower at sf1 (components 15 -> 27 s, curation 32 ->
+        # 73 s) and worse with scale, even though scoping AQE off
+        # looked like a win at sf0.1 (22 -> 11 jobs of scheduling
+        # floor).  AQE's runtime size observation is the only thing
+        # that can broadcast a checkpointed build side.
         spark.conf.set(
             conf_key, str(max(1, min(cur, n_edges // 500_000 + 1)))
         )
         return _cc_loop(sym, max_iters)
     finally:
         spark.conf.set(conf_key, old)
-        spark.conf.set(aqe_key, old_aqe)
 
 
 def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:

@@ -302,9 +302,7 @@ def kcore_from_pairs(
     # so the conf scope is the only lever; restored in the finally.
     spark = pairs.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
-    aqe_key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(conf_key)
-    old_aqe = spark.conf.get(aqe_key)
     try:
         cur_parts = int(old)
     except (TypeError, ValueError):
@@ -320,14 +318,12 @@ def kcore_from_pairs(
             .localCheckpoint(eager=True)
         )
         n_cur = cur.count()
-        # AQE off for the PEEL LOOP only (r10, same measurement and
-        # argument as connected_components): the edge materialization
-        # above runs with AQE on — `pairs` can embed the caller's whole
-        # pair-emitter join, which wants AQE's dynamic decisions — but
-        # each checkpointed peel round is a fixed agg+semi-join over
-        # the materialized edges, where AQE only fragments the round's
-        # action into per-stage jobs.
-        spark.conf.set(aqe_key, "false")
+        # AQE stays ON for the peel loop (r10 lesson from the CC loop,
+        # measured at the sf1 spot-bench): checkpointed per-round
+        # frames carry no size statistics, so the static planner
+        # cannot broadcast them and degrades the round joins to
+        # sort-merge over the scoped partition count — a scale
+        # regression that the local job-count saving does not justify.
         spark.conf.set(conf_key, str(max(1, min(cur_parts, n_cur // 500_000 + 1))))
         # max_peels + 1 iterations: the last one is a stability PROBE
         # only (ADVICE r9 #3 — a graph whose peel converges exactly at
@@ -364,7 +360,6 @@ def kcore_from_pairs(
         )
     finally:
         spark.conf.set(conf_key, old)
-        spark.conf.set(aqe_key, old_aqe)
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
