@@ -56,24 +56,40 @@ def _masses_with_totals(
     """(doc_id, t_mass, r_mass, t_total, r_total) — everything BIGINT,
     the shared exact core of ``importance_weights`` and
     ``dsir_resample``."""
-    feats = hash_features(docs, dim)  # (doc_id, dim, weight) integer counts
-    target_feats = feats.join(
-        docs.where(F.col("doc_id") % target_mod == 1).select("doc_id"), "doc_id"
+    # Lazy checkpoint: feats feeds THREE aggregation subtrees (the
+    # target histogram, the corpus histogram, the per-doc masses) —
+    # unchecked, Catalyst re-executes the token explode + md5-per-token
+    # scan once per subtree (~3x the whole operator's cost; the sf1
+    # spot measured 2.95x DuckDB, r11).  The checkpointed frame is
+    # bounded at <= dim (64) rows per document — corpus-linear but a
+    # small constant of the corpus text volume, and disk-spillable —
+    # so one materialization is the right trade at any scale.  No
+    # session cache slot, no unpersist contract: the RDD dies with the
+    # frame (same discipline as the sig/pair checkpoints in dedup.py).
+    feats = hash_features(docs, dim).localCheckpoint(eager=False)
+    # BOTH histograms in ONE pass over feats (r11): target membership
+    # is pure doc_id arithmetic, so the old join-with-filtered-docs was
+    # a needless shuffle, and t/r were two separate aggregate subtrees
+    # re-scanning feats — a conditional sum folds them into one
+    # map-side-combined agg.  Values are the same BIGINT sums (the
+    # DuckDB oracle keeps the two-CTE form; equal by construction).
+    is_t = F.col("doc_id") % target_mod == 1
+    tr = feats.groupBy("dim").agg(
+        F.sum(F.when(is_t, F.col("weight")).otherwise(F.lit(0))).alias("t_cnt"),
+        F.sum("weight").alias("r_cnt"),
     )
-    t = target_feats.groupBy("dim").agg(F.sum("weight").alias("t_cnt"))
-    r = feats.groupBy("dim").agg(F.sum("weight").alias("r_cnt"))
-    t_total = t.agg(F.sum("t_cnt").alias("t_total"))
-    r_total = r.agg(F.sum("r_cnt").alias("r_total"))
+    totals = tr.agg(
+        F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
+    )
     masses = (
-        feats.join(F.broadcast(t), "dim", "left")
-        .join(F.broadcast(r), "dim")
+        feats.join(F.broadcast(tr), "dim")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("weight") * F.coalesce(F.col("t_cnt"), F.lit(0))).alias("t_mass"),
             F.sum(F.col("weight") * F.col("r_cnt")).alias("r_mass"),
         )
     )
-    return masses.crossJoin(F.broadcast(t_total)).crossJoin(F.broadcast(r_total))
+    return masses.crossJoin(F.broadcast(totals))
 
 
 def importance_weights(
@@ -158,7 +174,11 @@ def drift_tv(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
     scan); the |sources| x 64 matrix is broadcast-sized; everything
     after the first agg is driver-trivial arithmetic kept distributed
     only for uniformity."""
-    sd = source_dim_counts(docs, dim)
+    # Lazy checkpoint: sd feeds tv_against's join AND the corpus-wide
+    # re-aggregate — without it each reference re-runs the token
+    # explode scan (the "no second scan" promise above is only true
+    # with the materialization; |sources| x 64 rows, trivially small).
+    sd = source_dim_counts(docs, dim).localCheckpoint(eager=False)
     cd = sd.groupBy("dim").agg(F.sum("s_cnt").alias("c_cnt"))
     return tv_against(sd, cd)
 

@@ -1311,22 +1311,25 @@ def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
     The interesting part is the DISTRIBUTED PREFIX SUM: a naive
     cumulative window over all customers collapses to ONE partition
     (Spark's no-partition window), an entity-sized bottleneck at 10^8+
-    customers.  Instead revenue space is cut into ``n_bands`` ordered
-    bands, each further cut into ``ABC_SUBBANDS`` ordered SUB-bands
-    (VERDICT r9 #6 — a band-only window still sorted each band on one
-    task, ~1e8 rows per task at 1e9 customers); per-(band, sub) totals
-    (<= n_bands * ABC_SUBBANDS rows of driver state) give prefix
-    offsets, and each row's cumulative = its cell's higher-cells
-    offset + a within-cell running sum (window PARTITIONED by
-    (band, sub)).  Because DECIMAL addition is associative, the banded
-    sum is EXACTLY the naive cumulative — which is what the oracle
-    computes, so the hash-check proves the rewrite.
+    customers.  Instead revenue space is cut into ordered cells —
+    (binary exponent, mantissa slice of ``ABC_SUBBANDS``) since r11
+    (VERDICT r9 #6 gave the sub-band split: a band-only window still
+    sorted each band on one task, ~1e8 rows per task at 1e9
+    customers); per-cell totals (bounded driver state, ~exponent
+    span x ABC_SUBBANDS rows) give prefix offsets, and each row's
+    cumulative = its cell's higher-cells offset + a within-cell
+    running sum (window PARTITIONED by (band, sub)).  Because DECIMAL
+    addition is associative, the banded sum is EXACTLY the naive
+    cumulative — which is what the oracle computes, so the hash-check
+    proves the rewrite.
 
-    Banding uses double math (floor(rev/max * B), and the sub-band is
-    the next ``floor`` of the within-band fraction) — boundaries only
-    need to respect revenue order and be engine-deterministic, which
-    single IEEE ops are.  Rows with EQUAL rev always share a cell, so
-    the (rev DESC, custkey ASC) order never straddles a cell boundary.
+    Banding uses double math (floor(log2(rev)) and a mantissa floor)
+    — boundaries only need to respect revenue order and be
+    deterministic, which single IEEE ops are; being data-independent,
+    no global max() pass is needed (the r8-r10 shape collected max
+    first — one extra job plus the persist amortizing it).  Rows with
+    EQUAL rev always share a cell, so the (rev DESC, custkey ASC)
+    order never straddles a cell boundary.
     Class thresholds compare integer CENTS cross-multiplied
     (cum*100 <= total*80), no float ratios.  Headroom: total cents *
     100 stays under 2^63 to ~9e14 dollars of corpus revenue; past
@@ -1336,43 +1339,45 @@ def abc_pareto(orders: DataFrame, n_bands: int = ABC_BANDS) -> DataFrame:
 
     from decimal import Decimal
 
-    # rev feeds the banding pass AND the bounded per-cell stats — persist
-    # so the orders scan + groupBy runs once across the two bounded
-    # collect jobs; unpersisted right after (ADVICE r9 #5: a long-lived
-    # driver session calling queries() repeatedly must not accumulate
-    # entity-sized cached frames).  The final action recomputes the
-    # scan+agg once; banding is deterministic given the collected mx,
-    # so correctness is unaffected.
+    # BOUNDED driver state instead of a broadcast-subquery chain: the
+    # per-cell totals, their prefix offsets, and the grand total are
+    # all cell-cardinality data.  r8 shape ran them as chained
+    # broadcast joins + a global window — 8 exchanges, 17 AQE
+    # stage-jobs at any SF, pure scheduling floor locally.  Collect
+    # them (ONE bounded job), compute offsets in exact Python
+    # Decimal/int arithmetic (decimal addition is associative —
+    # identical to the window sum), and feed the per-row pass one
+    # broadcast-local lookup frame.
+    #
+    # r11 (VERDICT r10 #3): banding is DATA-INDEPENDENT — the band is
+    # the revenue's binary exponent, the sub-band a slice of its
+    # mantissa.  Monotone in rev (exponent dominates; within an
+    # exponent the mantissa is monotone), deterministic, and needs NO
+    # global max — which kills the r8-era max() collect job AND the
+    # persist that amortized rev across the two collects (the r10
+    # persist/unpersist pair cost ~+0.4 s at sf0.1 under the driver's
+    # fresh-session protocol while saving only a cheap re-agg; at
+    # cluster scale the total pass count drops 3 -> 2, strictly
+    # better).  Equal revs always share a cell, so the
+    # (rev DESC, custkey ASC) order never straddles a cell boundary.
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
-    ).persist()
-    try:
-        # BOUNDED driver state instead of a broadcast-subquery chain: the
-        # max scalar, the per-cell totals, their prefix offsets, and the
-        # grand total are all cell-cardinality data.  r8 shape ran them
-        # as chained broadcast joins + a global window — 8 exchanges, 17
-        # AQE stage-jobs at any SF, pure scheduling floor locally.
-        # Collect them (two bounded jobs), compute offsets in exact
-        # Python Decimal/int arithmetic (decimal addition is associative
-        # — identical to the window sum), and feed the per-row pass one
-        # broadcast-local lookup frame.
-        mx = rev.agg(F.max(F.col("rev").cast("double"))).collect()[0][0]
-        if mx is None:  # empty corpus: keep the literal typed; zero rows flow
-            mx = 1.0
-        pos = F.col("rev").cast("double") / F.lit(mx) * n_bands
-        band_col = F.least(F.floor(pos).cast("int"), F.lit(n_bands - 1))
-        sub_col = F.least(
-            F.floor((pos - band_col) * ABC_SUBBANDS).cast("int"),
-            F.lit(ABC_SUBBANDS - 1),
-        )
-        banded = rev.select(
-            "o_custkey", "rev", band_col.alias("band"), sub_col.alias("sub")
-        )
-        pb = banded.groupBy("band", "sub").agg(
-            F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
-        ).collect()
-    finally:
-        rev.unpersist()
+    )
+    d = F.col("rev").cast("double")
+    # o_totalprice > 0 (TPC-H), so log2 is defined; exponent spans
+    # ~a dozen values, the mantissa slice spreads each ~uniformly.
+    band_col = F.floor(F.log2(d)).cast("int")
+    sub_col = F.least(
+        F.floor((d / F.pow(F.lit(2.0), band_col.cast("double")) - 1.0)
+                * ABC_SUBBANDS).cast("int"),
+        F.lit(ABC_SUBBANDS - 1),
+    )
+    banded = rev.select(
+        "o_custkey", "rev", band_col.alias("band"), sub_col.alias("sub")
+    )
+    pb = banded.groupBy("band", "sub").agg(
+        F.sum("rev").alias("brev"), F.count(F.lit(1)).alias("bn")
+    ).collect()
     stats = sorted(
         ((r["band"], r["sub"], r["brev"], r["bn"]) for r in pb),
         key=lambda t: (-t[0], -t[1]),
