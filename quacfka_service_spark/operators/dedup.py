@@ -575,19 +575,26 @@ MD5_ROWS_PER_BAND = MD5_N_PERM // MD5_N_BANDS
 
 
 def _md5_perm_long(col, p: int):
-    """BIGINT fold of the permutation-p md5 minhash key: the first 15
-    hex digits of md5('p|' || shingle) parsed base-16 (60 bits, always
-    positive).  Fixed-length lowercase hex orders identically as a
-    string and as a number, so min() over the fold picks the same
-    shingle as the full-digest string min (truncation ties are ~2^-60
-    AND both engines truncate identically, so parity holds regardless)
-    — but the partial-agg state and the signature shuffle carry 8
-    LONGs per doc instead of 8 x 32-char strings (VERDICT r10 #2: the
-    hex-string materialization was dedup_minhash_exact's 2.22x sf1
-    cost).  DuckDB twin, interpolated into _MD5_MINS below:
-    ('0x' || substring(md5('p|' || s), 1, 15))::BIGINT."""
+    """BIGINT fold of the permutation-p minhash key — an 8-hex-digit
+    (32-bit, always positive) SLICE of one of TWO md5 digests:
+    permutations 0-3 slice md5('0|' || shingle), 4-7 slice
+    md5('1|' || shingle).  Two md5 calls per shingle instead of eight
+    (VERDICT r10 #2 follow-up: sf1 profiling showed the signature pass
+    IS the md5 CPU — 18 of minhash_exact's 20 s — and Spark's
+    commons-codec md5 is the slower side, so halving-twice the call
+    count moves the ratio directly; Catalyst/DuckDB both CSE the two
+    digests across the 8 slice projections).  Fixed-width lowercase
+    hex orders identically as a string and as a number, so min() picks
+    the same shingle as a hex-string min would; 32-bit minima can tie
+    across near-identical shingle sets with ~n²/2³² probability, but BOTH
+    engines compute the identical fold, so candidate sets and every
+    downstream value still match exactly.  The partial-agg state and
+    the signature shuffle carry 8 LONGs per doc instead of 8 x 32-char
+    strings.  DuckDB twin, interpolated into _MD5_MINS below:
+    ('0x' || substring(md5('d|' || s), 1+8*slice, 8))::BIGINT."""
+    d, sl = divmod(p, 4)
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{p}|"), col)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{d}|"), col)), 1 + 8 * sl, 8), 16, 10
     ).cast("long")
 
 
@@ -1625,7 +1632,7 @@ pairs AS (
 # the same md5 permutation/band construction as minhash_md5_pairs,
 # interpolated from the same module constants so the two can't drift.
 _MD5_MINS = ", ".join(
-    f"min(('0x' || substring(md5('{p}|' || s), 1, 15))::BIGINT) AS m{p}"
+    f"min(('0x' || substring(md5('{p // 4}|' || s), {1 + 8 * (p % 4)}, 8))::BIGINT) AS m{p}"
     for p in range(MD5_N_PERM)
 )
 _MD5_BANDS = ", ".join(
