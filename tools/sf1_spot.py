@@ -180,6 +180,12 @@ def main() -> int:
         rows_out[key] = nrows
         print(f"spark {key}: {spark_sec[key]} s ({nrows} rows)", flush=True)
 
+    # Stop the Spark JVM BEFORE the oracle phase: the 100g driver heap
+    # (~70 GB RSS at sf1) otherwise squeezes the page cache out from
+    # under DuckDB's recursive CTEs — r11 observed the SAME oracle
+    # swinging 302 -> 476 s purely from this; both engines deserve the
+    # dedicated machine the Spark loop got.
+    spark.stop()
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     con.execute(
@@ -234,7 +240,6 @@ def main() -> int:
     blob["sf1_spot"] = block
     json.dump(blob, open(path, "w"), indent=1, sort_keys=True)
     print(json.dumps({"sf1_spot": block}), flush=True)
-    spark.stop()
     return 0
 
 
