@@ -1077,24 +1077,34 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
     Docs with < 3 words have no shingles and are absent (same contract
     as the pair emitters).
 
-    100 TB shape: one explode + one partial-agg min per shingle, one
-    shingle-keyed join back (the same key the pair emitters shuffle
-    on), one doc-keyed aggregate.  Linear in corpus tokens — no pair
-    join at all."""
+    100 TB shape (r11, guide §2.3 "aggregate before you shuffle"):
+    shingles are DISTINCT per doc (doc_shingles), so
+    n_novel(doc) = |{s : min-doc of s == doc}| = the first-doc
+    HISTOGRAM of the per-shingle minima — no join of the exploded
+    stream back onto itself.  The r10 shape shuffled the full shingle
+    stream TWICE (groupBy(s) for the minima, then the s-keyed join +
+    a doc_id re-shuffle of the joined stream); now every aggregate is
+    map-side-combinable and only (distinct-shingle minima + two
+    doc-sized frames) ever cross an exchange.  Same two tokenize
+    passes as before — the stream itself never moves."""
     ex = (
         doc_shingles(docs)
         .select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
-    firsts = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        ex.groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        ex.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+        sizes.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
         )
         .select(
             "doc_id",

@@ -52,16 +52,18 @@ def test_cohort_ltv_joins_on_the_natural_key(spark):
 
 
 def test_ngram_novelty_is_linear_no_pair_join(spark):
-    """Novelty must NOT build doc pairs: exactly one join (shingle ->
-    first_doc lookup), keyed on the shingle — the same key the agg
-    shuffles on — and no self-join of the exploded table against
-    itself producing doc x doc output."""
+    """Novelty must NOT build doc pairs: since r11 the only join is the
+    doc_id-keyed merge of two DOC-SIZED aggregates (per-doc shingle
+    counts ⟕ first-doc histogram of the per-shingle minima) — the full
+    exploded shingle stream feeds map-side-combinable aggregates only
+    and never crosses an exchange raw, and there is no self-join of
+    the exploded table against itself producing doc x doc output."""
     import re
 
     df = _q(spark, "dedup_ngram_novelty")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # exactly ONE physical join node (the shingle -> first_doc lookup)
+    # exactly ONE physical join node (doc-sized sizes <-> novelty merge)
     assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 1
     assert has_partial_aggregation(df)
 
