@@ -53,11 +53,37 @@ from .dedup import (
     ngram_jaccard_pairs,
 )
 from .split import BUCKETS, TRAIN_PCT, VAL_PCT, assign_split
-from .text import _words, lang_id, text_quality
+from .text import _words, lang_pred_expr, quality_expr, text_quality
 
 BLOCK_TOKENS = 512
 MIN_QUALITY = 0.2
 KEEP_LANGS = ("en",)
+
+
+def _lang_quality_filtered(docs, langs, min_quality, cols):
+    """The curation family's lang+quality filter computed INLINE on one
+    documents scan (r11, guide §2.4 "remove shuffles outright"):
+    lang_id and text_quality are pure per-row functions of ``text``, so
+    joining their frames back on doc_id (the pre-r11 shape) paid 3
+    documents scans + 2 doc_id self-joins per use of the filtered frame
+    — and the filtered frame appears 2-3 times in every curation plan.
+    doc_id is the documents primary key (uniqueness and non-nullness
+    are expectations-suite invariants, and the DuckDB curation oracles
+    compose the same per-row CTEs through doc_id joins), so the inner
+    joins were row-preserving and the fold is exact: identical
+    expressions, identical rows."""
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            lang_pred_expr(F.col("text")).alias("lang_pred"),
+            quality_expr(F.col("text")).alias("quality"),
+        )
+        .where(
+            F.col("lang_pred").isin(*langs) & (F.col("quality") >= min_quality)
+        )
+        .select(*cols)
+    )
 
 
 def corpus_curation(
@@ -86,13 +112,8 @@ def corpus_curation(
     production twin.
     """
     emit = ngram_jaccard_pairs if pair_emitter is None else pair_emitter
-    filtered = (
-        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
-        .join(
-            text_quality(docs).select("doc_id", "quality"), "doc_id"
-        )
-        .where(F.col("quality") >= min_quality)
-        .select("doc_id", "text", "lang_pred", "quality")
+    filtered = _lang_quality_filtered(
+        docs, langs, min_quality, ("doc_id", "text", "lang_pred", "quality")
     )
     if comp is None:
         comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
@@ -128,11 +149,8 @@ def corpus_e2e_factory(
     at 100 TB)."""
     cap = CAP_PER_SOURCE if cap is None else cap  # module global, call-time
     emit = ngram_jaccard_pairs if pair_emitter is None else pair_emitter
-    filtered = (
-        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
-        .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
-        .where(F.col("quality") >= min_quality)
-        .select("doc_id", "text", "lang_pred", "quality")
+    filtered = _lang_quality_filtered(
+        docs, langs, min_quality, ("doc_id", "text", "lang_pred", "quality")
     )
     if comp is None:
         comp = connected_components(emit(filtered).select("doc_a", "doc_b"))
@@ -177,11 +195,8 @@ def corpus_curation_semantic(
     100 TB shape: per-doc filters prune before any vector work; the
     semantic stage inherits semdedup's broadcast-codebook + cell-equi-
     join shape; the split is a pure md5 hash."""
-    filtered = (
-        docs.join(lang_id(docs).where(F.col("lang_pred").isin(*langs)), "doc_id")
-        .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
-        .where(F.col("quality") >= min_quality)
-        .select("doc_id", "lang_pred", "quality")
+    filtered = _lang_quality_filtered(
+        docs, langs, min_quality, ("doc_id", "lang_pred", "quality")
     )
     from .semdedup import semantic_dedup
 
@@ -327,42 +342,35 @@ def corpus_quality_gate(
     on the synthetic word-soup corpus (predicts 'en' for ~everything,
     which would make the lang bit vacuous).
 
-    One declarative plan: the three signal frames join on doc_id and
-    Catalyst fuses the projections; nothing materializes per gate.
-    100 TB shape: all three signals are 0-1-shuffle column algebra
-    (see their own operators); the composition adds joins keyed on
-    doc_id only."""
-    from .repetition import repetition_signals
+    One declarative plan, ONE documents scan (r11): every signal the
+    gate consumes — lang_pred, quality, dup_word_frac — is a pure
+    per-row function of (text, lang), so all three fold into the scan's
+    projection; no doc_id self-joins, no shuffle.  (The pre-r11 shape
+    joined lang_id/text_quality/repetition_signals frames on doc_id —
+    row-preserving on the unique doc_id key, but 4 scans + 3 joins, and
+    repetition_signals' mode-bigram leg cost an explode + shuffle +
+    window whose output the gate discarded.)  100 TB shape: map-only."""
+    from .repetition import dup_word_frac_expr
 
     if lang_col is None:
-        lang = lang_id(docs).select(
-            "doc_id", F.col("lang_pred").isin(*langs).alias("lang_ok")
-        )
+        lang_ok = lang_pred_expr(F.col("text")).isin(*langs)
     else:
-        lang = docs.select(
-            "doc_id", F.col(lang_col).isin(*langs).alias("lang_ok")
-        )
-    qual = text_quality(docs).select(
-        "doc_id", (F.col("quality") >= min_quality).alias("qual_ok")
-    )
-    rep = repetition_signals(docs).select(
-        "doc_id", (F.col("dup_word_frac") <= max_dup_word_frac).alias("rep_ok")
+        lang_ok = F.col(lang_col).isin(*langs)
+    base = docs.select(
+        "doc_id",
+        lang_ok.alias("lang_ok"),
+        (quality_expr(F.col("text")) >= min_quality).alias("qual_ok"),
+        (dup_word_frac_expr(F.col("text")) <= max_dup_word_frac).alias("rep_ok"),
     )
     reasons = (
         F.when(~F.col("lang_ok"), REASON_LANG).otherwise(0)
         + F.when(~F.col("qual_ok"), REASON_QUALITY).otherwise(0)
         + F.when(~F.col("rep_ok"), REASON_REPETITION).otherwise(0)
     ).cast("long")
-    return (
-        docs.select("doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(rep, "doc_id")
-        .select(
-            "doc_id",
-            F.when(reasons == 0, 1).otherwise(0).cast("long").alias("keep"),
-            reasons.alias("reasons"),
-        )
+    return base.select(
+        "doc_id",
+        F.when(reasons == 0, 1).otherwise(0).cast("long").alias("keep"),
+        reasons.alias("reasons"),
     )
 
 
@@ -693,13 +701,8 @@ def _filtered_components_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _FILTERED_COMP_CACHE.get(ck)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        filtered = (
-            docs.join(
-                lang_id(docs).where(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id"
-            )
-            .join(text_quality(docs).select("doc_id", "quality"), "doc_id")
-            .where(F.col("quality") >= MIN_QUALITY)
-            .select("doc_id", "text")
+        filtered = _lang_quality_filtered(
+            docs, KEEP_LANGS, MIN_QUALITY, ("doc_id", "text")
         )
         df = connected_components(
             ngram_jaccard_pairs(filtered).select("doc_a", "doc_b")

@@ -180,37 +180,42 @@ def contamination_score(
     Docs with < n words have no grams and are absent (same contract as
     the emitters).
 
-    100 TB shape: identical to `decontaminate` — the benchmark gram set
-    is eval-suite-sized and BROADCASTS; the train side is one explode +
-    broadcast join + per-doc agg.  The zero-hit docs never join: their
-    n_hit comes from a left join of the per-doc gram counts (also
-    map-side combined), so the wide side is touched twice linearly,
-    never quadratically."""
+    100 TB shape (r11, guide §2.3/§2.4): the benchmark gram set is
+    eval-suite-sized and BROADCASTS onto the train gram stream as a
+    LEFT join (bench grams are distinct, so the join cannot multiply
+    rows), and ONE per-doc aggregate computes both distinct counts —
+    n_hit as a count_distinct over the bench-matched grams only.  The
+    r10 shape tokenized the train side TWICE (separate `per`/`hits`
+    aggregation subtrees over the same explode) and re-joined the two
+    doc-sized frames on doc_id; now the wide side is tokenized,
+    exploded and aggregated exactly once and the doc_id join is gone."""
     bench_grams = (
         doc_ngrams(bench, n)
         .select(F.explode_outer("g").alias("s"))
         .where(F.col("s").isNotNull())
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     tg = (
         doc_ngrams(train, n)
         .select("doc_id", F.explode_outer("g").alias("s"))
         .where(F.col("s").isNotNull())
     )
-    per = tg.groupBy("doc_id").agg(F.countDistinct("s").alias("n_grams"))
-    hits = (
-        tg.join(F.broadcast(bench_grams), "s")
+    return (
+        tg.join(F.broadcast(bench_grams), "s", "left")
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_hit"))
-    )
-    return per.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        (
-            F.coalesce("n_hit", F.lit(0)).cast("double")
-            / F.col("n_grams").cast("double")
-        ).alias("contamination"),
+        .agg(
+            F.countDistinct("s").alias("n_grams"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("s"))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams").cast("double")).alias(
+                "contamination"
+            ),
+        )
     )
 
 

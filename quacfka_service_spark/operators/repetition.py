@@ -62,6 +62,23 @@ def _trigrams(w):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _dup_word_frac_from_words(w):
+    """Duplicate-word fraction over an already-split words column/expr —
+    shared by repetition_signals and dup_word_frac_expr (identical
+    expression, oracle-pinned doubles)."""
+    nw = F.size(w).cast("long")
+    return (nw - F.size(F.array_distinct(w)).cast("long")) / nw
+
+
+def dup_word_frac_expr(text):
+    """repetition_signals' `dup_word_frac` as a pure column expression
+    over a raw text column — for call sites that need only this signal
+    and can fold it into an existing scan (corpus_quality_gate) instead
+    of joining the full repetition_signals frame (whose mode-bigram leg
+    costs an explode + shuffle + window that such callers discard)."""
+    return _dup_word_frac_from_words(_words(text))
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Per-document repetition signals (see module docstring)."""
     d = docs.select("doc_id", "text", _words(F.col("text")).alias("w"))
@@ -71,7 +88,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     base = d.select(
         "doc_id",
         F.length("text").cast("long").alias("tlen"),
-        ((nw - F.size(F.array_distinct("w")).cast("long")) / nw).alias("dup_word_frac"),
+        _dup_word_frac_from_words(F.col("w")).alias("dup_word_frac"),
         (
             (n_tri - F.size(F.array_distinct(tri)).cast("long"))
             / F.nullif(n_tri, F.lit(0).cast("long"))

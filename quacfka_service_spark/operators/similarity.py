@@ -693,11 +693,21 @@ def label_centroids(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    sums = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            "vs", F.lit(0.0), lambda acc, x: acc + F.get(x["v"], i)
-        ),
+    # ONE sequential traversal of the sorted list with a dim-wide
+    # zip_with add per element (r11): per dimension the fold performs
+    # the IDENTICAL ordered additions (0.0 + x1[i] + x2[i] + ...) as
+    # the old per-dim transform(sequence(0, dim-1), aggregate(...))
+    # idiom — bit-exact, oracle unchanged (bitwise-compared at sf0.1)
+    # — while the list is walked once instead of `dim` times and the
+    # expression tree holds 1 aggregate instead of `dim` (analysis and
+    # closure-allocation cost scale with the tree).  Wall-neutral at
+    # sf0.1 (interleaved A/B: 0.60-0.62 vs 0.59-0.72 s — the key's
+    # local floor is the exchange + bounded collect, not the fold);
+    # kept for the tree shrink, which grows with `dim`.
+    sums = F.aggregate(
+        "vs",
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, x: F.zip_with(acc, x["v"], lambda a, b: a + b),
     )
     return g.select(
         "label",
@@ -916,10 +926,16 @@ def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # Single-traversal zip_with fold — same ordered per-dim additions
+    # as label_centroids (bit-exact vs the oracle's list_reduce), one
+    # list walk instead of `dim` (r11; see label_centroids).
     cent_vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate("vs", F.lit(0.0), lambda acc, x: acc + F.get(x["v"], i))
-        / F.col("n"),
+        F.aggregate(
+            "vs",
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, x: F.zip_with(acc, x["v"], lambda a, b: a + b),
+        ),
+        lambda s: s / F.col("n"),
     )
     cnorm = F.sqrt(F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x * x))
     cent = g.select(F.col("label").alias("cand_label"), cent_vec.alias("c")).select(

@@ -37,6 +37,27 @@ def _count_in(words, vocab: list[str]):
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
 
 
+def _quality_from_words(w):
+    """The `quality` score over an already-split words column/expr —
+    shared by text_quality and quality_expr so the two can never
+    drift (the curation oracles hash-pin these exact doubles)."""
+    n_words = F.size(w).cast("long")
+    stop_hits = _count_in(w, STOPWORDS["en"])
+    return F.least(F.lit(1.0), n_words / F.lit(100.0)) * (
+        F.lit(1.0) - (stop_hits / n_words) * F.lit(0.5)
+    )
+
+
+def quality_expr(text):
+    """text_quality's `quality` as a pure column expression over a raw
+    text column — for call sites that fold the score into an existing
+    scan (corpus.py's curation filters) instead of joining
+    ``text_quality(docs)`` back on doc_id (r11: the join was 2 extra
+    documents scans + a doc_id self-join per use; doc_id-unique inner
+    joins of a per-row map are row-preserving, so the fold is exact)."""
+    return _quality_from_words(_words(text))
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality scoring: length/stopword/punctuation ratios -> score."""
     words = _words(F.col("text"))
@@ -55,16 +76,14 @@ def text_quality(docs: DataFrame) -> DataFrame:
         (char_sum / n_words).alias("avg_word_len"),
         (stop_hits / n_words).alias("stopword_ratio"),
         (non_alnum.cast("long") / text_len).alias("punct_ratio"),
-        (F.least(F.lit(1.0), n_words / F.lit(100.0)) * (F.lit(1.0) - (stop_hits / n_words) * F.lit(0.5))).alias("quality"),
+        _quality_from_words(F.col("w")).alias("quality"),
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Language-ID by stopword-hit argmax with a fixed priority order —
-    the classic n-gram/stopword heuristic, expressed as pure column
-    algebra so the DuckDB oracle reproduces it exactly."""
-    d = docs.select("doc_id", _words(F.col("text")).alias("w"))
-    counts = {lg: _count_in(F.col("w"), STOPWORDS[lg]) for lg in _LANG_ORDER}
+def _lang_pred_from_words(w):
+    """lang_id's priority-ordered stopword-argmax CASE over an
+    already-split words column/expr."""
+    counts = {lg: _count_in(w, STOPWORDS[lg]) for lg in _LANG_ORDER}
     pred = None
     for i, lg in enumerate(_LANG_ORDER):
         cond = None
@@ -78,7 +97,22 @@ def lang_id(docs: DataFrame) -> DataFrame:
             pred = pred.when(cond, branch)
         else:
             pred = pred.otherwise(branch)
-    return d.select("doc_id", pred.alias("lang_pred"))
+    return pred
+
+
+def lang_pred_expr(text):
+    """lang_id's `lang_pred` as a pure column expression over a raw
+    text column — same inline-into-the-scan contract as
+    ``quality_expr`` (see there)."""
+    return _lang_pred_from_words(_words(text))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID by stopword-hit argmax with a fixed priority order —
+    the classic n-gram/stopword heuristic, expressed as pure column
+    algebra so the DuckDB oracle reproduces it exactly."""
+    d = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    return d.select("doc_id", _lang_pred_from_words(F.col("w")).alias("lang_pred"))
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -689,12 +723,15 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
     confusion matrix is a guess).  Pure counts plus one division per
     cell (recall = n / class_total), all exact.
 
-    100 TB shape: lang_id is map-only column algebra; the matrix agg is
+    100 TB shape: lang_id is map-only column algebra computed INLINE on
+    the one documents scan (r11 — `lang_pred` is a pure per-row function
+    of `text`, so the pre-r11 doc_id re-join of `lang_id(docs)` paid a
+    second scan + a row-preserving self-join for nothing; same fold as
+    corpus.py's `_lang_quality_filtered`); the matrix agg is
     |langs|^2-bounded with map-side combine; class totals ride a
     broadcast of the |langs|-row aggregate.
     """
-    pred = lang_id(docs)
-    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    joined = docs.select("lang", lang_pred_expr(F.col("text")).alias("lang_pred"))
     cells = joined.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -123,3 +123,49 @@ def test_quality_gate_reason_bits(spark):
     assert out[3] == (0, REASON_QUALITY)
     assert out[4] == (0, REASON_REPETITION)
     assert out[5] == (0, REASON_LANG + REASON_REPETITION)
+
+
+def test_quality_gate_is_map_only_single_scan(spark):
+    """r11 inline fold: every signal the gate consumes (lang_pred,
+    quality, dup_word_frac) is a pure per-row function of (text, lang),
+    so the whole gate is ONE map-only pass over documents — no doc_id
+    self-joins, no explode, no shuffle.  (The pre-r11 shape joined
+    lang_id/text_quality/repetition_signals frames on doc_id: 10 scans,
+    14 exchanges, 4 joins, 2 generates at sf0.1.)"""
+    from quacfka_service_spark.operators.corpus import corpus_quality_gate
+    from quacfka_service_spark.plans.inspect import (
+        count_exchanges,
+        count_generates,
+    )
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    df = corpus_quality_gate(docs)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert count_generates(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_curation_filter_folds_into_one_scan(spark):
+    """r11 inline fold: corpus_curation's lang+quality filter computes
+    lang_pred/quality inline on the documents scan instead of joining
+    lang_id(docs)/text_quality(docs) back on doc_id.  The full curation
+    plan therefore touches the documents parquet exactly twice (the
+    filtered frame feeding the window + the pair-emitter leg inside the
+    precomputed component map is cached separately), and none of its
+    joins is keyed on doc_id against a same-scan twin of itself: the
+    pre-r11 shape had 16 scans / 18 exchanges, the folded one 4 / 6."""
+    from quacfka_service_spark.operators.corpus import _lang_quality_filtered
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    filtered = _lang_quality_filtered(
+        docs, KEEP_LANGS, MIN_QUALITY, ("doc_id", "text", "lang_pred", "quality")
+    )
+    plan = formatted_plan(filtered)
+    # the filter itself: one scan, zero joins, zero exchanges
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    from quacfka_service_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(filtered) == 0, plan

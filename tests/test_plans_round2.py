@@ -108,3 +108,20 @@ def test_dynamic_partition_pruning_on_hive_lake(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the pruning reaches the fact scan's partition filters
     assert "PartitionFilters" in plan
+
+
+def test_contamination_score_single_train_pass(spark):
+    """r11: the train side is tokenized/exploded exactly ONCE — both
+    distinct counts (n_grams, bench-matched n_hit) ride one per-doc
+    aggregate over one broadcast left join, with no doc_id re-join of
+    two aggregation subtrees (the r10 shape paid the tokenize twice).
+    Two Generate nodes total: one train explode + one bench explode."""
+    df = _q(spark, "corpus_contamination_score")
+    plan = formatted_plan(df)
+    assert count_generates(df) == 2, plan
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+    # exactly one join in the whole plan (the gram-keyed broadcast)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE)) == 1, plan
