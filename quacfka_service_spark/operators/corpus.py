@@ -1401,13 +1401,28 @@ def quality_psi(docs: DataFrame) -> DataFrame:
     100 TB shape: one map-side-combined (source, band) count — the
     only corpus-sized stage; everything after is |sources| x 10 rows.
     Counts cross-multiply as DECIMAL(38,0) so trillion-doc feeds
-    cannot overflow the integer algebra."""
+    cannot overflow the integer algebra.
+
+    The (source, band) count frame is localCheckpoint'd (r11, guide
+    §5 / §3.3 "materialise an intermediate to truncate the plan"):
+    every downstream frame (grid sources, smoothing, band totals,
+    source totals, terms, n_docs) re-derives from `counts`, and
+    without the cut Catalyst re-expanded the whole lineage per use —
+    18 parquet scans / 46 Exchange in the physical plan for what is
+    ONE corpus aggregation plus |sources| x 10-row algebra.  n_docs
+    now also derives from the checkpointed counts (sum of c per
+    source == count(*) per source EXACTLY — the pre-grid counts keep
+    a NULL-band group, so no row is lost) instead of re-scanning the
+    corpus."""
     from .lm import _qlog
 
     b = F.least(F.floor(F.col("n_chars") / F.lit(PSI_BAND_CHARS)), F.lit(PSI_N_BANDS - 1))
-    counts = docs.select("source", b.cast("long").alias("band")).groupBy(
-        "source", "band"
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    counts = (
+        docs.select("source", b.cast("long").alias("band"))
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     sources = counts.select("source").distinct()
     spark = docs.sparkSession
     grid = sources.crossJoin(
@@ -1418,15 +1433,27 @@ def quality_psi(docs: DataFrame) -> DataFrame:
         grid.join(counts, ["source", "band"], "left")
         .select("source", "band", (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("a"))
     )
-    tot_b = a.groupBy("band").agg(F.sum("a").cast("long").alias("t"))
-    ar = a.join(tot_b, "band").select(
-        "source", "band", "a", (F.col("t") - F.col("a")).alias("r")
+    # Band totals and source totals as WINDOW sums over the one tiny
+    # grid frame (r11): the join formulation (a x tot_b on band, then
+    # ar x tots on source) re-expanded the `a` subtree once per join
+    # side — with the whole-partition window sums the lineage is
+    # LINEAR (grid -> band window -> source window -> per-source agg),
+    # and the final groupBy("source", ...) reuses the source-window
+    # exchange outright.  Same integer sums over the same rows —
+    # values are bit-identical; the oracle keeps its join form.
+    wb = Window.partitionBy("band")
+    ws = Window.partitionBy("source")
+    ar = a.select(
+        "source", "band", "a",
+        (F.sum("a").over(wb).cast("long") - F.col("a")).alias("r"),
     )
-    tots = ar.groupBy("source").agg(
-        F.sum("a").cast("long").alias("ta"), F.sum("r").cast("long").alias("tr")
+    ar = ar.select(
+        "source", "band", "a", "r",
+        F.sum("a").over(ws).cast("long").alias("ta"),
+        F.sum("r").over(ws).cast("long").alias("tr"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
-    terms = ar.join(tots, "source").select(
+    terms = ar.select(
         "source",
         "ta",
         "tr",
@@ -1438,7 +1465,7 @@ def quality_psi(docs: DataFrame) -> DataFrame:
             )
         ).cast("decimal(38,0)").alias("term"),
     )
-    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_docs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
     psi = terms.groupBy("source", "ta", "tr").agg(
         F.sum("term").cast("decimal(38,0)").alias("s")
     )
@@ -1538,7 +1565,15 @@ def token_jsd(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "source", F.explode_outer(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     ).where(F.col("tok").isNotNull() & (F.col("tok") != ""))
-    ct = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # (source, tok) counts are the only corpus-sized aggregate and feed
+    # BOTH self-join sides plus the totals: checkpoint so the tokenize
+    # + wordcount pass runs once (r11, guide §5 — was 12 parquet scans
+    # in the plan; now 1 behind the checkpoint).
+    ct = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = ct.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
     a = ct.alias("a")
     b = ct.alias("b")
@@ -1778,10 +1813,13 @@ def dedup_savings(
     doc_id-keyed joins onto the (doc_id, n_chars) projection and four
     2-column aggregate rows."""
     chars = docs.select("doc_id", F.col("n_chars").cast("long").alias("nc"))
+    # 1-row corpus totals, crossJoined into every stage row: checkpoint
+    # so the totals scan runs once, not once per funnel stage (r11,
+    # guide §5 — 4 of the plan's 18 parquet scans were this subtree).
     raw = docs.agg(
         F.count(F.lit(1)).cast("long").alias("raw_docs"),
         F.sum(F.col("n_chars").cast("long")).cast("long").alias("raw_chars"),
-    )
+    ).localCheckpoint(eager=False)
     out = None
     for name, frame in _funnel_keepsets(docs, emb, comp):
         row = (

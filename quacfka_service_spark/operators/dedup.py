@@ -1942,8 +1942,19 @@ def lsh_recall_report(docs: DataFrame) -> DataFrame:
     that recompute is noise, and the 100 TB shapes of both inputs are
     unchanged (LSH-bounded candidates, capped exact self-join).
     """
-    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    cand = minhash_estimate(docs).select("doc_a", "doc_b")
+    # Both pair tables are duplicate-mass-sized and referenced twice
+    # (own count + the hit semi-join): checkpoint so each derivation
+    # runs once (r11, guide §5 — was 17 parquet scans in the plan).
+    exact = (
+        ngram_jaccard_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        minhash_estimate(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     nh = cand.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
@@ -2029,8 +2040,14 @@ def lsh_power_curve(docs: DataFrame) -> DataFrame:
     report is |grid| rows from one quantized agg.
     """
     pairs = ngram_jaccard_pairs(docs).select("jaccard")
-    per_cfg = []
-    for bands, rows in LSH_GRID:
+    # ALL grid configs in ONE aggregate over ONE pair pass (r11, guide
+    # §2.4): each config's S-curve is a map-only projection of the
+    # same jaccard column, so the union-of-four-aggs shape re-derived
+    # the whole exact-pair self-join per config (32 parquet scans /
+    # 120 Exchange in the plan — now one pair subtree).  Same quantized
+    # sums, same final division, rows exploded in grid order.
+    aggs, metas = [], []
+    for i, (bands, rows) in enumerate(LSH_GRID):
         s_r = F.lit(1.0)
         for _ in range(rows):
             s_r = s_r * F.col("jaccard")
@@ -2039,23 +2056,29 @@ def lsh_power_curve(docs: DataFrame) -> DataFrame:
         for _ in range(bands):
             miss_b = miss_b * miss
         p = F.lit(1.0) - miss_b
-        per_cfg.append(
-            pairs.agg(
+        aggs.append(
+            F.sum(F.floor(p * F.lit(1e12)).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias(f"s_{i}")
+        )
+        metas.append((bands, rows))
+    agged = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"), *aggs)
+    rows_arr = F.array(
+        *[
+            F.struct(
                 F.lit(bands).cast("long").alias("bands"),
                 F.lit(rows).cast("long").alias("rows"),
-                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.col("n_pairs").alias("n_pairs"),
                 (
-                    F.sum(F.floor(p * F.lit(1e12)).cast("decimal(38,0)"))
-                    .cast("decimal(38,0)")
-                    .cast("double")
+                    F.col(f"s_{i}").cast("double")
                     / F.lit(1e12)
-                    / F.count(F.lit(1))
+                    / F.col("n_pairs")
                 ).alias("expected_recall"),
             )
-        )
-    from functools import reduce
-
-    return reduce(DataFrame.unionByName, per_cfg)
+            for i, (bands, rows) in enumerate(metas)
+        ]
+    )
+    return agged.select(F.explode(rows_arr).alias("r")).select("r.*")
 
 
 def _q_lsh_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2120,7 +2143,13 @@ def source_overlap(docs: DataFrame) -> DataFrame:
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
         )
     )
-    sf = docs.select("source", F.md5(norm).alias("fp")).distinct()
+    # (source, fp) distinct set feeds totals + both self-join sides:
+    # checkpoint so the normalize+md5+distinct pass runs once (r11, §5)
+    sf = (
+        docs.select("source", F.md5(norm).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     totals = sf.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a, b = sf.alias("a"), sf.alias("b")
     inter = (

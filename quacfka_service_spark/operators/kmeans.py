@@ -271,30 +271,43 @@ def prototypicality(emb: DataFrame, top: int = PROTO_TOP) -> DataFrame:
         lambda acc, x: acc + x,
     )
     scored = j.select("label", "vec_id", dist.alias("dist"))
+    # BOTH ranks in one pass (r11, guide §2.4): the union-of-two-window
+    # shape re-expanded the whole distance subtree per leg (8 parquet
+    # scans in the plan); both windows partition by label, so computing
+    # rk_far and rk_near side by side shares ONE exchange and ONE
+    # scored subtree, then an explode emits the two labeled rows.
+    # Identical (label, vec_id, dist, which, rank) multiset.
     w_far = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
     w_near = Window.partitionBy("label").orderBy(F.asc("dist"), F.asc("vec_id"))
-    far = (
-        scored.select(
+    ranked = scored.select(
+        "label",
+        "vec_id",
+        "dist",
+        F.row_number().over(w_far).alias("rk_far"),
+        F.row_number().over(w_near).alias("rk_near"),
+    )
+    both = ranked.select(
+        "label",
+        "vec_id",
+        "dist",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("outlier").alias("which"), F.col("rk_far").alias("rank")
+                ),
+                F.struct(F.lit("core").alias("which"), F.col("rk_near").alias("rank")),
+            )
+        ).alias("r"),
+    )
+    return (
+        both.where(F.col("r.rank") <= top)
+        .select(
             "label",
             "vec_id",
             "dist",
-            F.lit("outlier").alias("which"),
-            F.row_number().over(w_far).alias("rank"),
+            F.col("r.which").alias("which"),
+            F.col("r.rank").cast("long").alias("rank"),
         )
-        .where(F.col("rank") <= top)
-    )
-    near = (
-        scored.select(
-            "label",
-            "vec_id",
-            "dist",
-            F.lit("core").alias("which"),
-            F.row_number().over(w_near).alias("rank"),
-        )
-        .where(F.col("rank") <= top)
-    )
-    return far.unionAll(near).select(
-        "label", "vec_id", "dist", "which", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -444,27 +457,40 @@ def silhouette(emb: DataFrame) -> DataFrame:
         .when(~own, num / F.col("n"))
         .alias("mean_sq"),
     )
-    a_side = terms.where(F.col("c_label") == F.col("label")).select(
-        "vec_id", "label", F.col("mean_sq").alias("a_mean")
-    )
-    # min over a struct orders by (mean_sq, c_label) — same pick as a
-    # (mean_sq ASC, c_label ASC) row_number, but with a map-side
-    # partial agg instead of a per-vec_id window sort
-    b_side = (
-        terms.where(F.col("c_label") != F.col("label"))
-        .groupBy("vec_id")
+    # ONE per-vector aggregate folds the own-cluster row (a_mean) and
+    # the min over other clusters (b side) — the r10 a_side/b_side
+    # split re-expanded the whole corpus x stats subtree per leg and
+    # re-joined on vec_id (8 parquet scans in the plan; now the
+    # distance pass runs once).  min over a struct orders by
+    # (mean_sq, c_label) — same pick as a (mean_sq ASC, c_label ASC)
+    # row_number, but with a map-side partial agg instead of a
+    # per-vec_id window sort.  Each vector has exactly one own-cluster
+    # row, so max(when(own, ..)) IS that row's mean_sq (NULL for
+    # singletons, as before); `bm` is NULL only when no other cluster
+    # exists — the old INNER join dropped those vec_ids, replicated by
+    # the isNotNull filter.
+    out = (
+        terms.groupBy("vec_id", "label")
         .agg(
+            F.max(
+                F.when(F.col("c_label") == F.col("label"), F.col("mean_sq"))
+            ).alias("a_mean"),
             F.min(
-                F.struct(F.col("mean_sq").alias("m"), F.col("c_label").alias("c"))
-            ).alias("bm")
+                F.when(
+                    F.col("c_label") != F.col("label"),
+                    F.struct(F.col("mean_sq").alias("m"), F.col("c_label").alias("c")),
+                )
+            ).alias("bm"),
         )
+        .where(F.col("bm").isNotNull())
         .select(
             "vec_id",
+            "label",
+            "a_mean",
             F.col("bm.m").alias("b_mean"),
             F.col("bm.c").alias("nearest_other"),
         )
     )
-    out = a_side.join(b_side, "vec_id")
     s = F.when(
         F.col("a_mean").isNull(), F.lit(0.0)
     ).otherwise(

@@ -58,7 +58,7 @@ the smoothed floor without a second pass.  Folds are doc-bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table
@@ -150,9 +150,24 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
     Documents with < 2 tokens have no bigrams and drop out (inner
     semantics, mirrored by the oracle)."""
     occ = _bigram_rows(docs)
+    # c1 as a WINDOW sum over the c2 aggregate (r11, guide §2.4): the
+    # r10 join formulation (c2 x groupBy(w1)-rollup-of-c2 on w1) made
+    # Catalyst re-expand the corpus bigram aggregation under BOTH join
+    # sides (8 parquet scans / 18 Exchange in the plan); the
+    # whole-partition window keeps the lineage LINEAR — one bigram
+    # training aggregate, one model-sized w1 exchange — with the same
+    # integer row sums (Σ c2 per w1), so the oracle is untouched.  A
+    # localCheckpoint was A/B'd here and REJECTED: it halved the plan
+    # but serialized the model materialization ahead of the scoring
+    # pass (1.28 -> 1.59 s min-of-3 under the driver protocol; the
+    # duplicated subtrees had been running concurrently on idle cores).
     c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    model = c2.join(c1, "w1")
+    model = c2.select(
+        "w1",
+        "w2",
+        "c2",
+        F.sum("c2").over(Window.partitionBy("w1")).cast("long").alias("c1"),
+    )
     toks = _token_rows(docs)
     vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
     model = model.crossJoin(F.broadcast(vocab))
@@ -188,8 +203,24 @@ def nb_lang_classifier(docs: DataFrame) -> DataFrame:
     toks = _token_rows(docs, "lang")
     classes = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    token_totals = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t_tok"))
-    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    # The (tok, cls) count table IS the model — checkpoint it (r11,
+    # guide §5) and derive token_totals and vocab FROM it instead of
+    # re-aggregating the corpus token stream per statistic:
+    # t_tok(lang) = Σ_tok c(tok, lang) and V = |distinct tok in counts|
+    # are bit-exact identities (a token occurs in counts iff it occurs
+    # in the stream).  The r10 plan re-expanded the explode under all
+    # four consumers (20 parquet scans / 42 Exchange; now 3 corpus-ish
+    # scans: the counts build, the scoring fan, and the column-pruned
+    # per-class doc counts).
+    counts = (
+        toks.groupBy("tok", F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    token_totals = counts.groupBy(F.col("cls").alias("lang")).agg(
+        F.sum("c").cast("long").alias("t_tok")
+    )
+    vocab = counts.agg(F.countDistinct("tok").cast("long").alias("v"))
     cls = (
         classes.join(token_totals, "lang")
         .crossJoin(F.broadcast(n_total))
@@ -202,9 +233,9 @@ def nb_lang_classifier(docs: DataFrame) -> DataFrame:
             "t_tok",
             "v",
         )
-    )
-    counts = toks.groupBy("tok", F.col("lang").alias("cls")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        # |classes| rows, reused by the scoring fan AND the prior join
+        # — checkpoint so its doc-count subtree runs once
+        .localCheckpoint(eager=False)
     )
     # token stream x class fan-out (|classes| small -> broadcast),
     # then LEFT join the count table so unseen (tok, class) pairs take
@@ -267,9 +298,13 @@ def lm_quality_buckets(docs: DataFrame, n_buckets: int = N_QUALITY_BUCKETS) -> D
     by (avg_logp, doc_id) because the band is monotone in the score."""
     from pyspark.sql.window import Window
 
+    # `per` (doc_id, avg_logp, band — one narrow row per doc) feeds
+    # the shard ranking, the shard counts AND the total: checkpoint it
+    # (r11, guide §5) so the whole LM train+score pipeline above runs
+    # once, not three times (26 parquet scans -> 3 in the plan).
     per = ngram_lm_score(docs).select(
         "doc_id", "avg_logp", F.floor(F.col("avg_logp") * 8).cast("long").alias("band")
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("band").orderBy("avg_logp", "doc_id")
     ranked = per.select("doc_id", "avg_logp", "band", F.row_number().over(w).alias("intra"))
     counts = per.groupBy("band").agg(F.count(F.lit(1)).alias("n_band"))

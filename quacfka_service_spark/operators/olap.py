@@ -1558,7 +1558,9 @@ def bitmap_overlap(ev: DataFrame) -> DataFrame:
         "event_type",
         F.expr("user_id DIV 32").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("m"),
-    ).groupBy("event_type", "word").agg(F.bit_or("m").alias("bits"))
+    ).groupBy("event_type", "word").agg(F.bit_or("m").alias("bits")).localCheckpoint(
+        eager=False  # |users|/32-sized; feeds totals + both join sides (r11, §5)
+    )
     totals = bm.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("n")
     )
@@ -1806,6 +1808,9 @@ def supplier_hhi(li: DataFrame, part: DataFrame) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_suppkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r"))
+        # (brand, supplier)-sized; feeds totals + the share join — one
+        # lineitem x part pass instead of two (r11, guide §5)
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("p_brand").agg(
         F.sum("r").cast("decimal(38,2)").alias("t"),

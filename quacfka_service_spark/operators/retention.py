@@ -68,7 +68,15 @@ def funnel(ev: DataFrame, steps: list[str] | None = None) -> DataFrame:
         stage = ev.where(F.col("event_type") == step)
         if prev is not None:
             stage = stage.join(prev, "user_id").where(F.col("ts") >= F.col("_prev_ts"))
-        cur = stage.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+        # each stage's user frame anchors BOTH its count row and the
+        # next stage's join: checkpoint it (r11, guide §5) so stage k
+        # runs once instead of being re-expanded under every later
+        # stage (the chain re-derivation was O(steps^2) event scans)
+        cur = (
+            stage.groupBy("user_id")
+            .agg(F.min("ts").alias("_prev_ts"))
+            .localCheckpoint(eager=False)
+        )
         out.append(
             cur.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(i + 1).cast("long").alias("step_idx"),
@@ -112,7 +120,15 @@ def funnel_windowed(
                 (F.col("ts") >= F.col("_prev_ts"))
                 & (F.col("ts") <= F.col("_prev_ts") + win)
             )
-        cur = stage.groupBy("user_id").agg(F.min("ts").alias("_prev_ts"))
+        # each stage's user frame anchors BOTH its count row and the
+        # next stage's join: checkpoint it (r11, guide §5) so stage k
+        # runs once instead of being re-expanded under every later
+        # stage (the chain re-derivation was O(steps^2) event scans)
+        cur = (
+            stage.groupBy("user_id")
+            .agg(F.min("ts").alias("_prev_ts"))
+            .localCheckpoint(eager=False)
+        )
         out.append(
             cur.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(i + 1).cast("long").alias("step_idx"),

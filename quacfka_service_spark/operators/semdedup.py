@@ -392,8 +392,17 @@ def cluster_topics(docs: DataFrame, emb: DataFrame, k: int = TOPIC_TOP_K) -> Dat
     dt = docs.join(cells, docs.doc_id == cells.vec_id).select(
         "cell", F.explode(_words(F.col("text"))).alias("term")
     ).where(F.col("term") != "")
-    tf = dt.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = dt.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # tf has exactly one row per PRESENT (cell, term), so
+    # df(term) = #cells containing the term = tf's row count per term —
+    # derived from the checkpointed tf instead of a second full
+    # explode+distinct pass over the corpus (r11, guide §2.4; the df
+    # values are identical by construction).
+    tf = (
+        dt.groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "term").select(
         "cell", "term", "tf", "df",
         (F.col("tf").cast("double") / F.col("df")).alias("score"),

@@ -794,14 +794,22 @@ def recall_report(emb: DataFrame) -> DataFrame:
 
 def _recall_rows(exact: DataFrame, method_dfs) -> DataFrame:
     """Shared recall tail: |hits ∩ exact| / |exact| per method via a
-    left-semi pair join — every input is top-k-sized."""
+    left-semi pair join — every input is top-k-sized.
+
+    The exact top-k frame is localCheckpoint'd (r11, guide §5): it is
+    referenced once per method's semi join plus the denominator, and
+    without the cut Catalyst re-expanded the whole brute-force top-k
+    subtree per reference (recall_report: 40 parquet scans / 74
+    Exchange in the physical plan; now each retrieval path runs once).
+    n_exact is likewise computed once, not per method."""
+    exact = exact.localCheckpoint(eager=False)
+    n_exact = exact.groupBy().count().select(F.col("count").alias("n_exact"))
     out = []
     for method, df in method_dfs:
         hits = df.select("q_id", "neighbor_id").join(
             exact, ["q_id", "neighbor_id"], "left_semi"
         )
         n_hit = hits.groupBy().count().select(F.col("count").alias("n_hit"))
-        n_exact = exact.groupBy().count().select(F.col("count").alias("n_exact"))
         out.append(
             n_hit.crossJoin(n_exact).select(
                 F.lit(method).alias("method"),
@@ -843,7 +851,15 @@ def recall_report_trained(emb: DataFrame) -> DataFrame:
     rows-counted.  (The occupancy/scan numbers in the paragraph above
     are the r8 MLlib-era measurements; the floors the suite pins are
     trainer-agnostic and still hold.)"""
-    exact = brute_force_topk(emb).select("q_id", "neighbor_id")
+    # exact top-k is referenced by both arms' semi joins + the shared
+    # denominator: checkpoint so the brute-force pass runs once (r11,
+    # guide §5 — was 32 parquet scans / 64 Exchange in the plan).
+    exact = (
+        brute_force_topk(emb)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = exact.groupBy().count().select(F.col("count").alias("n_exact"))
     d = _with_norm(emb)
     queries = d.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -863,7 +879,6 @@ def recall_report_trained(emb: DataFrame) -> DataFrame:
             exact, ["q_id", "neighbor_id"], "left_semi"
         )
         n_hit = hits.groupBy().count().select(F.col("count").alias("n_hit"))
-        n_exact = exact.groupBy().count().select(F.col("count").alias("n_exact"))
         occ = corpus.groupBy("cell").count()
         probes = queries.select(
             "q_id",
@@ -1953,8 +1968,13 @@ def ann_mrr(emb: DataFrame) -> DataFrame:
     100 TB shape: truth = one broadcast-query exact pass; each arm's
     join keys on (q_id, neighbor_id) over top-k-sized frames."""
     mult = math.lcm(*range(1, TOP_K + 1))  # 60 at k=5; exact for any k
-    truth = brute_force_topk(emb, k=1).select(
-        "q_id", F.col("neighbor_id").alias("true_id")
+    # truth (queries-sized) anchors BOTH arms' left joins — checkpoint
+    # so the exact pass runs once (r11, guide §5; was 16 parquet scans
+    # in the plan from the subtree re-expanding under each arm).
+    truth = (
+        brute_force_topk(emb, k=1)
+        .select("q_id", F.col("neighbor_id").alias("true_id"))
+        .localCheckpoint(eager=False)
     )
     arms = [("lsh", lsh_topk(emb)), ("ivf", ivf_topk(emb))]
     outs = []

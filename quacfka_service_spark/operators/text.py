@@ -549,7 +549,10 @@ def bm25_search(docs: DataFrame, query: list = None, k: int = BM25_TOP_K) -> Dat
     ).join(
         ex.agg(F.count(F.lit(1)).cast("long").alias("total_len"))
     )
-    qterms = ex.where(F.col("term").isin(query))
+    # query-term occurrences are |query|-bounded per doc and feed both
+    # tf and df: checkpoint so the corpus explode+filter runs once
+    # (r11, guide §5)
+    qterms = ex.where(F.col("term").isin(query)).localCheckpoint(eager=False)
     tf = qterms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
     )
@@ -898,6 +901,9 @@ def vocab_growth(docs: DataFrame, n_buckets: int = VOCAB_DECILES) -> DataFrame:
     ex = docs.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("term")
     ).where(F.col("term") != "")
+    # 1-row cutoff frame, broadcast into three legs: checkpoint so the
+    # percentile scan runs once, not once per leg (r11, guide §5 — 3
+    # of the plan's 12 parquet scans were this subtree re-expanded).
     cuts = docs.agg(
         *[
             F.percentile(F.col("doc_id").cast("double"), F.lit(i / n_buckets)).alias(
@@ -905,7 +911,7 @@ def vocab_growth(docs: DataFrame, n_buckets: int = VOCAB_DECILES) -> DataFrame:
             )
             for i in range(1, n_buckets)
         ]
-    )
+    ).localCheckpoint(eager=False)
     def bucket_of(col):
         b = F.lit(n_buckets)
         for i in range(n_buckets - 1, 0, -1):
@@ -1037,7 +1043,16 @@ def token_entropy(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.explode_outer(_words(F.col("text"))).alias("tok"))
         .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
-    ct = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # The (doc, token) count table feeds the per-doc totals, the term
+    # projection AND the empty-doc anti-join spine: checkpoint it so
+    # the tokenize+wordcount pass runs once (r11, guide §5 — the plan
+    # re-expanded it under all three; the anti-join previously paid a
+    # third full tokenize just to list non-empty doc_ids).
+    ct = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     per = ct.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
@@ -1065,7 +1080,7 @@ def token_entropy(docs: DataFrame) -> DataFrame:
             ),
         )
         .unionByName(
-            docs.join(toks.select("doc_id").distinct(), "doc_id", "left_anti")
+            docs.join(ct.select("doc_id").distinct(), "doc_id", "left_anti")
             .select(
                 "doc_id",
                 F.lit(0).cast("long").alias("n_tokens"),
@@ -1223,7 +1238,15 @@ def winnow_candidates(docs: DataFrame) -> DataFrame:
     100 TB shape: the self-join keys on fp — cost tracks shared-
     fingerprint mass, never corpus^2; a stop-fp cap (drop fps in > T
     docs) is the standard hub guard at web scale."""
-    fps = winnowing_fp(docs).select("doc_id", "fp").distinct()
+    # fingerprint table (linear in corpus, ~1 fp per W-window) feeds
+    # BOTH self-join sides: checkpoint so the windowed rolling-hash
+    # pipeline runs once, not twice (r11, guide §5)
+    fps = (
+        winnowing_fp(docs)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))

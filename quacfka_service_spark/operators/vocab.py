@@ -68,16 +68,26 @@ def oov_score(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
     kept (0, 0) — a quality gate must see empty docs, not drop them."""
     toks = _doc_tokens(docs)
     vocab = vocab_top(docs, k).select("tok")
-    oov = (
-        toks.join(F.broadcast(vocab), "tok", "left_anti")
+    # ONE per-doc aggregate (r11, guide §2.3 "aggregate before you
+    # shuffle"): the vocab is DISTINCT tokens, so a broadcast LEFT
+    # join cannot multiply occurrence rows and n_oov is simply the
+    # count of occurrences with no vocab match — the r10 shape ran
+    # TWO aggregation subtrees over separately re-tokenized streams
+    # (anti-join + totals) and re-joined them on doc_id (8 parquet
+    # scans in the physical plan; now 3: vocab build, scoring pass,
+    # and the doc_id spine that keeps empty docs).  Same integers.
+    iv = F.broadcast(vocab.withColumn("iv", F.lit(1)))
+    per = (
+        toks.join(iv, "tok", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_oov"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
     )
-    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
         docs.select("doc_id")
-        .join(totals, "doc_id", "left_outer")
-        .join(oov, "doc_id", "left_outer")
+        .join(per, "doc_id", "left_outer")
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
@@ -103,7 +113,16 @@ def rarity_score(docs: DataFrame, head_k: int = VOCAB_K) -> DataFrame:
     map-side combined as usual.
     """
     toks = _doc_tokens(docs)
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is vocab-cardinality-sized: localCheckpoint it (r11, guide §5)
+    # so total/weights/head derive from the materialized table instead
+    # of re-expanding the corpus wordcount per consumer — the join
+    # formulation re-scanned the parquet 18x in the physical plan; now
+    # 3 scans (wordcount pass + the two skew-split scoring legs).
+    tf = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     total = tf.agg(F.sum("tf").cast("long").alias("total"))
     weights = (
         tf.crossJoin(F.broadcast(total))

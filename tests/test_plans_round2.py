@@ -38,10 +38,14 @@ def test_decontaminate_broadcasts_bench_grams(spark):
 def test_oov_score_never_shuffles_on_token(spark):
     df = _q(spark, "text_oov_score")
     plan = formatted_plan(df)
-    assert "LeftAnti" in plan and has_broadcast_join(df)
-    # exchanges: vocab wordcount + totals agg + oov agg = 3; none of
-    # them keyed on tok for a row join (LeftAnti is broadcast).
-    assert count_exchanges(df) == 3
+    # r11 single-pass shape: the vocab (distinct tokens) broadcast
+    # LEFT-joins onto the occurrence stream (cannot multiply rows) and
+    # ONE per-doc aggregate carries both n_tokens and n_oov — the old
+    # LeftAnti + separate totals subtree is gone (OPTIMIZATION_r11 §12).
+    assert "LeftOuter" in plan and has_broadcast_join(df)
+    # exchanges: vocab wordcount + the one per-doc agg = 2; nothing
+    # keyed on tok for a row join (the vocab join is broadcast).
+    assert count_exchanges(df) == 2
     assert "SortMergeJoin" not in plan
 
 
