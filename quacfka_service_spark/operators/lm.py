@@ -58,7 +58,7 @@ the smoothed floor without a second pass.  Folds are doc-bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
@@ -150,24 +150,27 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
     Documents with < 2 tokens have no bigrams and drop out (inner
     semantics, mirrored by the oracle)."""
     occ = _bigram_rows(docs)
-    # c1 as a WINDOW sum over the c2 aggregate (r11, guide §2.4): the
-    # r10 join formulation (c2 x groupBy(w1)-rollup-of-c2 on w1) made
-    # Catalyst re-expand the corpus bigram aggregation under BOTH join
-    # sides (8 parquet scans / 18 Exchange in the plan); the
-    # whole-partition window keeps the lineage LINEAR — one bigram
-    # training aggregate, one model-sized w1 exchange — with the same
-    # integer row sums (Σ c2 per w1), so the oracle is untouched.  A
-    # localCheckpoint was A/B'd here and REJECTED: it halved the plan
-    # but serialized the model materialization ahead of the scoring
-    # pass (1.28 -> 1.59 s min-of-3 under the driver protocol; the
-    # duplicated subtrees had been running concurrently on idle cores).
+    # Shape deliberately KEPT from r10 after the r11 plan-duplication
+    # audit measured both alternatives and rejected them (guide §1
+    # "measure first" — OPTIMIZATION_r11 §12):
+    # (a) localCheckpoint(c2): halves the plan's scan nodes but
+    #     serializes the model materialization ahead of the scoring
+    #     pass — 1.28 -> 1.59 s min-of-3 under the driver protocol
+    #     (the "duplicated" c2 subtrees under c1 and the scoring join
+    #     run CONCURRENTLY inside one job on idle cores).
+    # (b) c1 = sum(c2) over (partition by w1): linear lineage, but a
+    #     whole-partition window has NO map-side partial aggregation
+    #     and AQE cannot split a skewed window partition (it can split
+    #     skewed JOIN partitions — guide §2.5), so a hot left-word
+    #     ('the') serializes on one task at exactly the 100 TB scale
+    #     this operator documents; warmed sf1 A/B read join {6.90,
+    #     6.78} s vs window {9.09, 5.71} s — no stable local win to
+    #     buy the scale hazard with.
+    # The groupBy rollup + w1 equi-join keeps both aggregations
+    # partial-agg combined and the join AQE-skew-splittable.
     c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
-    model = c2.select(
-        "w1",
-        "w2",
-        "c2",
-        F.sum("c2").over(Window.partitionBy("w1")).cast("long").alias("c1"),
-    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    model = c2.join(c1, "w1")
     toks = _token_rows(docs)
     vocab = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
     model = model.crossJoin(F.broadcast(vocab))
