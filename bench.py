@@ -250,29 +250,6 @@ def main() -> None:
         _trivial.append(time.perf_counter() - t0)
     per_job_overhead = round(min(_trivial), 4)
 
-    # Page-cache state probe (VERDICT r10 #5): the duck-side total
-    # swings +-35% with machine state; record WHICH state this run
-    # measured.  Raw-read the two biggest fixture files through the
-    # OS; warm page cache reads at memory bandwidth (GB/s), cold at
-    # disk speed — the number labels the run, no interpretation here.
-    _probe_bytes = 0
-    _t0 = time.perf_counter()
-    for _t in ("documents", "lineitem"):
-        _fp = os.path.join(SF_DIR, f"{_t}.parquet")
-        try:
-            with open(_fp, "rb") as _f:
-                while True:
-                    _b = _f.read(1 << 22)
-                    if not _b:
-                        break
-                    _probe_bytes += len(_b)
-        except OSError:
-            pass
-    _probe_dt = time.perf_counter() - _t0
-    page_cache_probe_mb_per_sec = (
-        round(_probe_bytes / _probe_dt / 1e6, 1) if _probe_dt > 0 else None
-    )
-
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
@@ -571,6 +548,33 @@ def main() -> None:
             duck[name] = round(best, 3)
     except Exception:
         duck = {}
+
+    # Page-cache state probe (VERDICT r10 #5): the duck-side total
+    # swings +-35% with machine state; record WHICH state this run
+    # measured.  Raw-read the two biggest fixture files through the
+    # OS; warm page cache reads at memory bandwidth (GB/s), cold at
+    # disk speed — the number labels the run, no interpretation here.
+    # Runs LAST (VERDICT r11 #5: ahead of the timed loops the full read
+    # pre-warmed the measured inputs — a label must not touch the
+    # measured state; after both the Spark and DuckDB timed regions it
+    # reports the cache state those loops themselves established).
+    _probe_bytes = 0
+    _t0 = time.perf_counter()
+    for _t in ("documents", "lineitem"):
+        _fp = os.path.join(SF_DIR, f"{_t}.parquet")
+        try:
+            with open(_fp, "rb") as _f:
+                while True:
+                    _b = _f.read(1 << 22)
+                    if not _b:
+                        break
+                    _probe_bytes += len(_b)
+        except OSError:
+            pass
+    _probe_dt = time.perf_counter() - _t0
+    page_cache_probe_mb_per_sec = (
+        round(_probe_bytes / _probe_dt / 1e6, 1) if _probe_dt > 0 else None
+    )
 
     oracled_spark = sum(v for k, v in timings.items() if k in duck)
     oracled_adjusted = sum(v for k, v in adjusted.items() if k in duck)

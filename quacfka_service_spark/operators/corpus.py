@@ -71,7 +71,15 @@ def _lang_quality_filtered(docs, langs, min_quality, cols):
     are expectations-suite invariants, and the DuckDB curation oracles
     compose the same per-row CTEs through doc_id joins), so the inner
     joins were row-preserving and the fold is exact: identical
-    expressions, identical rows."""
+    expressions, identical rows.
+
+    _spread (r12): the per-row lang/quality regex CPU otherwise rides
+    the raw scan's 1-2 splits (single-row-group fixture files) and
+    serializes on one core; no-op whenever the scan itself has enough
+    splits — see dedup._spread."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
+    docs = _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")
     return (
         docs.select(
             "doc_id",
@@ -1568,7 +1576,11 @@ def token_jsd(docs: DataFrame) -> DataFrame:
     # (source, tok) counts are the only corpus-sized aggregate and feed
     # BOTH self-join sides plus the totals: checkpoint so the tokenize
     # + wordcount pass runs once (r11, guide §5 — was 12 parquet scans
-    # in the plan; now 1 behind the checkpoint).
+    # in the plan; now 1 behind the checkpoint).  Fault-tolerance trade
+    # (ADVICE r11): lineage is truncated, so an executor loss fails the
+    # job (retry = rerun) — accepted because the frame is an aggregate
+    # (bounded by sources x vocabulary, not corpus rows); the full
+    # rationale is at text.py token_entropy's ct checkpoint.
     ct = (
         toks.groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

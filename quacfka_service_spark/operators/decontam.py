@@ -74,14 +74,17 @@ def decontaminate(
     # would re-inline the whole n-gram transform into a pushed-down
     # size()>0 filter and evaluate it twice per row (measured 20s -> ~2s
     # at sf0.1; same trap documented at dedup.py minhash_signatures).
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     bench_grams = (
         doc_ngrams(bench, n)
         .select(F.explode_outer("g").alias("s"))
         .where(F.col("s").isNotNull())
         .distinct()
     )
+    # _spread on the train side (r12): see contamination_score below.
     train_grams = (
-        doc_ngrams(train, n)
+        doc_ngrams(_spread(train, CPU_SPREAD_TARGET_BYTES, "doc_id"), n)
         .select("doc_id", F.explode_outer("g").alias("s"))
         .where(F.col("s").isNotNull())
     )
@@ -120,10 +123,12 @@ def decontaminate_minhash(train: DataFrame, bench: DataFrame) -> DataFrame:
     driver (same engine-portability argument as dedup_minhash_exact).
 
     Output: (doc_id, n_bench_candidates) per flagged training doc."""
-    from .dedup import doc_shingles
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread, doc_shingles
 
     def band_table(docs: DataFrame) -> DataFrame:
-        sh = doc_shingles(docs)
+        # _spread (r12): the md5-per-shingle signature CPU would
+        # otherwise inherit the raw scan's 1-2 splits (see dedup._spread)
+        sh = doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id"))
         ex = (
             sh.select("doc_id", F.explode_outer("sh").alias("s"))
             .where(F.col("s").isNotNull())
@@ -189,6 +194,8 @@ def contamination_score(
     aggregation subtrees over the same explode) and re-joined the two
     doc-sized frames on doc_id; now the wide side is tokenized,
     exploded and aggregated exactly once and the doc_id join is gone."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     bench_grams = (
         doc_ngrams(bench, n)
         .select(F.explode_outer("g").alias("s"))
@@ -196,8 +203,11 @@ def contamination_score(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # _spread on the train side (r12): the regex-split + n-gram concat
+    # + explode + broadcast-probe CPU otherwise runs on the raw scan's
+    # 1-2 splits (single-row-group files locally); see dedup._spread.
     tg = (
-        doc_ngrams(train, n)
+        doc_ngrams(_spread(train, CPU_SPREAD_TARGET_BYTES, "doc_id"), n)
         .select("doc_id", F.explode_outer("g").alias("s"))
         .where(F.col("s").isNotNull())
     )

@@ -168,15 +168,80 @@ def _resolve_census(census: str, df: DataFrame) -> str:
     """
     if census != "auto":
         return census
+    est = _leaf_est_bytes(df)
+    if est is None:
+        return "twopass"
+    return "window" if est <= WINDOW_CENSUS_MAX_EST_BYTES else "twopass"
+
+
+def _leaf_est_bytes(df: DataFrame) -> int | None:
+    """Sum of Catalyst's FREE leaf-scan size estimates (no probe job) —
+    the _resolve_census estimator, shared with _spread.  None when any
+    leaf cannot be read (foreign plans, py4j surprises); a LogicalRDD
+    leaf (createDataFrame = Long.Max stats) saturates the sum, which
+    callers treat as 'huge' — unknown stays scale-safe."""
     try:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        est = sum(
+        return sum(
             int(str(leaves.apply(i).stats().sizeInBytes()))
             for i in range(leaves.size())
         )
     except Exception:
-        return "twopass"
-    return "window" if est <= WINDOW_CENSUS_MAX_EST_BYTES else "twopass"
+        return None
+
+
+# Per-task input targets for _spread.  Derived from sf0.1 measurement
+# (r12): the md5-per-shingle JVM projection runs ~1 s per scanned MB
+# (8 slice projections over every shingle occurrence), so even ~16 KiB
+# of text is ~25 ms of CPU — worth its own task; the numpy rolling
+# kernel is ~5x cheaper per byte and each mapInArrow task adds a
+# python-worker handoff, so its optimum is coarser slices (measured
+# n_part sweep at sf0.1: 8-16 tasks beat 32 for a 600 KB scan).
+CPU_SPREAD_TARGET_BYTES = 1 << 14
+KERNEL_SPREAD_TARGET_BYTES = 1 << 16
+
+
+def _spread(df: DataFrame, target_bytes: int, *cols: str) -> DataFrame:
+    """Explicit-count repartition for frames feeding CPU-heavy per-row
+    work (md5/shingle projections, per-character Python kernels) —
+    applied ONLY when the scan itself cannot supply the parallelism.
+
+    The disease (r12 measurement): locally the fixture files are
+    single row-groups, so the scan is 1-2 splits and every pre-shuffle
+    per-row projection serializes on 1-2 cores; and the previous
+    keyless-count ``repartition("doc_id")`` fix was UNDONE by AQE,
+    which coalesces shuffle partitions by BYTES (advisory 64 MB) —
+    these exchanges are tiny in bytes but ~1000x that in downstream
+    CPU.  Measured at sf0.1: AQE collapsed the minhash signature
+    pass to ONE partition (1.55 s; 0.28 s once spread over 32).
+
+    The fix: an explicit count (respected by AQE) derived from the
+    same free leaf-scan estimate the census resolver uses —
+    ~target_bytes of scanned input per task, capped at
+    defaultParallelism (the n=32 vs n=64 sweep was flat).
+
+    Scale guard: when the estimate says the scan ALREADY yields at
+    least as many splits as the CPU needs tasks (est/maxPartitionBytes
+    >= the capped count — every 100 TB scan, and any unknown-estimate
+    source), return df unchanged: the scan's own splits spread the
+    CPU and an extra corpus-text exchange would be pure cost.  The
+    repartition only fires for inputs small enough that the exchange
+    is trivially cheap relative to the serialization it removes."""
+    spark = df.sparkSession
+    est = _leaf_est_bytes(df)
+    if est is None:
+        return df
+    dp = spark.sparkContext.defaultParallelism
+    n = max(1, min(dp, -(-est // target_bytes)))
+    try:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    if est // max_split >= n:
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
 def ngram_jaccard_pairs(
@@ -220,14 +285,15 @@ def ngram_jaccard_pairs(
     # recomputes).
     from pyspark import StorageLevel
 
-    # doc_id repartition before shingling: same rationale (and
-    # measurement) as minhash_estimate — a sub-128 MB documents scan
+    # doc_id _spread before shingling: a sub-128 MB documents scan
     # arrives as 1-2 partitions and would serialize the regex split +
     # shingle transform + downstream explode on a couple of cores; the
     # exchange is docs-sized and buys parallelism for the ~10x bigger
-    # shingle stream.
+    # shingle stream.  Explicit count (r12): the old keyless-count
+    # repartition("doc_id") was AQE-coalesced back to ONE partition at
+    # bench scale — see _spread.
     sh = _track_persist(
-        doc_shingles(docs.repartition("doc_id")).persist(
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -361,7 +427,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     map-side partial (the shuffle carries one 32-long row per doc) —
     the same plan holds at 100 TB.
     """
-    return minhash_signatures_from_shingles(doc_shingles(docs))
+    return minhash_signatures_from_shingles(
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id"))
+    )
 
 
 def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
@@ -400,7 +468,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> 
     # _track_persist (r10): an untracked persist here leaked one
     # shingle table per invocation into executor storage in a
     # long-lived driver session — same hazard class as ADVICE r9 #5.
-    sh = _track_persist(doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    # _spread (r12): the raw scan's 1-2 splits would serialize the
+    # shingle+xxhash64 CPU on one core at bench scale.
+    sh = _track_persist(
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     sig = minhash_signatures_from_shingles(sh)
     bands = []
     for bi in range(N_BANDS):
@@ -443,7 +517,8 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     # hashed once, the 64 per-bit sums are map-side partial aggregates,
     # and the shuffle carries one 64-long row per doc.
     ex = (
-        docs.select("doc_id", F.explode_outer(_words(F.col("text"))).alias("t"))
+        _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")
+        .select("doc_id", F.explode_outer(_words(F.col("text"))).alias("t"))
         .where(F.col("t").isNotNull())
         .select("doc_id", F.xxhash64("t").alias("h"))
     )
@@ -604,7 +679,11 @@ def minhash_md5_signatures(docs: DataFrame) -> DataFrame:
     _md5_perm_long: same argmin as the hex-string min, 4x less agg
     state).  One explode + one groupBy computing all 8 minima in a
     single pass."""
-    sh = doc_shingles(docs)
+    # _spread (r12): without it the signature pass inherits the raw
+    # scan's 1-2 splits (single row-group fixture files) and the
+    # md5-per-shingle CPU serializes on one core — measured 1.55 s ->
+    # 0.28 s at sf0.1 once spread.
+    sh = doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id"))
     ex = (
         sh.select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
@@ -717,11 +796,12 @@ def minhash_lsh_verified(
     scopes the verify scan to candidate docs."""
     from pyspark import StorageLevel
 
-    # doc_id repartition before shingling: same rationale as
-    # minhash_estimate — a sub-128 MB scan arrives as 1-2 partitions
-    # and would serialize the md5-per-shingle CPU on a couple cores.
+    # doc_id _spread before shingling: a sub-128 MB scan arrives as 1-2
+    # partitions and would serialize the md5-per-shingle CPU on a
+    # couple cores; explicit count because AQE byte-coalescing
+    # collapsed the keyless form to ONE partition (r12, see _spread).
     ex = _track_persist(
-        doc_shingles(docs.repartition("doc_id"))
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id"))
         .select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -838,14 +918,15 @@ def containment_pairs(
     anti-join (strategy AQE-chosen), pair blocks bounded at max_df^2/2."""
     from pyspark import StorageLevel
 
-    # doc_id repartition before shingling: same rationale (and
-    # measurement) as minhash_estimate — a sub-128 MB documents scan
+    # doc_id _spread before shingling: a sub-128 MB documents scan
     # arrives as 1-2 partitions and would serialize the regex split +
     # shingle transform + downstream explode on a couple of cores; the
     # exchange is docs-sized and buys parallelism for the ~10x bigger
-    # shingle stream.
+    # shingle stream.  Explicit count (r12): the old keyless-count
+    # repartition("doc_id") was AQE-coalesced back to ONE partition at
+    # bench scale — see _spread.
     sh = _track_persist(
-        doc_shingles(docs.repartition("doc_id")).persist(
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -919,7 +1000,7 @@ def minhash_estimate(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame
     from pyspark import StorageLevel
 
     ex = _track_persist(
-        doc_shingles(docs.repartition("doc_id"))
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id"))
         .select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1088,7 +1169,7 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
     doc-sized frames) ever cross an exchange.  Same two tokenize
     passes as before — the stream itself never moves."""
     ex = (
-        doc_shingles(docs)
+        doc_shingles(_spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id"))
         .select("doc_id", F.explode_outer("sh").alias("s"))
         .where(F.col("s").isNotNull())
     )
@@ -1131,7 +1212,8 @@ def simhash_md5_fingerprints(docs: DataFrame) -> DataFrame:
     values so the 64 bit-sum aggregates reference columns, not 64
     re-computed substr/conv chains."""
     ex = (
-        docs.select("doc_id", F.explode_outer(_words(F.col("text"))).alias("t"))
+        _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")
+        .select("doc_id", F.explode_outer(_words(F.col("text"))).alias("t"))
         .where(F.col("t").isNotNull())
         .select("doc_id", F.md5("t").alias("h"))
     )
@@ -1945,6 +2027,10 @@ def lsh_recall_report(docs: DataFrame) -> DataFrame:
     # Both pair tables are duplicate-mass-sized and referenced twice
     # (own count + the hit semi-join): checkpoint so each derivation
     # runs once (r11, guide §5 — was 17 parquet scans in the plan).
+    # Fault-tolerance trade (ADVICE r11): lineage truncated — executor
+    # loss fails the job (retry = rerun); accepted because the frames
+    # are duplicate-mass-sized, not corpus-sized.  Full rationale at
+    # text.py token_entropy's ct checkpoint.
     exact = (
         ngram_jaccard_pairs(docs)
         .select("doc_a", "doc_b")
@@ -2372,8 +2458,10 @@ def _gram_occurrences(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
                     names=["doc_id", "off", "g"],
                 )
 
-    t = docs.select(F.col("doc_id").cast("long"), F.col("text")).repartition(
-        "doc_id"
+    t = _spread(
+        docs.select(F.col("doc_id").cast("long"), F.col("text")),
+        KERNEL_SPREAD_TARGET_BYTES,
+        "doc_id",
     )
     return t.mapInArrow(fn, "doc_id long, off long, g string")
 
@@ -2488,10 +2576,18 @@ def _gram_occurrences_rolling(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
     # explicit numPartitions: AQE would coalesce a megabyte-scale text
     # exchange to ONE partition, serializing the per-char kernel — the
-    # CPU cost is ~1000x the byte size, so spread by core count
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    t = docs.select(F.col("doc_id").cast("long"), F.col("text")).repartition(
-        n_part, "doc_id"
+    # CPU cost is ~1000x the byte size.  Count from the data volume,
+    # not the core count (r12): at sf0.1 a flat defaultParallelism=32
+    # put ~46 KB of text per task and the python-worker handoff
+    # dominated (0.52 s; 0.32 s at 8 tasks — the measured optimum
+    # plateau is ~64 KiB of scanned bytes per task, KERNEL target),
+    # and it made the kernel anti-scale 8-vs-32 cores (PERF_r11
+    # scaling 0.50).  At 100 TB the estimate saturates the
+    # defaultParallelism cap, so the scale shape is unchanged.
+    t = _spread(
+        docs.select(F.col("doc_id").cast("long"), F.col("text")),
+        KERNEL_SPREAD_TARGET_BYTES,
+        "doc_id",
     )
     return t.mapInArrow(fn, "doc_id long, off long, rh long")
 

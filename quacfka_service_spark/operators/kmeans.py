@@ -55,10 +55,42 @@ PROTO_TOP = 5
 
 
 def _quantized(emb: DataFrame) -> DataFrame:
-    """(vec_id, label, qv array<long>): floor-quantized coordinates."""
+    """(vec_id, label, qv array<long>): floor-quantized coordinates.
+
+    _spread (r12): the embeddings fixture is a single row-group, so
+    the scan is ONE split and every consumer's per-row work (the HOF
+    quantize, each Lloyd round's assign+fold kernel, silhouette's
+    map-only pass, prototypicality's distance fold) serialized on one
+    core; no-op whenever the scan itself has enough splits (any
+    at-scale input) — see dedup._spread.  Partitioning cannot change
+    any consumer's result: distances/argmin are per-row, and every
+    aggregate downstream is an exact int64/decimal sum (commutative)
+    or a sort_array'd collect."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     v = F.col("embedding").cast("array<double>")
     qv = F.transform(v, lambda x: F.floor(x * F.lit(float(Q_SCALE))).cast("long"))
-    return emb.select("vec_id", "label", qv.alias("qv"))
+    return _spread(emb, CPU_SPREAD_TARGET_BYTES, "vec_id").select(
+        "vec_id", "label", qv.alias("qv")
+    )
+
+
+def _qv_matrix(col, n: int):
+    """int64 (n, d) matrix from a list<int64> Arrow column — zero-copy
+    via the list values buffer when the layout allows (fixed dim, no
+    nulls: the _quantized contract), falling back to to_pylist (r12,
+    guide §4.2: to_pylist built n x d python ints per batch and was
+    the kernel's measured hot spot ahead of the einsum)."""
+    import numpy as np
+
+    try:
+        flat = col.flatten()
+        vals = flat.to_numpy(zero_copy_only=True)
+        if n and vals.size % n == 0:
+            return vals.reshape(n, -1).astype(np.int64, copy=False)
+    except Exception:
+        pass
+    return np.array(col.to_pylist(), dtype=np.int64)
 
 
 def _np_dists(b, C):
@@ -69,7 +101,7 @@ def _np_dists(b, C):
     import numpy as np
 
     ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-    Q = np.array(b.column("qv").to_pylist(), dtype=np.int64)
+    Q = _qv_matrix(b.column("qv"), len(ids))
     if Q.size == 0:
         return ids, Q, np.zeros((0, C.shape[0]), np.int64)
     diff = Q[:, None, :] - C[None, :, :]
@@ -133,7 +165,9 @@ def kmeans_train(
     # seed from the SAME checkpointed frame the rounds iterate (r10):
     # the seed collect is the checkpoint's materializing action, so
     # round 1 reads cached quantized blocks instead of re-running the
-    # scan + quantize projection a second time.
+    # scan + quantize projection a second time.  _quantized spreads
+    # the single-split scan (r12) so the checkpoint holds parallel
+    # partitions and every Lloyd round's kernel inherits them.
     d = _quantized(emb).localCheckpoint(eager=False)
     cents = [list(r["qv"]) for r in d.orderBy("vec_id").limit(k).collect()]
     if not cents:
@@ -277,6 +311,22 @@ def prototypicality(emb: DataFrame, top: int = PROTO_TOP) -> DataFrame:
     # rk_far and rk_near side by side shares ONE exchange and ONE
     # scored subtree, then an explode emits the two labeled rows.
     # Identical (label, vec_id, dist, which, rank) multiset.
+    # Forfeited: WindowGroupLimit rank pruning (ADVICE r11 #3).  With
+    # the rank<=top filter behind the explode, neither sort can be
+    # top-k-pruned — each label partition is fully ranked twice.  A
+    # per-leg filter cannot be pushed either: a row may be core-top-k
+    # but not outlier-top-k, so the legs' predicates differ and the
+    # shared pass must rank everything.  Deliberate trade: the r11
+    # union shape's duplicated distance subtree re-scanned the corpus
+    # per leg (8 scans), which at 100 TB costs two full passes of
+    # scan+quantize+fold vs. this shape's one pass + two in-memory
+    # sorts of (label, vec_id, dist) triples — sorting a partition of
+    # narrow triples is cheaper than re-deriving it from vector bytes.
+    # Measured (r11 driver): the fused shape took the key off the
+    # 40-slowest board (0.493 s prev record, below display cutoff
+    # since).  Revisit only if a label's membership outgrows a
+    # partition sort (same escape hatch as ngram_lm_score: split hot
+    # labels by hash range first).
     w_far = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
     w_near = Window.partitionBy("label").orderBy(F.asc("dist"), F.asc("vec_id"))
     ranked = scored.select(

@@ -107,16 +107,26 @@ def _qlog(ratio):
 def _token_rows(docs: DataFrame, *carry: str) -> DataFrame:
     """(doc_id, *carry, pos, tok): position-stamped token stream.
     posexplode_outer (not explode) — see the InferFiltersFromGenerate
-    note in operators/dedup.py."""
+    note in operators/dedup.py.  _spread (r12): the regex-split +
+    explode CPU otherwise inherits the raw scan's 1-2 splits
+    (single-row-group fixture files) and serializes on one core; no-op
+    whenever the scan itself has enough splits — see dedup._spread."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     return (
-        docs.select("doc_id", *carry, F.posexplode_outer(_words(F.col("text"))))
+        _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")
+        .select("doc_id", *carry, F.posexplode_outer(_words(F.col("text"))))
         .withColumnRenamed("col", "tok")
         .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
 
 
 def _bigram_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, w1, w2): position-stamped bigram stream."""
+    """(doc_id, pos, w1, w2): position-stamped bigram stream.
+    _spread: same single-split rationale as _token_rows."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
+    docs = _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")
     w = _words(F.col("text"))
     arr = F.when(
         F.size("w") >= 2,

@@ -153,10 +153,20 @@ def _pca_state(emb: DataFrame, dim: int, n_iter: int):
     converged vector.  Spark does the two data-sized passes (mean,
     blocked Gram); the d x d covariance is collected (bounded) and the
     power iterations run driver-side in Python (module docstring,
-    regime 2)."""
-    x = emb.select(F.col("embedding").cast("array<double>").alias("x")).where(
-        F.size("x") == dim
-    )
+    regime 2).
+
+    _spread (r12): the embeddings fixture is a single row-group, so
+    the scan is ONE split and both data passes (mean explode + the
+    Gram mapInArrow kernel) serialized on one core; no-op whenever the
+    scan itself has enough splits (any at-scale input) — see
+    dedup._spread.  Partitioning cannot change values: the mean sums
+    are exact decimal, and the Gram partials are int64 sums proven
+    partition-independent below."""
+    from .dedup import KERNEL_SPREAD_TARGET_BYTES, _spread
+
+    x = _spread(emb, KERNEL_SPREAD_TARGET_BYTES, "vec_id").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    ).where(F.size("x") == dim)
 
     # mean vector AND n in ONE aggregate pass (r10, VERDICT r9 #4: n
     # was its own job + a broadcast join): per component j, the exact

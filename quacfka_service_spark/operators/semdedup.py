@@ -297,13 +297,24 @@ def semantic_dedup(
     # cost at scale); a lazy localCheckpoint computes it once
     # (minhash_estimate's sig idiom).  The repartition BEFORE the
     # checkpoint is the design's one corpus shuffle — it keys the pair
-    # self-join on cell AND fixes the pair scan's parallelism to the
-    # cell count (a map-only subtree inherits the scan's partitioning;
-    # a small input would otherwise funnel the quadratic within-cell
-    # work through a handful of tasks).
+    # self-join on cell AND fixes the pair scan's parallelism (a
+    # map-only subtree inherits the scan's partitioning; a small input
+    # would otherwise funnel the quadratic within-cell work through a
+    # handful of tasks).  r12: BOTH exchanges need explicit counts —
+    # the keyless repartition("cell") was AQE byte-coalesced back to
+    # ONE partition at bench scale (tiny bytes, ~1000x that in
+    # downstream CPU), and the per-row argmax assignment otherwise
+    # rides the raw scan's single split; see dedup._spread (both are
+    # no-ops at scan scale).
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     cells = (
-        assign_cells(emb, n_clusters, kmeans, centroids)
-        .repartition("cell")
+        _spread(
+            assign_cells(_spread(emb, CPU_SPREAD_TARGET_BYTES, "vec_id"),
+                         n_clusters, kmeans, centroids),
+            CPU_SPREAD_TARGET_BYTES,
+            "cell",
+        )
         .localCheckpoint(eager=False)
     )
     dropped = drop_edges(cells, cells, threshold)

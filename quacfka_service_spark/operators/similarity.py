@@ -61,8 +61,17 @@ def _dot(a, b):
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
+    # _spread (r12): the embeddings fixture is a single row-group, so
+    # the scan is ONE split and every downstream per-row fold (norms,
+    # the broadcast-query x corpus cosine scoring, the knn fan-out)
+    # serialized on one core; see dedup._spread — no-op whenever the
+    # scan itself has enough splits (any at-scale input).  Partitioning
+    # cannot change values: all scoring is per-row against broadcast
+    # state, and every rank is a total order (cos DESC, id ASC).
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     v = F.col("embedding").cast("array<double>")
-    d = emb.select("vec_id", v.alias("v"))
+    d = _spread(emb, CPU_SPREAD_TARGET_BYTES, "vec_id").select("vec_id", v.alias("v"))
     return d.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
 
 
@@ -154,8 +163,13 @@ def hard_negatives(
     per-query rank is a window over q_id partitions.  For corpus-scale
     query sets switch to the ``knn_join`` tiled kernel with the same
     label predicate inside the tile scan."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     v = F.col("embedding").cast("array<double>")
-    d = emb.select("vec_id", "label", v.alias("v")).select(
+    # _spread: same single-split hazard as _with_norm.
+    d = _spread(emb, CPU_SPREAD_TARGET_BYTES, "vec_id").select(
+        "vec_id", "label", v.alias("v")
+    ).select(
         "vec_id", "label", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
     )
     q = d.where(F.col("vec_id") % query_mod == 0).select(
@@ -966,7 +980,14 @@ def centroid_assign(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             "label", F.lit(None).cast("string").alias("assigned_label")
         ).groupBy("label", "assigned_label").agg(F.count(F.lit(1)).alias("n"))
     labels_lit = F.array(*[F.lit(x) for x in labels])
-    d = emb.select("vec_id", "label", v.alias("v")).select(
+    # _spread (r12): the per-row argmax over the |labels| literal
+    # centroid array otherwise runs on the raw scan's single split;
+    # see dedup._spread (no-op at scan scale, values are per-row).
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
+    d = _spread(emb, CPU_SPREAD_TARGET_BYTES, "vec_id").select(
+        "vec_id", "label", v.alias("v")
+    ).select(
         "vec_id",
         "label",
         "v",
@@ -1180,7 +1201,10 @@ def _cb_df(spark: SparkSession, codebook: list) -> DataFrame:
 
 
 def pq_encode(
-    emb: DataFrame, query_mod: int = QUERY_MOD, codebook: list | None = None
+    emb: DataFrame,
+    query_mod: int = QUERY_MOD,
+    codebook: list | None = None,
+    cb_df: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, m, code): 4-bit-per-subvector PQ codes — 64 doubles
     (512 B) compress to 8 codes (4 B at bit-packing, 128x).  Each
@@ -1192,13 +1216,19 @@ def pq_encode(
     argmin window — one corpus shuffle keyed on vec_id, nothing
     quadratic.  Integer output, exact oracle.  Pass ``codebook``
     (pq_seed_codebook rows) to encode under a FROZEN external codebook
-    — the incremental-index contract."""
+    — the incremental-index contract.  ``cb_df`` lets a caller that
+    ALSO needs the codebook (pq_adc_topk's LUT) hand in one shared
+    frame so the seed-scan + rank derivation runs once (r12, guide §5
+    — was re-expanded per consumer)."""
     sub = _pq_subrows(emb)
-    cb = (
-        _cb_df(emb.sparkSession, codebook)
-        if codebook is not None
-        else _pq_codebook_df(emb, query_mod)
-    )
+    if cb_df is not None:
+        cb = cb_df
+    else:
+        cb = (
+            _cb_df(emb.sparkSession, codebook)
+            if codebook is not None
+            else _pq_codebook_df(emb, query_mod)
+        )
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "code", _sq_l2(F.col("sv"), F.col("c")).alias("d")
     )
@@ -1275,15 +1305,22 @@ def pq_adc_topk(
     structure to compress.  The driver key therefore verifies
     ENGINE-EXACTNESS of the machinery; retrieval value is pinned on
     the structured fixture in tests/test_skew_and_ivf.py."""
-    codes = pq_encode(emb, query_mod, codebook)
-    qsub = _pq_subrows(
-        emb.where(F.col("vec_id") % query_mod == 0)
-    ).withColumnRenamed("vec_id", "q_id")
+    # ONE codebook frame for both consumers (encode + LUT), lazily
+    # checkpointed when derived from the corpus (r12, guide §5): the
+    # seed scan + global-rank window otherwise re-expands under each —
+    # the frame is PQ_M x PQ_K rows, sketch-sized, so materialization
+    # is trivially cheap and the fault-tolerance trade documented at
+    # text.py token_entropy applies a fortiori.  Frozen-list codebooks
+    # (the incremental contract) stay plain createDataFrame locals.
     cb = (
         _cb_df(emb.sparkSession, codebook)
         if codebook is not None
-        else _pq_codebook_df(emb, query_mod)
+        else _pq_codebook_df(emb, query_mod).localCheckpoint(eager=False)
     )
+    codes = pq_encode(emb, query_mod, cb_df=cb)
+    qsub = _pq_subrows(
+        emb.where(F.col("vec_id") % query_mod == 0)
+    ).withColumnRenamed("vec_id", "q_id")
     return _adc_tail(codes, qsub, cb, k)
 
 

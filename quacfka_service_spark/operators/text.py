@@ -212,8 +212,13 @@ def hash_features(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
     100 TB shape: one explode + ONE map-side-combined count agg on
     (doc_id, dim) — the key carries doc_id, so Zipf-hot tokens spread
     across documents instead of hot-spotting a reducer; output is at
-    most ``dim`` rows per doc."""
-    toks = docs.select(
+    most ``dim`` rows per doc.  _spread (r12): the tokenize +
+    md5-per-token CPU otherwise inherits the raw scan's 1-2 splits
+    (single-row-group fixture files) and serializes on one core; no-op
+    whenever the scan itself has enough splits — see dedup._spread."""
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
+    toks = _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id").select(
         "doc_id", F.explode_outer(_words(F.col("text"))).alias("tok")
     ).where(F.col("tok").isNotNull() & (F.col("tok") != ""))
     d = F.pmod(
@@ -447,8 +452,14 @@ def tfidf_topk(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     window partitioned by doc_id.  No driver state, no all-pairs
     anything.
     """
+    # _spread (r12): tokenize + explode otherwise rides the raw scan's
+    # 1-2 splits and serializes the map side of BOTH aggs on one core;
+    # see dedup._spread (no-op at scan scale).
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
     ex = (
-        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id")
+        .select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
         .where(F.col("term") != "")
     )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1048,6 +1059,16 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     # the tokenize+wordcount pass runs once (r11, guide §5 — the plan
     # re-expanded it under all three; the anti-join previously paid a
     # third full tokenize just to list non-empty doc_ids).
+    # Fault-tolerance trade (ADVICE r11): localCheckpoint is
+    # non-reliable executor storage — lineage is truncated, so losing
+    # an executor mid-query fails the JOB (retry = rerun the query),
+    # it cannot silently recompute the lost blocks.  Accepted here and
+    # at every eager=False site in this repo because the checkpointed
+    # frames are aggregate/sketch-sized (this one is the (doc, tok)
+    # count table, already a groupBy output — bounded by distinct
+    # pairs, far below raw corpus rows) and the alternative is N full
+    # corpus passes per query; a reliable checkpoint would add a
+    # distributed-FS round-trip of the same bytes to every run.
     ct = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1178,7 +1199,15 @@ def winnowing_fp(docs: DataFrame) -> DataFrame:
     # Exploding tokens once and folding over lead() columns evaluates
     # each token code exactly once and each gram as four row-level
     # pmod steps — the same ((0*M+c0)%MOD...) fold order, same values.
-    toks = docs.select(
+    # _spread (r12): tokenize otherwise rides the raw scan's 1-2
+    # splits, and spreading BY doc_id pre-establishes the exact
+    # hash(doc_id) distribution every window below requires — one
+    # explicit-count exchange replaces an AQE byte-coalesced one
+    # (~1 MB/partition of exploded stream vs the per-doc window CPU
+    # it feeds); see dedup._spread.
+    from .dedup import CPU_SPREAD_TARGET_BYTES, _spread
+
+    toks = _spread(docs, CPU_SPREAD_TARGET_BYTES, "doc_id").select(
         "doc_id", F.posexplode(_words(F.col("text"))).alias("idx", "tok")
     ).select("doc_id", (F.col("idx") + 1).alias("off"), _winnow_code(F.col("tok")).alias("c"))
     wlead = Window.partitionBy("doc_id").orderBy("off")
